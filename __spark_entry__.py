@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on sf0.001 as a smoke check.
+``queries()`` / ``oracle_sql()`` expose every registered operator from
+SURVEY.md §2 (plus the LLM-data-pipeline extensions); the driver verifies
+each against DuckDB at sf0.01 (row-count + schema + order-insensitive
+value hash). Implementations live in ``wod_ascii_to_parquet_spark_spark/``;
+this module is a thin adapter over its registry.
 """
 
 from __future__ import annotations
@@ -13,26 +14,28 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from wod_ascii_to_parquet_spark_spark.registry import load_all_operators
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (regional revenue 5-way join/agg) on sf0.001."""
+    qs = load_all_operators()
+    return qs["flagship_regional_revenue"].fn(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator (SURVEY.md §2 + extensions)."""
+    return {name: q.fn for name, q in load_all_operators().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query; rows-only
+    operators (custom hashing / streaming-trigger-dependent / partition-id
+    outputs) are intentionally omitted."""
+    return {
+        name: q.oracle
+        for name, q in load_all_operators().items()
+        if q.oracle is not None
+    }

@@ -1,0 +1,294 @@
+"""Fuzzy-deduplication family (driver contract: first-class at 100 TB).
+
+Four arms over ``documents``:
+
+- ``dedup_ngram_jaccard`` — exact n-gram Jaccard within blocking keys
+  (SQL-expressible → full oracle).
+- ``dedup_minhash_lsh``  — MinHash signatures + banded LSH candidate
+  generation + exact verify (the 100 TB path; rows-only oracle since DuckDB
+  lacks xxhash64).
+- ``dedup_simhash``      — 64-bit SimHash + Hamming-distance candidates
+  (rows-only).
+- ``dedup_embedding_cosine`` — embedding-space near-dup pairs (full oracle).
+
+Scale design: the all-pairs comparison is always confined — by blocking keys
+(ngram/simhash), by LSH band buckets (minhash), or by ANN buckets
+(embeddings). The only unbounded self-join in this file is over ~0-sized
+candidate sets, never over the corpus. Everything is Catalyst higher-order
+functions on arrays — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import load, register
+
+_MERSENNE = 2_147_483_647  # 2^31-1; keeps permuted hashes in 32-bit range
+_NPERM = 32
+_BAND_ROWS = 4
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles of a whitespace-tokenized text column."""
+    toks = F.split(text, " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    # Guard short texts: sequence()/element_at() are strict under ANSI mode.
+    return F.when(F.size(toks) >= k, F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        )
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    return F.size(F.array_intersect(a, b)).cast("double") / F.size(
+        F.array_union(a, b)
+    )
+
+
+_SHINGLE_SQL = """
+    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        i -> string_split(text, ' ')[i] || ' ' ||
+             string_split(text, ' ')[i+1] || ' ' ||
+             string_split(text, ' ')[i+2]))
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH s AS (SELECT doc_id, lang, source, {_SHINGLE_SQL} AS sh FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
+    FROM s a JOIN s b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """,
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs, blocked by (lang, source).
+
+    The block join is an equi-join on the blocking key — pair count is
+    Σ|block|², never |corpus|². At 100 TB, blocking keys come from cheap
+    content signals (domain, language, length bucket)."""
+    d = load(spark, sf_dir, "documents")
+    s = d.select("doc_id", "lang", "source", shingles(F.col("text")).alias("sh"))
+    a = s.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("src_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    b = s.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("src_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    jac = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("src_a") == F.col("src_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jac"))
+    )
+
+
+def minhash_signature(sh: Column, nperm: int = _NPERM) -> Column:
+    """MinHash signature: base-hash each shingle into [0, 2^31), then take
+    the min under ``nperm`` affine permutations ``(a_p·h + b_p) mod M``.
+    Pure Catalyst nested higher-order functions — JVM-side, no UDF; the
+    multipliers stay small so ANSI-mode bigint arithmetic cannot overflow."""
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(nperm - 1)),
+        lambda p: F.array_min(
+            F.transform(
+                base,
+                lambda h: F.pmod((2 * p + 3) * h + p * 1_000_003, F.lit(_MERSENNE)),
+            )
+        ),
+    )
+
+
+@register("dedup_minhash_lsh", None, tags=("dedup", "rows-only"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs (verify-exact): signature of 32
+    perms → 8 bands × 4 rows → band-bucket equi-join for candidates →
+    exact Jaccard filter ≥ 0.5.
+
+    This is the 100 TB dedup path: O(N) signature pass, shuffle keyed on
+    (band, band_key) — candidate generation never compares all pairs.
+    Deterministic (xxhash64 is seeded-fixed), but not DuckDB-expressible →
+    rows-only check; exactness is covered by the oracled
+    ``dedup_ngram_jaccard`` whose verified pairs this must superset-match
+    on the same threshold (asserted in tests)."""
+    d = load(spark, sf_dir, "documents")
+    s = d.select("doc_id", shingles(F.col("text")).alias("sh")).withColumn(
+        "sig", minhash_signature(F.col("sh"))
+    )
+    nbands = _NPERM // _BAND_ROWS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.element_at("sig", b * _BAND_ROWS + r + 1).cast("string")
+                        for r in range(_BAND_ROWS)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(nbands)
+        ]
+    )
+    exploded = s.select(
+        "doc_id", "sh", F.explode(bands).alias("bk")
+    ).select("doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = exploded.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band", "key"
+    )
+    b = exploded.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return cand.filter(jac >= 0.5).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jac")
+    )
+
+
+@register("dedup_simhash", None, tags=("dedup", "rows-only"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup candidates: per-token xxhash64, bit-majority
+    vote → bit vector; pairs within (lang, source) blocks at Hamming
+    distance ≤ 16. All bit math is Catalyst expressions (unrolled over the
+    64 bit positions). Rows-only: DuckDB lacks xxhash64."""
+    d = load(spark, sf_dir, "documents")
+    hashes = F.transform(F.split(F.col("text"), " "), lambda t: F.xxhash64(t))
+    bits = F.array(
+        *[
+            F.when(
+                F.aggregate(
+                    hashes,
+                    F.lit(0).cast("bigint"),
+                    lambda acc, h: acc
+                    + (
+                        F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("bigint") * 2 - 1
+                    ),
+                )
+                >= 0,
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            for i in range(64)
+        ]
+    )
+    s = d.select("doc_id", "lang", "source", bits.alias("bits"))
+    a = s.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("src_a"),
+        F.col("bits").alias("bits_a"),
+    )
+    b = s.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("src_b"),
+        F.col("bits").alias("bits_b"),
+    )
+    hamming = F.aggregate(
+        F.zip_with(F.col("bits_a"), F.col("bits_b"), lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("src_a") == F.col("src_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 16)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns — Catalyst zip_with +
+    aggregate (JVM, codegen), no UDF."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    )
+    return dot / (na * nb)
+
+
+_COS_SQL = """
+    list_dot_product(a.emb, b.emb)
+    / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_COS_SQL}, 6) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.4
+    """,
+    tags=("dedup",),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup pairs (cosine ≥ 0.4), blocked by label —
+    the same confinement discipline as the text arms: at 100 TB the block
+    key is an ANN bucket (see ``similarity_ann_lsh``), never all-pairs."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label_a"),
+        F.col("emb").alias("emb_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("emb").alias("emb_b"),
+    )
+    sim = cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(
+            b,
+            (F.col("label_a") == F.col("label_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .filter(sim >= 0.4)
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
+    )

@@ -1,0 +1,270 @@
+"""Join operators J1–J10 (SURVEY.md §2.3).
+
+The reference has no relational joins — only the cartesian task expansion
+(``SparklerExecutor.java:60-69``), the "output exists" skip check
+(semi-join shape, ``DatasetYearTrain.java:92``) and the S3 inventory diff
+(anti-join shape, ``OsPoolS3Lister.java:106``). This module provides full
+join capability, Spark-first.
+
+Scale notes (100 TB):
+- Equi-joins shuffle both sides on the key → sort-merge by default; AQE may
+  demote to shuffled-hash or broadcast at runtime. Dimension tables
+  (region/nation/part-sized) are explicitly ``F.broadcast`` hinted — a
+  broadcast join is shuffle-free on the fact side.
+- The theta/range join keeps the small side tiny (a literal band table) so
+  Spark picks BroadcastNestedLoopJoin — the only sane physical plan for a
+  non-equi predicate; never range-join two large sides directly, bucket the
+  range key first (see ``asof_join``).
+- The as-of join is implemented as equi-join on the partition key +
+  per-left-row window top-1 — one shuffle on the equi key. Without an equi
+  key, bucketize the time axis and equi-join on the bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import load, register
+
+
+@register(
+    "join_inner_equi",
+    """
+    SELECT o_orderkey, o_custkey, c_name, c_acctbal
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=("join",),
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        "o_orderkey", "o_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "join_broadcast",
+    """
+    SELECT l_orderkey, l_linenumber, p_brand, p_type
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+    tags=("join",),
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-hash join: dimension ships to every executor, fact side never
+    shuffles. The go-to plan for fact⋈dim at any scale."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey).select(
+        "l_orderkey", "l_linenumber", "p_brand", "p_type"
+    )
+
+
+@register(
+    "join_left_outer",
+    """
+    SELECT c_custkey, c_name, o_orderkey
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return customer.join(orders, customer.c_custkey == orders.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey"
+    )
+
+
+@register(
+    "join_right_outer",
+    """
+    SELECT c_custkey, c_name, o_orderkey
+    FROM orders RIGHT JOIN customer ON c_custkey = o_custkey
+    """,
+    tags=("join",),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return orders.join(customer, customer.c_custkey == orders.o_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey"
+    )
+
+
+@register(
+    "join_full_outer",
+    """
+    SELECT c_custkey, s_suppkey, s_name
+    FROM customer FULL JOIN supplier ON c_custkey = s_suppkey
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    return customer.join(supplier, customer.c_custkey == supplier.s_suppkey, "full").select(
+        "c_custkey", "s_suppkey", "s_name"
+    )
+
+
+@register(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: the "does output already exist" skip check shape
+    (``DatasetYearTrain.java:92``). Emits left columns only, no row
+    multiplication."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: the S3 inventory diff (``OsPoolS3Lister.java:106``,
+    ``all.removeAll(success)``) as a distributed operator."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_cross",
+    "SELECT n_name, r_name FROM nation CROSS JOIN region",
+    tags=("join",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — the reference's datasets × processingLevels task
+    expansion (``SparklerExecutor.java:63-67``). Only ever with a broadcast
+    side; an unbounded cross of two large inputs is a plan bug."""
+    nation = load(spark, sf_dir, "nation").select("n_name")
+    region = load(spark, sf_dir, "region").select("r_name")
+    return nation.crossJoin(F.broadcast(region))
+
+
+_BANDS = [
+    (0.0, 50_000.0, "xs"),
+    (50_000.0, 150_000.0, "s"),
+    (150_000.0, 300_000.0, "m"),
+    (300_000.0, 450_000.0, "l"),
+    (450_000.0, 1e18, "xl"),
+]
+
+_BANDS_SQL = ", ".join(f"({lo}, {hi}, '{b}')" for lo, hi, b in _BANDS)
+
+
+@register(
+    "join_theta_range",
+    f"""
+    SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    JOIN (VALUES {_BANDS_SQL}) bands(lo, hi, band)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+    tags=("join",),
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (range-predicate) join → BroadcastNestedLoopJoin against a tiny
+    banding dim. The general large×large range join must bucketize instead
+    (see ``asof_join`` scale note)."""
+    orders = load(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_BANDS, "lo double, hi double, band string")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    tiebreak: str,
+) -> DataFrame:
+    """As-of join (backward): latest right row with right_ts <= left_ts per key.
+
+    Implementation: equi-join on ``on`` with the range predicate, then window
+    top-1 per left row — one shuffle on the equi key, fully JVM-side.
+
+    100 TB note: when the per-key match multiplicity is large, pre-bucket the
+    time axis (e.g. by day) and equi-join on (key, bucket) with a
+    lag-one-bucket union so each left row only meets a bounded slice of the
+    right side; or use ``applyInPandas`` + ``pd.merge_asof`` per key range.
+    A window over the raw equi-join is correct at any scale but its shuffle
+    payload is |matches|, not |left|.
+    """
+    lcols = [F.col(f"l.{c}") for c in left.columns]
+    rcols = [F.col(f"r.{c}") for c in right.columns if c != on]
+    joined = left.alias("l").join(
+        right.alias("r"),
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}")),
+        "inner",
+    )
+    w = Window.partitionBy(*[F.col(f"l.{c}") for c in left.columns]).orderBy(
+        F.col(f"r.{right_ts}").desc(), F.col(f"r.{tiebreak}").desc()
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*lcols, *rcols)
+    )
+
+
+@register(
+    "join_asof",
+    """
+    SELECT event_id, ts, user_id, o_orderkey, o_orderdate
+    FROM (
+        SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, o.o_orderdate,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+               ) AS rn
+        FROM events e
+        JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    """,
+    tags=("join",),
+)
+def join_asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each event, the most recent order of that user at event time.
+    (DuckDB could use ASOF JOIN; the oracle uses an explicit window so the
+    o_orderkey tie-break is pinned on both sides.)"""
+    events = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    return asof_join(
+        events, orders, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        tiebreak="o_orderkey",
+    )

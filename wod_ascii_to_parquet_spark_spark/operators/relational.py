@@ -1,0 +1,277 @@
+"""Flagship query, sorts/limits/top-k, set operations.
+
+Reference parity notes:
+- The reference has no joins/aggs of its own; its only sort machinery is
+  ``orderBy(asc("geohash")) → repartition(geohash3) → sortWithinPartitions``
+  (``DatasetYearTrain.java:130-131``) and driver-side ``TreeSet`` ordering
+  (``Sparkler.java:121-125``). Those map to O1–O4 below; the rest is the
+  declared capability-parity set.
+
+Scale notes (100 TB):
+- ``orderBy`` is a range-partitioned total sort (sampled boundaries) — scales
+  linearly; avoid unless global order is truly required.
+- ``topk_limit`` compiles to ``TakeOrderedAndProject``: per-partition heaps +
+  driver merge of k rows — no full sort, no full shuffle.
+- Set ops are hash shuffles on the full row; project to the needed columns
+  *before* the set op so the shuffle payload is minimal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import load, register
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regional revenue: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.
+
+    Exercises scan → filter (pushed to parquet) → 4 joins (dims broadcast) →
+    partial/final hash agg → sort, in one declarative plan. This is the
+    driver's smoke-check entry query.
+    """
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"))
+    )
+
+
+FLAGSHIP_ORACLE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+  AND r_name IN ('ASIA', 'EUROPE')
+GROUP BY r_name, n_name
+ORDER BY revenue DESC
+"""
+
+register("flagship_regional_revenue", FLAGSHIP_ORACLE, tags=("flagship",))(flagship)
+
+
+# --- O1/O5: sorts & top-k -------------------------------------------------
+
+
+@register(
+    "sort_global",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    """,
+    tags=("sort",),
+)
+def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global total sort (reference: dead ``orderBy(asc("geohash"))``,
+    ``DatasetYearTrain.java:130``). Range-partitioned sample sort in Spark."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+
+
+@register(
+    "topk_limit",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    tags=("sort",),
+)
+def topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: compiles to ``TakeOrderedAndProject`` (per-partition heap +
+    driver merge of k) — no global sort/shuffle. Tie-broken on o_orderkey
+    for determinism."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "sorted_set_semantics",
+    "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority",
+    tags=("sort",),
+)
+def sorted_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered de-duplicated set (reference ``TreeSet`` of keys,
+    ``Sparkler.java:121-125``; ``S3Actions.java:63``)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderpriority")
+        .distinct()
+        .orderBy("o_orderpriority")
+    )
+
+
+@register("repartition_by_expr", None, tags=("sort", "rows-only"))
+def repartition_by_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash repartition by expression (reference ``repartition(col("geohash3"))``,
+    ``DatasetYearTrain.java:131``). Rows-only: partition ids are not
+    SQL-expressible. Row count must be preserved exactly."""
+    return (
+        load(spark, sf_dir, "orders")
+        .repartition(F.col("o_orderpriority"))
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+@register("sort_within_partitions", None, tags=("sort", "rows-only"))
+def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-local sort, no shuffle (reference
+    ``sortWithinPartitions("geohash")``, ``DatasetYearTrain.java:131``).
+    At 100 TB this is the write-side clustering step: hash-shuffle once by
+    the partition column, then sort locally — never a global sort."""
+    return (
+        load(spark, sf_dir, "orders")
+        .repartition(F.col("o_orderpriority"))
+        .sortWithinPartitions("o_orderdate", "o_orderkey")
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+    )
+
+
+# --- §2.7 set operations --------------------------------------------------
+
+
+@register(
+    "set_union_all",
+    """
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("setop",),
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union (semantics of the reference's staged parquet appends,
+    ``DatasetYearTrain.java:211-222``). Union is a no-shuffle plan merge."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return orders.filter(F.col("o_orderstatus") == "O").unionByName(
+        orders.filter(F.col("o_orderstatus") == "F")
+    )
+
+
+@register(
+    "set_union_distinct",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supplier = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return customer.union(supplier).distinct()
+
+
+@register(
+    "set_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supplier = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return customer.intersect(supplier)
+
+
+@register(
+    "set_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct set difference (the reference's ``all.removeAll(success)``
+    inventory diff, ``OsPoolS3Lister.java:106``)."""
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supplier = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return customer.subtract(supplier)
+
+
+@register(
+    "set_except_all",
+    """
+    SELECT o_orderstatus FROM orders
+    EXCEPT ALL
+    SELECT o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+    """,
+    tags=("setop",),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.select("o_orderstatus").exceptAll(
+        orders.filter(F.col("o_orderkey") % 2 == 0).select("o_orderstatus")
+    )
+
+
+# --- §2.8 exact dedup (fuzzy families live in operators/dedup.py) ---------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT text, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a deterministic survivor (min doc_id per text).
+
+    ``dropDuplicates`` keeps an arbitrary row; at scale (and for oracle
+    determinism) groupBy + min is the right formulation — one hash shuffle
+    with map-side partial aggregation."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )

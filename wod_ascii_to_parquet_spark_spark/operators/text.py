@@ -1,0 +1,206 @@
+"""Text-analysis operators for LLM-data pipelines (driver contract §extensions).
+
+All of these run over ``documents.text`` as pure Catalyst expressions
+(split/filter/transform/regexp/md5) — no Python in the row path, so they
+whole-stage-codegen and scale linearly with input bytes: the shape that
+matters when the corpus is 100 TB, where every operator here is a
+map-only pass (no shuffle) except the final fingerprint grouping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import load, register
+
+#: Tiny deterministic stopword lists per language for the n-gram/stopword
+#: heuristics. Chosen from the synthetic corpus vocabulary; the point is the
+#: operator shape (marker-hit scoring), not linguistic accuracy.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ein"],
+    "es": ["el", "la", "de", "y", "un"],
+}
+
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def _toks(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def _nhits(tokens: Column, words: list[str]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+
+@register(
+    "text_tokens",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           len(list_filter(string_split(text, ' '),
+                           t -> list_contains(['the','a','of','and','to'], t)))
+               AS n_stopwords
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + distinct + stopword counting (SURVEY §2.11
+    ``text_tokens``)."""
+    d = load(spark, sf_dir, "documents")
+    toks = _toks()
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        _nhits(toks, STOPWORDS["en"]).alias("n_stopwords"),
+    )
+
+
+@register(
+    "text_token_bpe",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token count (letter runs / digit runs / single
+    punctuation) — the cheap proxy for tokenizer-cost estimation over a
+    pretraining corpus."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_count("text", F.lit(_BPE_RE)).alias("n_bpe_tokens")
+    )
+
+
+@register(
+    "text_quality",
+    """
+    SELECT doc_id,
+           n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+                 / length(text), 6) AS punct_ratio,
+           round(len(list_filter(string_split(text, ' '),
+                                 t -> list_contains(['the','a','of','and','to'], t)))
+                 ::DOUBLE / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           round(length(text)::DOUBLE / len(string_split(text, ' ')), 6)
+               AS avg_token_len,
+           CASE WHEN length(text) >= 100
+                 AND len(string_split(text, ' ')) >= 20
+                THEN 1 ELSE 0 END AS passes_quality
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gates: length / punctuation / stopword ratios +
+    a boolean keep decision."""
+    d = load(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tok = F.size(toks).cast("double")
+    txt_len = F.length("text").cast("double")
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast("double")
+            / txt_len,
+            6,
+        ).alias("punct_ratio"),
+        F.round(_nhits(toks, STOPWORDS["en"]).cast("double") / n_tok, 6).alias(
+            "stopword_ratio"
+        ),
+        F.round(txt_len / n_tok, 6).alias("avg_token_len"),
+        F.when((F.length("text") >= 100) & (F.size(toks) >= 20), 1)
+        .otherwise(0)
+        .alias("passes_quality"),
+    )
+
+
+_LANG_HIT_SQL = {
+    lang: (
+        "len(list_filter(string_split(text, ' '), t -> list_contains(["
+        + ",".join(f"'{w}'" for w in words)
+        + "], t)))"
+    )
+    for lang, words in STOPWORDS.items()
+}
+
+
+@register(
+    "text_langid",
+    f"""
+    SELECT doc_id,
+           {_LANG_HIT_SQL['en']} AS hits_en,
+           {_LANG_HIT_SQL['de']} AS hits_de,
+           {_LANG_HIT_SQL['es']} AS hits_es,
+           CASE
+             WHEN {_LANG_HIT_SQL['en']} >= {_LANG_HIT_SQL['de']}
+              AND {_LANG_HIT_SQL['en']} >= {_LANG_HIT_SQL['es']} THEN 'en'
+             WHEN {_LANG_HIT_SQL['de']} >= {_LANG_HIT_SQL['es']} THEN 'de'
+             ELSE 'es'
+           END AS lang_guess
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by stopword-marker hit counts with a deterministic
+    argmax tie order (en > de > es). Map-only; at 100 TB this is the
+    standard first-pass corpus router."""
+    d = load(spark, sf_dir, "documents")
+    toks = _toks()
+    hits = {lang: _nhits(toks, words) for lang, words in STOPWORDS.items()}
+    guess = (
+        F.when((hits["en"] >= hits["de"]) & (hits["en"] >= hits["es"]), "en")
+        .when(hits["de"] >= hits["es"], "de")
+        .otherwise("es")
+    )
+    return d.select(
+        "doc_id",
+        hits["en"].alias("hits_en"),
+        hits["de"].alias("hits_de"),
+        hits["es"].alias("hits_es"),
+        guess.alias("lang_guess"),
+    )
+
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT fp, min(doc_id) AS keep_doc_id, count(*) AS n_docs
+    FROM (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents)
+    GROUP BY fp
+    """,
+    tags=("text", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over case/punct/whitespace-normalized
+    text, grouped into clusters with a deterministic survivor. The exact
+    arm of the dedup family — one map pass + one hash shuffle on the
+    16-byte fingerprint (not the document bytes), which is what makes it
+    viable at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return (
+        d.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -1,0 +1,234 @@
+"""Window-function operators (SURVEY.md §2.5) — parity set, absent in reference.
+
+Determinism discipline: every ORDER BY inside a window carries a unique
+tie-break column (o_orderkey) wherever row identity matters (row_number,
+lag/lead, ntile, running sums); rank/dense_rank are tie-stable by
+definition and may order by a non-unique key.
+
+Scale notes (100 TB):
+- A window = one hash shuffle on partitionBy keys + one in-partition sort.
+  Chain windows over the SAME (partitionBy, orderBy) so Catalyst collapses
+  them into a single Window operator (one shuffle+sort, many functions) —
+  ``window_multi`` demonstrates this.
+- A window with no partitionBy is a single-task bottleneck; never do it on
+  big data (use groupBy-based alternatives or range partitioning).
+- Skewed partition keys (one giant user) → salting or a two-level
+  pre-aggregation before the window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import load, register
+
+_BYCUST = "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+
+
+@register(
+    "window_row_number",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           row_number() OVER ({_BYCUST}) AS rn
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _orders(spark, sf_dir).select(
+        "o_orderkey", "o_custkey", F.row_number().over(w).alias("rn")
+    )
+
+
+@register(
+    "window_rank",
+    """
+    SELECT o_orderkey, o_custkey,
+           rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS rnk
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate")
+    return _orders(spark, sf_dir).select(
+        "o_orderkey", "o_custkey", F.rank().over(w).alias("rnk")
+    )
+
+
+@register(
+    "window_dense_rank",
+    """
+    SELECT o_orderkey, o_custkey,
+           dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS drnk
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate")
+    return _orders(spark, sf_dir).select(
+        "o_orderkey", "o_custkey", F.dense_rank().over(w).alias("drnk")
+    )
+
+
+@register(
+    "window_lag_lead",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           lag(o_totalprice) OVER ({_BYCUST}) AS prev_price,
+           lead(o_totalprice) OVER ({_BYCUST}) AS next_price
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _orders(spark, sf_dir).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@register(
+    "window_running_sum",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+               {_BYCUST}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return _orders(spark, sf_dir).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "window_range_frame",
+    """
+    SELECT o_orderkey, o_custkey,
+           count(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice
+               RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS n_similar,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice
+               RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW), 2) AS sum_similar
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: includes all peers within a value distance — frame
+    membership depends only on values, so it is tie-deterministic.
+    (SQL formulation: the DataFrame ``rangeBetween`` API only takes long
+    offsets, while the SQL RANGE frame supports fractional bounds on a
+    double ORDER BY key.)"""
+    _orders(spark, sf_dir).createOrReplaceTempView("__orders_rf")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               count(*) OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice
+                   RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS n_similar,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice
+                   RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW), 2) AS sum_similar
+        FROM __orders_rf
+        """
+    )
+
+
+@register(
+    "window_ntile",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           ntile(4) OVER ({_BYCUST}) AS quartile
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _orders(spark, sf_dir).select(
+        "o_orderkey", "o_custkey", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@register(
+    "window_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("window",),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group. Catalyst inserts a WindowGroupLimit (rank-limit
+    pushdown) so each map task keeps only k rows per group before the
+    shuffle — the scalable formulation of per-group top-k."""
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        _orders(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "window_multi",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           row_number() OVER ({_BYCUST}) AS rn,
+           round(sum(o_totalprice) OVER (
+               {_BYCUST} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_spend,
+           round(sum(o_totalprice) OVER (
+               {_BYCUST} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+               AS roll3_sum
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several functions over one (partitionBy, orderBy) → Catalyst emits a
+    single Window operator: one shuffle + one sort for all three outputs.
+    (Rolling SUM, not avg: an average over a short frame lands exactly on
+    half-cent rounding boundaries where engines' last-ulp noise diverges.)"""
+    base = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ma = base.rowsBetween(-2, W.currentRow)
+    return _orders(spark, sf_dir).select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(base).alias("rn"),
+        F.round(F.sum("o_totalprice").over(cum), 2).alias("running_spend"),
+        F.round(F.sum("o_totalprice").over(ma), 2).alias("roll3_sum"),
+    )

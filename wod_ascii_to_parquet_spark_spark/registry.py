@@ -1,0 +1,117 @@
+"""Central query/operator registry.
+
+Every operator in SURVEY.md §2 registers here as a named query:
+
+- ``fn(spark, sf_dir) -> DataFrame`` — the Spark-side implementation.
+- ``oracle`` — equivalent ANSI SQL for DuckDB over the same parquet tables
+  (views ``region nation customer supplier part orders lineitem events
+  documents embeddings``), or ``None`` for genuinely non-SQL-expressible
+  operators (driver then records a weaker rows-only check).
+
+Column-name discipline: the driver sorts columns by name and hashes values,
+so every computed column is aliased identically in ``fn`` and ``oracle``.
+Float discipline: aggregate/derived doubles are rounded identically on both
+sides (summation order differs between engines; rounding removes last-ulp
+noise without hiding real errors).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QueryDef:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+#: name -> QueryDef; populated by module import side effects.
+QUERIES: dict[str, QueryDef] = {}
+
+
+def register(
+    name: str, oracle: str | None = None, tags: tuple[str, ...] = ()
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator registering an operator query (optionally with its oracle)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        wrapped = _with_runtime_confs(fn)
+        QUERIES[name] = QueryDef(
+            name=name, fn=wrapped, oracle=oracle, doc=fn.__doc__ or "", tags=tags
+        )
+        return fn
+
+    return deco
+
+
+def _with_runtime_confs(fn: QueryFn) -> QueryFn:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        apply_runtime_confs(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    return wrapped
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table (columnar parquet scan; pushdown-friendly).
+
+    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which the
+    Spark vectorized reader rejects; read it as raw int64 nanos
+    (``spark.sql.legacy.parquet.nanosAsLong``, runtime-settable) and convert
+    to a microsecond timestamp JVM-side (integer ``div`` — double division
+    would lose precision above 2^53 nanos). DuckDB truncates NANOS→micros
+    the same way, so oracle parity holds.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all_operators() -> dict[str, QueryDef]:
+    """Import every operator module (they self-register) and return QUERIES."""
+    from .operators import (  # noqa: F401
+        aggregations,
+        dedup,
+        joins,
+        multimodal,
+        pipeline_ops,
+        relational,
+        scalar_funcs,
+        similarity,
+        text,
+        windows,
+    )
+    from .streaming import batch_equiv  # noqa: F401
+
+    return QUERIES

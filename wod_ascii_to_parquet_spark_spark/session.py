@@ -1,0 +1,75 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode testing runs a single JVM (``local[N]``); production target is a
+multi-executor cluster at ~100 TB, so every default here is chosen to be
+scale-safe, not local-mode-specific:
+
+- AQE on (runtime coalescing, skew-join splitting, join re-planning).
+- Arrow on for every pandas-UDF boundary.
+- UTC session timezone so timestamp semantics match the DuckDB oracle and
+  are cluster-location independent.
+- Shuffle partitions default to the local core count; on a real cluster this
+  is overridden (AQE coalescing makes a high initial value cheap).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Spark confs that are semantic (affect results / oracle parity), applied
+#: even to sessions we did not create (driver-owned sessions) because they
+#: are runtime-settable.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+}
+
+#: Performance confs for sessions we build ourselves.
+BUILD_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "wod_ascii_to_parquet_spark_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with this engine's defaults."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    builder = SparkSession.builder.master(master).appName(app_name)
+    for k, v in BUILD_CONFS.items():
+        builder = builder.config(k, v)
+    builder = builder.config(
+        "spark.sql.shuffle.partitions", str(shuffle_partitions or cpus)
+    )
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply semantic runtime confs to an externally-owned session.
+
+    The correctness driver hands us its own SparkSession; timestamp
+    collection must be UTC for oracle parity regardless of its defaults.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf may be locked
+            pass
+    return spark

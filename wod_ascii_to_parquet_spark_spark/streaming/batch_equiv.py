@@ -1,0 +1,176 @@
+"""Event-time windowing on ``events`` — batch formulations registered for the
+DuckDB oracle, plus a genuine Structured Streaming run of the same tumbling
+aggregation (memory sink, complete mode) proving stream/batch equivalence.
+
+The reference is pure batch (its incremental unit is the file, resumed via
+``_SUCCESS`` markers, ``DatasetYearTrain.java:89-94``); this module is the
+declared streaming parity set.
+
+Semantics notes:
+- Spark's ``F.window`` tumbling/sliding windows are epoch-aligned; oracles
+  reproduce them with ``floor(epoch(ts)/w)*w`` arithmetic.
+- ``session_window(ts, gap)``: session start = first event, end = last event
+  + gap; the oracle reproduces it with lag/gap-flag/cumsum sessionization.
+- Watermarking/late-data and ``dropDuplicatesWithinWatermark`` are exercised
+  in tests/test_streaming.py with a rate-limited file stream; they are not
+  registrable here because their output depends on trigger boundaries.
+
+Scale notes: windowed streaming aggs keep per-(key, window) state in the
+state store; the watermark is what bounds that state — without it, state
+grows O(event-time horizon) and a 100 TB/day stream OOMs. Session windows
+additionally need the gap-merge state; ``applyInPandasWithState`` is the
+escape hatch for custom state machines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import load, register
+
+_TUMBLE_SQL = """
+    SELECT to_timestamp(floor(epoch(ts) / 600) * 600)::TIMESTAMP AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+@register("stream_tumbling_counts", _TUMBLE_SQL, tags=("streaming",))
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling windows × event_type: count + sum. Batch run of the
+    exact streaming aggregation (same F.window expression)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding_counts",
+    """
+    SELECT to_timestamp(floor(epoch(ts) / 300) * 300 - off)::TIMESTAMP AS window_start,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events, unnest([0, 300]) AS t(off)
+    GROUP BY 1
+    """,
+    tags=("streaming",),
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding by 5: every event lands in exactly two
+    epoch-aligned windows (starts at floor(t/300)·300 and 300 earlier) —
+    which is how the oracle enumerates them."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@register(
+    "stream_session_window",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL 5 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 5 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sessions GROUP BY user_id, sid
+    """,
+    tags=("streaming",),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute gap) per user via ``F.session_window`` in
+    batch mode; the oracle rebuilds identical sessions with
+    lag → gap-flag → cumsum. Start = first event, end = last event + gap."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_dedup_keys",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming",),
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch equivalent of streaming ``dropDuplicates`` on key columns (the
+    watermark-bounded variant ``dropDuplicatesWithinWatermark`` is exercised
+    in tests/test_streaming.py — its output set on replay equals this)."""
+    return load(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+@register("stream_tumbling_live", _TUMBLE_SQL, tags=("streaming",))
+def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling aggregation run through a REAL streaming query:
+    ``readStream`` over the events parquet → watermark → windowed agg →
+    memory sink (complete mode) → ``processAllAvailable``. Complete-mode
+    replay of a static source is deterministic and equals the batch result,
+    so it shares the tumbling oracle — the stream/batch equivalence claim,
+    checked by the driver itself."""
+    load(spark, sf_dir, "events")  # sets the nanos-read conf
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    name = "stream_tumbling_live_sink"
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
