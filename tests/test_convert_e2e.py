@@ -1,0 +1,136 @@
+"""End-to-end WOD conversion pipeline test (the reference's
+``SparklerExecutorLocalTest`` flow, with value-level assertions on top of
+the marker checks):
+
+- partitioned layout ``yearly/<DS>/<LEVEL>/<FILE>.parquet/geohash3=*/`` +
+  ``_SUCCESS`` (``DatasetYearTrain.java:128-139``),
+- SUR rename (``DatasetYearTrain.java:39-40,231-233``),
+- within-partition geohash sort (``DatasetYearTrain.java:131``),
+- skip-if-_SUCCESS / overwrite / stale-``_temporary`` cleanup
+  (``DatasetYearTrain.java:89-94``),
+- error side-channel (``TransformationErrorHandler.java:34-52``).
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from wod_ascii_to_parquet_spark_spark.plans.convert import (
+    FileTask,
+    convert,
+    convert_file,
+)
+
+WOD = "/root/reference/src/test/resources/wod"
+
+
+@pytest.fixture(scope="module")
+def converted(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("wod_out"))
+    result = convert(
+        spark,
+        source=WOD,
+        output=out,
+        datasets=("APB", "CTD", "SUR", "XBT"),
+        levels=("OBS", "STD"),
+        max_concurrent=2,
+    )
+    return out, result
+
+
+def test_outputs_and_markers(converted):
+    out, result = converted
+    assert not result.failed
+    expected = [
+        "yearly/APB/OBS/APBO1997.parquet",
+        "yearly/CTD/OBS/CTDO1971.parquet",
+        "yearly/CTD/STD/CTDS1967.parquet",
+        "yearly/SUR/OBS/SUR_ALL.parquet",  # SURF_ALL renamed
+        "yearly/XBT/OBS/XBTO1967.parquet",
+    ]
+    for rel in expected:
+        path = os.path.join(out, rel)
+        assert os.path.exists(os.path.join(path, "_SUCCESS")), rel
+        assert glob.glob(os.path.join(path, "geohash3=*")), rel
+
+
+def test_cast_counts_roundtrip(spark, converted):
+    out, _ = converted
+    df = spark.read.parquet(os.path.join(out, "yearly/XBT/OBS/XBTO1967.parquet"))
+    assert df.count() == 9390
+    assert df.filter(F.col("geohash").isNull()).count() == 0
+    # geohash3 partition column round-trips as the 3-char prefix
+    bad = df.filter(F.col("geohash3") != F.substring("geohash", 1, 3)).count()
+    assert bad == 0
+
+
+def test_within_partition_sort(spark, converted):
+    out, _ = converted
+    base = os.path.join(out, "yearly/XBT/OBS/XBTO1967.parquet")
+    files = glob.glob(os.path.join(base, "geohash3=*", "*.parquet"))
+    assert files
+    checked = 0
+    for f in files[:5]:
+        rows = [r.geohash for r in spark.read.parquet(f).select("geohash").collect()]
+        assert rows == sorted(rows), f
+        checked += 1
+    assert checked
+
+
+def test_nested_depths_queryable(spark, converted):
+    out, _ = converted
+    df = spark.read.parquet(os.path.join(out, "yearly/XBT/OBS/XBTO1967.parquet"))
+    obs = df.select(F.explode("depths").alias("d")).select(
+        "d.depth", F.explode("d.data").alias("o")
+    )
+    n = obs.count()
+    assert n > 9390  # more observations than casts
+    temps = obs.filter(F.col("o.variableCode") == 1).select("o.value")
+    stats = temps.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).first()
+    assert -5.0 <= stats.lo <= stats.hi <= 45.0  # plausible ocean temperatures
+
+
+def test_skip_then_overwrite(spark, tmp_path):
+    out = str(tmp_path / "out")
+    task = FileTask("CTD", "OBS", f"{WOD}/CTD/OBS/CTDO1971.gz", out, out)
+    assert convert_file(spark, task) == "converted"
+    assert convert_file(spark, task) == "skipped"  # _SUCCESS present
+    assert convert_file(spark, task, overwrite=True) == "converted"
+
+
+def test_stale_temporary_triggers_rebuild(spark, tmp_path):
+    out = str(tmp_path / "out")
+    task = FileTask("CTD", "OBS", f"{WOD}/CTD/OBS/CTDO1971.gz", out, out)
+    convert_file(spark, task)
+    # simulate a crashed write: remove _SUCCESS, add _temporary
+    os.remove(os.path.join(task.output_path, "_SUCCESS"))
+    os.makedirs(os.path.join(task.output_path, "_temporary"))
+    assert convert_file(spark, task) == "converted"
+    assert os.path.exists(os.path.join(task.output_path, "_SUCCESS"))
+
+
+def test_error_channel(spark, tmp_path):
+    # corrupt copy of a real file → parse errors land in error/<DS>/<LEVEL>/
+    src = tmp_path / "src" / "XBT" / "OBS"
+    src.mkdir(parents=True)
+    raw = gzip.open(f"{WOD}/XBT/OBS/XBTO1967.gz", "rt").read()
+    lines = raw.splitlines()
+    lines[1] = "X" * 80  # corrupt the middle of cast 1's record
+    with gzip.open(src / "XBTO1967.gz", "wt") as f:
+        f.write("\n".join(lines))
+    out = str(tmp_path / "out")
+    task = FileTask("XBT", "OBS", str(src / "XBTO1967.gz"), out, out)
+    convert_file(spark, task)
+    ok = spark.read.parquet(task.output_path)
+    errs = spark.read.parquet(task.error_path)
+    assert ok.count() == 9389
+    assert errs.count() == 1
+    row = errs.first()
+    assert row.dataset == "XBT" and row.castNumber == 3411247 and row.error

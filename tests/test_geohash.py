@@ -1,0 +1,81 @@
+"""Geohash correctness: canonical-bisection property + known vectors +
+pandas-UDF / Column-expression parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from wod_ascii_to_parquet_spark_spark.functions.geohash import (
+    geohash_col,
+    geohash_encode_numpy,
+    geohash_udf,
+)
+
+BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def reference_bisection(lat: float, lon: float, precision: int = 12) -> str:
+    latr, lonr = [-90.0, 90.0], [-180.0, 180.0]
+    bits = []
+    even = True
+    while len(bits) < 5 * precision:
+        rng, v = (lonr, lon) if even else (latr, lat)
+        mid = (rng[0] + rng[1]) / 2
+        if v >= mid:
+            bits.append(1)
+            rng[0] = mid
+        else:
+            bits.append(0)
+            rng[1] = mid
+        even = not even
+    return "".join(
+        BASE32[int("".join(map(str, bits[i : i + 5])), 2)]
+        for i in range(0, 5 * precision, 5)
+    )
+
+
+KNOWN = [
+    (57.64911, 10.40744, "u4pruydqqvj8"),  # geohash.org canonical example
+    (0.0, 0.0, "s00000000000"),
+    (-90.0, -180.0, "000000000000"),
+]
+
+
+@pytest.mark.parametrize("lat,lon,expected", KNOWN)
+def test_known_vectors(lat, lon, expected):
+    assert geohash_encode_numpy(np.array([lat]), np.array([lon]))[0] == expected
+
+
+def test_matches_canonical_bisection():
+    rng = np.random.default_rng(11)
+    lats = rng.uniform(-90, 90, 1000)
+    lons = rng.uniform(-180, 180, 1000)
+    got = geohash_encode_numpy(lats, lons)
+    for la, lo, g in zip(lats, lons, got):
+        assert g == reference_bisection(la, lo)
+
+
+def test_udf_and_column_expression_parity(spark):
+    rng = np.random.default_rng(5)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"lat": rng.uniform(-90, 90, 300), "lon": rng.uniform(-180, 180, 300)}
+    )
+    df = spark.createDataFrame(pdf)
+    rows = df.select(
+        geohash_udf("lat", "lon").alias("g_udf"),
+        geohash_col(F.col("lat"), F.col("lon")).alias("g_col"),
+    ).collect()
+    assert all(r.g_udf == r.g_col for r in rows)
+
+
+def test_null_propagation(spark):
+    df = spark.createDataFrame(
+        [(1.0, None), (None, 2.0), (10.0, 20.0)], "lat double, lon double"
+    )
+    rows = df.select(geohash_udf("lat", "lon").alias("g")).collect()
+    assert [r.g is None for r in rows] == [True, True, False]

@@ -1,0 +1,113 @@
+"""WOD-domain operator queries (registry entries over the reference's bundled
+fixtures — read-only at /root/reference/src/test/resources/wod).
+
+These are rows-only (no SQL oracle: the WOD decode and geohash are custom
+kernels DuckDB does not have); their correctness is covered by
+tests/test_wod_format.py (byte-exact framing invariant on all 34k fixture
+casts) and tests/test_geohash.py (canonical-bisection property check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.geohash import geohash_udf
+from ..registry import load, register
+from ..sources.wod_ascii import ok_casts, wod_scan
+
+WOD_FIXTURES = "/root/reference/src/test/resources/wod"
+
+
+def _casts(spark: SparkSession, rel: str, dataset: str) -> DataFrame:
+    return ok_casts(wod_scan(spark, f"{WOD_FIXTURES}/{rel}", dataset=dataset))
+
+
+@register("wod_ascii_scan", None, tags=("wod", "rows-only"))
+def wod_ascii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: distributed gzipped fixed-width scan (reference driver-side
+    ``CastFileReader`` loop, ``DatasetYearTrain.java:141-209``). Flat
+    projection of the nested cast rows of XBTO1967 (9,390 casts)."""
+    return _casts(spark, "XBT/OBS/XBTO1967.gz", "XBT").select(
+        "dataset",
+        "castNumber",
+        "country",
+        "year",
+        "month",
+        "day",
+        "latitude",
+        "longitude",
+        F.size("depths").alias("n_levels"),
+        F.size("variables").alias("n_variables"),
+    )
+
+
+@register("udf_geohash", None, tags=("wod", "rows-only"))
+def udf_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The geohash pandas_udf over parsed casts + the 3-char partition
+    prefix — the transformer-side derivation the reference consumes at
+    ``DatasetYearTrain.java:131,136``."""
+    return (
+        _casts(spark, "XBT/OBS/XBTO1967.gz", "XBT")
+        .withColumn("geohash", geohash_udf("latitude", "longitude"))
+        .withColumn("geohash3", F.substring("geohash", 1, 3))
+        .select("castNumber", "latitude", "longitude", "geohash", "geohash3")
+    )
+
+
+@register("wod_depth_explode", None, tags=("wod", "rows-only"))
+def wod_depth_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-schema query: explode depths array-of-struct, then the
+    per-depth measurements (SURVEY §1.2 shape) — one row per (cast, level,
+    variable) observation with QC flags."""
+    casts = _casts(spark, "XBT/OBS/XBTO1967.gz", "XBT")
+    lvl = casts.select(
+        "castNumber", F.posexplode("depths").alias("level_idx", "level")
+    )
+    return lvl.select(
+        "castNumber",
+        "level_idx",
+        F.col("level.depth").alias("depth"),
+        F.explode("level.data").alias("obs"),
+    ).select(
+        "castNumber",
+        "level_idx",
+        "depth",
+        F.col("obs.variableCode").alias("variable_code"),
+        F.col("obs.value").alias("value"),
+        F.col("obs.qcFlag").alias("qc_flag"),
+    )
+
+
+@register(
+    "udaf_grouped",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_quantity - avg(l_quantity) OVER (PARTITION BY l_returnflag), 4)
+               AS qty_centered
+    FROM lineitem
+    """,
+    tags=("udf",),
+)
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDAF (``applyInPandas``): per-group mean-centering.
+    Arrow-batched per group; the oracle is the equivalent window expression.
+    At scale: each group must fit one executor's memory — for giant groups
+    use the two-pass join-with-aggregates formulation instead."""
+    import pandas as pd
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[["l_orderkey", "l_linenumber"]].copy()
+        out["qty_centered"] = (
+            pdf["l_quantity"] - pdf["l_quantity"].mean()
+        ).round(4)
+        return out
+
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+        .groupBy("l_returnflag")
+        .applyInPandas(
+            center, "l_orderkey bigint, l_linenumber int, qty_centered double"
+        )
+    )

@@ -1,0 +1,204 @@
+"""The WOD ASCII → partitioned parquet conversion pipeline.
+
+Reference lifecycle (``SparklerExecutor.java:48-69`` +
+``DatasetYearTrain.java:86-139``), rebuilt Spark-first:
+
+- **plan**: enumerate ``<source>/<DS>/<LEVEL>/*.gz`` (× subset filter) into
+  per-file tasks (``DatasetTrain.java:51-86``).
+- **skip/resume**: output ``_SUCCESS`` exists → skip; stale ``_temporary``
+  or ``overwrite`` → clean first (``DatasetYearTrain.java:89-94``).
+- **convert one file**: distributed parse → split ok/err →
+  geohash + geohash3 → ``repartition("geohash3")`` →
+  ``sortWithinPartitions("geohash")`` → ``write.partitionBy("geohash3")``
+  (``DatasetYearTrain.java:128-139``) + error store append
+  (``TransformationErrorHandler.java:42-52``).
+- The reference's dead global ``orderBy(asc("geohash"))``
+  (``DatasetYearTrain.java:130``) — a full range shuffle destroyed by the
+  following repartition — is intentionally omitted.
+- The staging ``<out>_temp`` store (``DatasetYearTrain.java:82-83,211-222``)
+  existed only because the driver-side parse fed batches; a single
+  distributed write replaces it, and Spark's FileOutputCommitter provides
+  the ``_temporary`` → rename atomicity + ``_SUCCESS`` marker the reference
+  managed by hand.
+- **SUR rename**: ``SURF_ALL`` → ``SUR_ALL``
+  (``DatasetYearTrain.java:39-40,231-233``).
+
+Scale notes (100 TB): file tasks are independent → driver submits them to a
+thread pool (Spark schedules fairly); per-file output partitioning is by
+``geohash3`` (max 32768 partitions; real oceans ≈ low thousands) with
+within-partition geohash sort giving parquet row-group min/max locality for
+spatial readers. A skewed geohash3 (coastal hot cells) only skews the WRITE
+of one file-job, bounded by file size; cross-file global compaction would
+bucket by (geohash3, salt) instead.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.geohash import geohash_udf
+from ..sources.wod_ascii import errors, ok_casts, wod_scan
+
+DEFAULT_DATASETS = (
+    "APB", "CTD", "DRB", "GLD", "MBT", "MRB", "OSD", "PFL", "SUR", "UOR", "XBT",
+)
+DEFAULT_LEVELS = ("OBS",)
+
+
+@dataclass
+class FileTask:
+    """One input file → one output parquet dataset (the reference's
+    ``DatasetYearTrain``)."""
+
+    dataset: str
+    level: str
+    input_path: str
+    output_dir: str
+    error_dir: str
+
+    @property
+    def out_name(self) -> str:
+        name = os.path.basename(self.input_path)
+        name = name[:-3] if name.endswith(".gz") else name
+        if name == "SURF_ALL":  # DatasetYearTrain.java:39-40,231-233
+            name = "SUR_ALL"
+        return name + ".parquet"
+
+    @property
+    def output_path(self) -> str:
+        return os.path.join(self.output_dir, "yearly", self.dataset, self.level, self.out_name)
+
+    @property
+    def error_path(self) -> str:
+        return os.path.join(self.error_dir, "error", self.dataset, self.level, self.out_name)
+
+
+@dataclass
+class ConvertResult:
+    converted: list[str] = field(default_factory=list)
+    skipped: list[str] = field(default_factory=list)
+    failed: list[tuple[str, str]] = field(default_factory=list)
+
+
+def plan_tasks(
+    source: str,
+    output: str,
+    datasets: tuple[str, ...] = DEFAULT_DATASETS,
+    levels: tuple[str, ...] = DEFAULT_LEVELS,
+    subset: tuple[str, ...] = (),
+) -> list[FileTask]:
+    """Cartesian (datasets × levels) key listing + suffix/subset filter —
+    ``SparklerExecutor.java:60-69`` + ``DatasetTrain.java:51-86`` on local FS
+    (S3 listing would use boto3 paging, ``S3Actions.java:59-89``)."""
+    tasks: list[FileTask] = []
+    for ds in sorted(set(datasets)):
+        for lvl in sorted(set(levels)):
+            prefix = os.path.join(source, ds, lvl)
+            if not os.path.isdir(prefix):
+                continue
+            for name in sorted(os.listdir(prefix)):
+                keep = name.endswith(".gz") if not subset else name in subset
+                if keep:
+                    tasks.append(
+                        FileTask(ds, lvl, os.path.join(prefix, name), output, output)
+                    )
+    return tasks
+
+
+def _has_success(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _has_stale_temp(path: str) -> bool:
+    return os.path.isdir(path) and os.path.exists(os.path.join(path, "_temporary"))
+
+
+def convert_file(spark: SparkSession, task: FileTask, overwrite: bool = False) -> str:
+    """Convert one WOD file; returns 'converted' or 'skipped'.
+
+    Idempotence contract (``DatasetYearTrain.java:89-94``): a complete
+    output (``_SUCCESS``) is skipped unless ``overwrite``; a partial output
+    (stale ``_temporary``) is removed and rebuilt.
+    """
+    out = task.output_path
+    if overwrite or _has_stale_temp(out):
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(task.error_path, ignore_errors=True)
+    if _has_success(out):
+        return "skipped"
+
+    parsed = wod_scan(spark, task.input_path, dataset=task.dataset).cache()
+    try:
+        casts = (
+            ok_casts(parsed)
+            .withColumn("geohash", geohash_udf("latitude", "longitude"))
+            .withColumn("geohash3", F.substring("geohash", 1, 3))
+        )
+        (
+            casts.repartition(F.col("geohash3"))
+            # Sort by (geohash3, geohash): the partitioned writer requires
+            # ordering by the partition column and would insert its own
+            # non-stable sort (destroying the geohash order) unless the
+            # existing sort order starts with it. Equivalent row order to
+            # the reference's sortWithinPartitions("geohash") since
+            # geohash3 is a prefix of geohash.
+            .sortWithinPartitions("geohash3", "geohash")
+            .write.mode("overwrite")
+            # static overwrite: the job owns the whole directory, and the
+            # dynamic committer would skip the _SUCCESS marker the
+            # skip/resume contract keys on (DatasetYearTrain.java:92).
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("geohash3")
+            .parquet(out)
+        )
+        errs = errors(parsed)
+        if errs.limit(1).count() > 0:
+            errs.coalesce(1).write.mode("append").parquet(task.error_path)
+    finally:
+        parsed.unpersist()
+    return "converted"
+
+
+def convert(
+    spark: SparkSession,
+    source: str,
+    output: str,
+    datasets: tuple[str, ...] = DEFAULT_DATASETS,
+    levels: tuple[str, ...] = DEFAULT_LEVELS,
+    subset: tuple[str, ...] = (),
+    overwrite: bool = False,
+    max_concurrent: int = 4,
+) -> ConvertResult:
+    """Run the full conversion job (the ``SparklerExecutor.execute`` mirror,
+    test-facing API per ``SparklerExecutorLocalTest.java:56-74``).
+
+    File jobs are independent; they run on a small thread pool so Spark can
+    pipeline scheduling gaps (the reference runs them strictly sequentially,
+    ``SparklerExecutor.java:52``)."""
+    result = ConvertResult()
+    tasks = plan_tasks(source, output, datasets, levels, subset)
+
+    def run(task: FileTask) -> None:
+        try:
+            status = convert_file(spark, task, overwrite=overwrite)
+            (result.converted if status == "converted" else result.skipped).append(
+                task.output_path
+            )
+        except Exception as e:  # fail-fast surfaced per file, Sparkler.java:90-100
+            result.failed.append((task.input_path, str(e)))
+
+    if max_concurrent > 1:
+        with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+            list(pool.map(run, tasks))
+    else:
+        for t in tasks:
+            run(t)
+    if result.failed:
+        raise RuntimeError(f"conversion failures: {result.failed}")
+    return result

@@ -111,6 +111,7 @@ def load_all_operators() -> dict[str, QueryDef]:
         similarity,
         text,
         windows,
+        wod,
     )
     from .streaming import batch_equiv  # noqa: F401
 

@@ -1,0 +1,107 @@
+"""Distributed WOD ASCII source (SURVEY §2.1 S1 / §2.11 udtf_parse_casts).
+
+The reference iterates casts with ``CastFileReader`` on the DRIVER thread and
+ships batches to Spark through a BlockingQueue
+(``DatasetYearTrain.java:141-209``) — the single biggest non-idiomatic
+bottleneck in its design. Here the parse is a distributed flatMap over whole
+files:
+
+- ``spark.read.format("binaryFile")`` yields one row per ``.gz`` object.
+  Gzip is unsplittable, so one-task-per-file IS the maximum read parallelism
+  for this format; the engine parallelizes across the thousands of
+  (dataset, year) files of a real WOD drop, never inside one.
+- Each task gunzips ITS file streamingly and walks cast records with the
+  pure-Python decoder (``wod_format.py``), emitting a tagged union
+  (ok-cast | error-row) — the split replaces the reference's
+  1-parquet-write-per-bad-record error handler
+  (``TransformationErrorHandler.java:34-39``) with a single channel filter.
+
+100 TB note: for huge single files the right fix is upstream re-compression
+to a splittable codec; the per-file generator keeps O(record) memory so even
+multi-GB casts files stream through a 3g executor (the reference's
+cluster-mode executor size, ``src/spark/job.sh:11-14``).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import PARSED
+from .wod_format import RawCast, iter_casts
+
+
+def _dataset_of(path: str) -> str:
+    """Dataset code from the reference layout ``<...>/<DS>/<LEVEL>/<FILE>``."""
+    parts = path.rstrip("/").split("/")
+    return parts[-3] if len(parts) >= 3 else "UNKNOWN"
+
+
+def _cast_row(c: RawCast) -> tuple:
+    return (
+        c.dataset,
+        c.castNumber,
+        c.cruiseNumber,
+        c.country,
+        c.originatorsCruise,
+        c.originatorsStationCode,
+        c.year,
+        c.month,
+        c.day,
+        c.time,
+        c.latitude,
+        c.longitude,
+        c.profileType,
+        c.attributes,
+        c.biologicalAttributes,
+        c.taxonomicDatasets,
+        c.principalInvestigators,
+        c.variables,
+        c.depths,
+    )
+
+
+def parse_file_content(path: str, content: bytes, dataset: str | None = None) -> Iterator[tuple]:
+    """Gunzip (if needed) + decode one file's casts → tagged-union tuples."""
+    ds = dataset or _dataset_of(os.path.dirname(path))
+    if path.endswith(".gz"):
+        reader = io.TextIOWrapper(
+            gzip.GzipFile(fileobj=io.BytesIO(content)), errors="replace"
+        )
+    else:
+        reader = io.TextIOWrapper(io.BytesIO(content), errors="replace")
+    text = reader.read()
+    for cast, err in iter_casts(text, ds):
+        if cast is not None:
+            yield (_cast_row(cast), None)
+        else:
+            yield (None, err)
+
+
+def wod_scan(
+    spark: SparkSession, paths: list[str] | str, dataset: str | None = None
+) -> DataFrame:
+    """Parse WOD ASCII file(s) into the tagged-union DataFrame (schema
+    ``schemas.PARSED``: ``ok`` cast struct | ``err`` error struct).
+
+    Consumers split the channels with ``ok_casts`` / ``errors`` below —
+    one distributed job, two outputs.
+    """
+    files = spark.read.format("binaryFile").load(paths)
+    rdd = files.select("path", "content").rdd.flatMap(
+        lambda row: parse_file_content(row.path, bytes(row.content), dataset)
+    )
+    return spark.createDataFrame(rdd, PARSED)
+
+
+def ok_casts(parsed: DataFrame) -> DataFrame:
+    return parsed.filter(F.col("ok").isNotNull()).select("ok.*")
+
+
+def errors(parsed: DataFrame) -> DataFrame:
+    return parsed.filter(F.col("err").isNotNull()).select("err.*")

@@ -1,0 +1,316 @@
+"""Pure-Python WOD native ASCII decoder (no Spark imports — unit-testable and
+picklable into executor tasks).
+
+Format (public NCEI "WOD native" spec, validated against the reference's
+bundled fixtures ``src/test/resources/wod/*/*/*.gz``):
+
+- The file is a stream of 80-character lines. A cast record is a contiguous
+  byte string: the primary header declares its total byte count; the record
+  occupies ``ceil(count/80)`` lines (last line space-padded), and the next
+  cast starts on the following line.
+- Two primitive encodings:
+  * **WOD int**: 1 char = digit count N (``-`` or blank → missing, consumes
+    that single char), then N chars of integer.
+  * **WOD float**: 1 char = significant figures (``-``/blank → missing,
+    single char), 1 char = total figures, 1 char = precision, then
+    ``total`` chars of integer (may include sign); value = int / 10^prec.
+- Record layout: primary header (version, byte count, cast number, country,
+  cruise, year/month/day, time, lat, lon, #levels, profile type, #variables,
+  per-variable [code, qc, metadata code/value list]), then optional
+  character-data/PI block, secondary-header block, biology block + taxa sets
+  (each length-prefixed), then per-level profile data (depth + 2 flags, then
+  per variable value + 2 flags, missing values = single ``-``).
+
+The reference delegates this decoding to the external ``wod-ascii-reader``
+library on the DRIVER (``DatasetYearTrain.java:141-209``); here it is a plain
+function run on executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+LINE_WIDTH = 80
+
+
+class WodFormatError(ValueError):
+    pass
+
+
+class _Cursor:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: str, pos: int = 0) -> None:
+        self.buf = buf
+        self.pos = pos
+
+    def take(self, n: int) -> str:
+        if self.pos + n > len(self.buf):
+            raise WodFormatError(
+                f"record truncated at byte {self.pos}, wanted {n} more"
+            )
+        s = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return s
+
+    def wod_int(self) -> int | None:
+        c = self.take(1)
+        if c in ("-", " "):
+            return None
+        if not c.isdigit():
+            raise WodFormatError(f"bad WOD-int length byte {c!r} at {self.pos - 1}")
+        n = int(c)
+        if n == 0:
+            return None
+        digits = self.take(n)
+        try:
+            return int(digits)
+        except ValueError as e:
+            raise WodFormatError(f"bad WOD-int digits {digits!r}") from e
+
+    def wod_float(self) -> float | None:
+        c = self.take(1)
+        if c in ("-", " "):
+            return None
+        if not c.isdigit():
+            raise WodFormatError(f"bad WOD-float sig byte {c!r} at {self.pos - 1}")
+        total = self.take(1)
+        prec = self.take(1)
+        if not (total.isdigit() and prec.isdigit()):
+            raise WodFormatError(f"bad WOD-float total/prec {total!r}{prec!r}")
+        raw = self.take(int(total))
+        try:
+            return int(raw) / (10 ** int(prec))
+        except ValueError as e:
+            raise WodFormatError(f"bad WOD-float digits {raw!r}") from e
+
+    def int_chars(self, n: int) -> int | None:
+        s = self.take(n).strip()
+        return int(s) if s else None
+
+    def flag(self) -> int | None:
+        c = self.take(1)
+        return int(c) if c.isdigit() else None
+
+
+@dataclass
+class RawCast:
+    """Parsed cast as plain Python values matching ``schemas.CAST`` order."""
+
+    dataset: str
+    castNumber: int
+    cruiseNumber: int | None
+    country: str | None
+    originatorsCruise: str | None
+    originatorsStationCode: str | None
+    year: int | None
+    month: int | None
+    day: int | None
+    time: float | None
+    latitude: float | None
+    longitude: float | None
+    profileType: int | None
+    attributes: list[tuple[int | None, float | None]]
+    biologicalAttributes: list[tuple[int | None, float | None]]
+    taxonomicDatasets: list[list[tuple[int | None, float | None]]]
+    principalInvestigators: list[tuple[int | None, int | None]]
+    variables: list[tuple[int | None, int | None, list[tuple[int | None, float | None]]]]
+    depths: list[
+        tuple[
+            float | None,
+            int | None,
+            int | None,
+            list[tuple[int | None, float | None, int | None, int | None]],
+        ]
+    ]
+
+
+def _code_values(cur: _Cursor) -> list[tuple[int | None, float | None]]:
+    n = cur.wod_int() or 0
+    return [(cur.wod_int(), cur.wod_float()) for _ in range(n)]
+
+
+def parse_cast(record: str, dataset: str) -> RawCast:
+    """Decode one full cast record string (newline-free)."""
+    cur = _Cursor(record)
+    version = cur.take(1)
+    if not version.isalpha():
+        raise WodFormatError(f"bad version byte {version!r}")
+    total_bytes = cur.wod_int()
+    cast_number = cur.wod_int()
+    if cast_number is None:
+        raise WodFormatError("missing cast number")
+    country = cur.take(2)
+    cruise = cur.wod_int()
+    year = cur.int_chars(4)
+    month = cur.int_chars(2)
+    day = cur.int_chars(2)
+    time = cur.wod_float()
+    lat = cur.wod_float()
+    lon = cur.wod_float()
+    n_levels = cur.wod_int() or 0
+    profile_type = cur.flag()
+    n_vars = cur.int_chars(2) or 0
+
+    variables = []
+    for _ in range(n_vars):
+        vcode = cur.wod_int()
+        vqc = cur.flag()
+        variables.append((vcode, vqc, _code_values(cur)))
+
+    # Character data & PI block (length-prefixed; skip-safe).
+    orig_cruise: str | None = None
+    orig_station: str | None = None
+    pis: list[tuple[int | None, int | None]] = []
+    char_bytes = cur.wod_int()
+    if char_bytes:
+        end = cur.pos + char_bytes
+        n_entries = cur.int_chars(1) or 0
+        for _ in range(n_entries):
+            etype = cur.int_chars(1)
+            if etype in (1, 2):
+                ln = cur.int_chars(2) or 0
+                text = cur.take(ln)
+                if etype == 1:
+                    orig_cruise = text
+                else:
+                    orig_station = text
+            elif etype == 3:
+                n_pi = cur.int_chars(2) or 0
+                for _ in range(n_pi):
+                    var = cur.wod_int()
+                    pi = cur.wod_int()
+                    pis.append((var, pi))
+            else:
+                cur.pos = end
+                break
+        if cur.pos != end:
+            cur.pos = end  # defensive: trust the section length prefix
+
+    # Secondary header block.
+    attributes: list[tuple[int | None, float | None]] = []
+    sec_bytes = cur.wod_int()
+    if sec_bytes:
+        end = cur.pos + sec_bytes
+        attributes = _code_values(cur)
+        if cur.pos != end:
+            cur.pos = end
+
+    # Biology block + taxonomic sets.
+    bio: list[tuple[int | None, float | None]] = []
+    taxa: list[list[tuple[int | None, float | None]]] = []
+    bio_bytes = cur.wod_int()
+    if bio_bytes:
+        bio = _code_values(cur)
+        n_sets = cur.wod_int() or 0
+        for _ in range(n_sets):
+            n_ent = cur.wod_int() or 0
+            entries = []
+            for _ in range(n_ent):
+                code = cur.wod_int()
+                val = cur.wod_float()
+                cur.take(2)  # qc + originator flags on taxa values
+                entries.append((code, val))
+            taxa.append(entries)
+
+    # Profile data: per level, depth + 2 flags then per-variable value (+2
+    # flags when present).
+    depths = []
+    for _ in range(n_levels):
+        depth = cur.wod_float()
+        derr = cur.flag() if depth is not None else None
+        dorig = cur.flag() if depth is not None else None
+        data = []
+        for vcode, _qc, _meta in variables:
+            val = cur.wod_float()
+            if val is None:
+                continue
+            qc = cur.flag()
+            orig = cur.flag()
+            data.append((vcode, val, qc, orig))
+        depths.append((depth, derr, dorig, data))
+
+    # Strict framing invariant: a correct walk consumes exactly the declared
+    # byte count (holds for every cast in the reference's six fixtures); any
+    # drift means a mis-parse and the cast goes to the error channel.
+    if cur.pos != len(record):
+        raise WodFormatError(
+            f"cast {cast_number}: consumed {cur.pos} of {len(record)} bytes"
+        )
+
+    return RawCast(
+        dataset=dataset,
+        castNumber=cast_number,
+        cruiseNumber=cruise,
+        country=country,
+        originatorsCruise=orig_cruise,
+        originatorsStationCode=orig_station,
+        year=year,
+        month=month,
+        day=day,
+        time=time,
+        latitude=lat,
+        longitude=lon,
+        profileType=profile_type,
+        attributes=attributes,
+        biologicalAttributes=bio,
+        taxonomicDatasets=taxa,
+        principalInvestigators=pis,
+        variables=variables,
+        depths=depths,
+    )
+
+
+def _wod_int_width(value: int) -> int:
+    """Bytes occupied by a WOD int on the wire (1 length byte + digits)."""
+    return 1 + len(str(value))
+
+
+def split_records(text: str) -> Iterator[str]:
+    """Split a whole decompressed WOD file into cast record strings.
+
+    Streams line-by-line: reads the byte count from each record's first line,
+    consumes ``ceil(count/80)`` lines, yields the concatenation trimmed to
+    ``count`` bytes. O(record) memory.
+    """
+    lines = text.splitlines()
+    i = 0
+    n = len(lines)
+    while i < n:
+        first = lines[i]
+        if not first.strip():
+            i += 1
+            continue
+        cur = _Cursor(first)
+        version = cur.take(1)
+        if not version.isalpha():
+            raise WodFormatError(f"line {i}: expected cast start, got {first[:10]!r}")
+        count = cur.wod_int()
+        if count is None or count <= 0:
+            raise WodFormatError(f"line {i}: bad cast byte count")
+        n_lines = -(-count // LINE_WIDTH)
+        record = "".join(lines[i : i + n_lines])[:count]
+        yield record
+        i += n_lines
+
+
+def iter_casts(
+    text: str, dataset: str
+) -> Iterator[tuple[RawCast | None, tuple[str, int, str] | None]]:
+    """Yield ``(cast, None)`` or ``(None, (dataset, castNumber, error))`` per
+    record — the tagged union the distributed parse emits."""
+    try:
+        for record in split_records(text):
+            cast_number = -1
+            try:
+                cur = _Cursor(record)
+                cur.take(1)
+                cur.wod_int()
+                cast_number = cur.wod_int() or -1
+                yield parse_cast(record, dataset), None
+            except WodFormatError as e:
+                yield None, (dataset, cast_number, str(e))
+    except WodFormatError as e:
+        # Stream-level failure (bad record framing): one error row.
+        yield None, (dataset, -1, f"unrecoverable stream error: {e}")
