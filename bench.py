@@ -1,0 +1,114 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+"sf": ...}``.
+
+Each query is materialized with the noop sink (full execution, no driver
+collect cost). The WOD conversion job (the reference's actual workload —
+largest bundled fixture, 9,390 casts / 68,915 lines) is benched alongside
+the relational/LLM-ops headliners.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+#: Headline queries (registry names) — one per operator family.
+HEADLINERS = [
+    "flagship_regional_revenue",   # 5-way join + agg + sort
+    "agg_group_sum_avg",           # TPC-H Q1 shape
+    "agg_count_distinct",
+    "join_inner_equi",
+    "join_asof",
+    "window_multi",                # one shuffle, 3 window funcs
+    "window_topk_per_group",
+    "topk_limit",
+    "stream_tumbling_counts",
+    "stream_session_window",
+    "dedup_exact",
+    "dedup_minhash_lsh",           # LSH signature + band join + verify
+    "similarity_topk",
+    "similarity_knn_join",
+    "text_quality",
+    "json_funcs",
+]
+
+
+def main() -> None:
+    t_session = time.perf_counter()
+    from wod_ascii_to_parquet_spark_spark.registry import load_all_operators
+    from wod_ascii_to_parquet_spark_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+    )
+    queries = load_all_operators()
+    session_sec = time.perf_counter() - t_session
+
+    # Warm up the JVM (codegen, parquet reader, shuffle machinery) with one
+    # untimed pass of the flagship so per-query timings measure the
+    # steady-state plan, not first-query initialization.
+    queries["flagship_regional_revenue"].fn(spark, SF_DIR).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    # Each query runs twice: the first pass pays one-time codegen/JIT for
+    # its generated operators, the second is the steady-state cost a
+    # long-lived cluster session sees. Both are reported; `value` sums the
+    # steady-state runs.
+    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    for name in HEADLINERS:
+        q = queries[name]
+        t0 = time.perf_counter()
+        q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # WOD conversion throughput (the reference's core workload).
+    from wod_ascii_to_parquet_spark_spark.plans.convert import FileTask, convert_file
+
+    out = tempfile.mkdtemp(prefix="bench_wod_")
+    try:
+        task = FileTask(
+            "XBT",
+            "OBS",
+            "/root/reference/src/test/resources/wod/XBT/OBS/XBTO1967.gz",
+            out,
+            out,
+        )
+        t0 = time.perf_counter()
+        convert_file(spark, task)
+        timings["wod_convert_xbt"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "cold_runs": cold,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "session_startup_sec": round(session_sec, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import load, register
+from ..registry import load, register, spread
 
 _MERSENNE = 2_147_483_647  # 2^31-1; keeps permuted hashes in 32-bit range
 _NPERM = 32
@@ -79,7 +79,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The block join is an equi-join on the blocking key — pair count is
     Σ|block|², never |corpus|². At 100 TB, blocking keys come from cheap
     content signals (domain, language, length bucket)."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     s = d.select("doc_id", "lang", "source", shingles(F.col("text")).alias("sh"))
     a = s.select(
         F.col("doc_id").alias("doc_a"),
@@ -106,19 +106,38 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signature(sh: Column, nperm: int = _NPERM) -> Column:
-    """MinHash signature: base-hash each shingle into [0, 2^31), then take
-    the min under ``nperm`` affine permutations ``(a_p·h + b_p) mod M``.
-    Pure Catalyst nested higher-order functions — JVM-side, no UDF; the
-    multipliers stay small so ANSI-mode bigint arithmetic cannot overflow."""
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(nperm - 1)),
-        lambda p: F.array_min(
+def shingle_hashes(sh: Column) -> Column:
+    """Base-hash each shingle into [0, 2^31). Materialize this ONCE as its
+    own column before building signatures: Catalyst does no common-subexpr
+    elimination inside higher-order-function lambdas, so inlining it into
+    the per-permutation transform would recompute every xxhash nperm times."""
+    return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+
+
+def minhash_signature(hashes: Column, nperm: int = _NPERM) -> Column:
+    """MinHash signature over pre-computed shingle hashes: element-wise-min
+    fold under ``nperm`` affine permutations ``(a_p·h + b_p) mod M``.
+
+    Loop order matters: this FOLDS over the hash array once, computing all
+    ``nperm`` permuted values per hash and zip_with-min'ing into the
+    accumulator. The transposed form (``transform(perms, p ->
+    array_min(transform(hashes, ...)))``) re-evaluates the hash-array
+    expression once per permutation — Catalyst does no CSE inside lambda
+    bodies — turning O(|sh|·nperm) work into O(|sh|·nperm) *per perm*.
+    Pure Catalyst, JVM-side, no UDF; multipliers stay small so ANSI-mode
+    bigint arithmetic cannot overflow."""
+    perms = F.sequence(F.lit(0), F.lit(nperm - 1))
+    init = F.array_repeat(F.lit(_MERSENNE).cast("bigint"), nperm)
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
             F.transform(
-                base,
-                lambda h: F.pmod((2 * p + 3) * h + p * 1_000_003, F.lit(_MERSENNE)),
-            )
+                perms,
+                lambda p: F.pmod((2 * p + 3) * h + p * 1_000_003, F.lit(_MERSENNE)),
+            ),
+            lambda a, b: F.least(a, b),
         ),
     )
 
@@ -135,9 +154,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check; exactness is covered by the oracled
     ``dedup_ngram_jaccard`` whose verified pairs this must superset-match
     on the same threshold (asserted in tests)."""
-    d = load(spark, sf_dir, "documents")
-    s = d.select("doc_id", shingles(F.col("text")).alias("sh")).withColumn(
-        "sig", minhash_signature(F.col("sh"))
+    d = spread(load(spark, sf_dir, "documents"))
+    s = (
+        d.select("doc_id", shingles(F.col("text")).alias("sh"))
+        .withColumn("hashes", shingle_hashes(F.col("sh")))
+        .withColumn("sig", minhash_signature(F.col("hashes")))
+        .drop("hashes")
+        # Shuffle barrier: the band keys below reference `sig` 32 times and
+        # the verify stage reads `sh` twice; without an Exchange, project
+        # collapsing would inline (= re-evaluate) the signature expression
+        # at every reference. The exchange materializes (doc_id, sh, sig)
+        # once and ReuseExchange serves all three consumers from it.
+        .repartition(F.col("doc_id"))
     )
     nbands = _NPERM // _BAND_ROWS
     bands = F.array(
@@ -155,55 +183,69 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(nbands)
         ]
     )
-    exploded = s.select(
-        "doc_id", "sh", F.explode(bands).alias("bk")
-    ).select("doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = exploded.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band", "key"
+    # Candidate generation shuffles ONLY (doc_id, band, key) — the shingle
+    # arrays stay out of the 8×-exploded band stream and are joined back
+    # onto the (tiny) candidate set for exact verification.
+    exploded = s.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    b = exploded.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band", "key"
-    )
+    a = exploded.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = exploded.select(F.col("doc_id").alias("doc_b"), "band", "key")
     cand = (
         a.join(b, ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sh_only = s.select("doc_id", "sh")
+    verified = cand.join(
+        sh_only.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sh_only.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+        "doc_b",
+    )
     jac = jaccard(F.col("sh_a"), F.col("sh_b"))
-    return cand.filter(jac >= 0.5).select(
+    return verified.filter(jac >= 0.5).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jac")
     )
 
 
 @register("dedup_simhash", None, tags=("dedup", "rows-only"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-dup candidates: per-token xxhash64, bit-majority
+    """32-bit SimHash near-dup candidates: per-token hash, bit-majority
     vote → bit vector; pairs within (lang, source) blocks at Hamming
-    distance ≤ 16. All bit math is Catalyst expressions (unrolled over the
-    64 bit positions). Rows-only: DuckDB lacks xxhash64."""
-    d = load(spark, sf_dir, "documents")
-    hashes = F.transform(F.split(F.col("text"), " "), lambda t: F.xxhash64(t))
-    bits = F.array(
-        *[
-            F.when(
-                F.aggregate(
-                    hashes,
-                    F.lit(0).cast("bigint"),
-                    lambda acc, h: acc
-                    + (
-                        F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("bigint") * 2 - 1
-                    ),
-                )
-                >= 0,
-                1,
-            )
-            .otherwise(0)
-            .cast("int")
-            for i in range(64)
-        ]
+    distance ≤ 8. One fold over the token hashes computes all 32 bit
+    counters (same loop-inversion discipline as ``minhash_signature`` —
+    per-bit aggregates would re-evaluate the tokenize+hash per bit).
+    Rows-only: DuckDB lacks xxhash64."""
+    nbits = 32
+    d = spread(load(spark, sf_dir, "documents"))
+    hashes = F.transform(
+        F.split(F.col("text"), " "),
+        lambda t: F.pmod(F.xxhash64(t), F.lit(1 << 31)),
     )
-    s = d.select("doc_id", "lang", "source", bits.alias("bits"))
+    bit_idx = F.sequence(F.lit(0), F.lit(nbits - 1))
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("bigint"), nbits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                bit_idx,
+                # (h >> i) & 1, via exact floor-div (h < 2^31 so the double
+                # division below is exact) mapped to ±1 votes.
+                lambda i: (
+                    F.floor(h / F.pow(F.lit(2.0), i)).cast("bigint") % 2
+                ) * 2 - 1,
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    bits = F.transform(counts, lambda c: F.when(c >= 0, 1).otherwise(0).cast("int"))
+    s = d.select("doc_id", "lang", "source", bits.alias("bits")).repartition(
+        F.col("doc_id")
+    )
     a = s.select(
         F.col("doc_id").alias("doc_a"),
         F.col("lang").alias("lang_a"),
@@ -229,7 +271,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("doc_a") < F.col("doc_b")),
         )
         .select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= 16)
+        .filter(F.col("hamming") <= 8)
     )
 
 

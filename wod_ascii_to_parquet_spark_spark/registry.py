@@ -98,6 +98,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism.
+
+    Small testdata tables arrive as ONE input split (a single small parquet
+    file), which serializes any CPU-heavy per-row operator (signature
+    computation, vector math) onto one core. At 100 TB inputs are naturally
+    multi-split and this is a no-op-sized shuffle; locally it is what makes
+    the expression-heavy operators scale across cores. Use only below
+    compute-bound stages — plain scans/filters/aggs don't need it."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def load_all_operators() -> dict[str, QueryDef]:
     """Import every operator module (they self-register) and return QUERIES."""
     from .operators import (  # noqa: F401

@@ -96,7 +96,9 @@ def wod_scan(
     rdd = files.select("path", "content").rdd.flatMap(
         lambda row: parse_file_content(row.path, bytes(row.content), dataset)
     )
-    return spark.createDataFrame(rdd, PARSED)
+    # verifySchema=False: the parser emits schema-exact tuples; per-row
+    # verification of deeply nested rows costs more than the parse itself.
+    return spark.createDataFrame(rdd, PARSED, verifySchema=False)
 
 
 def ok_casts(parsed: DataFrame) -> DataFrame:
