@@ -1,0 +1,162 @@
+"""Structured Streaming behavior tests: multi-batch triggers, watermark
+late-data drops, stateful dedup, stream/batch equivalence, and file-sink
+exactly-once restart semantics.
+
+Test data: hand-built event files written as separate parquet files so
+``maxFilesPerTrigger=1`` yields deterministic micro-batch sequences with
+controlled event-time progress.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from wod_ascii_to_parquet_spark_spark.streaming.jobs import (
+    dedup_within_watermark,
+    read_event_stream,
+    run_to_files,
+    run_to_memory,
+    session_counts,
+    tumbling_counts,
+)
+
+BASE = pd.Timestamp("2024-01-01 00:00:00")
+
+
+def _write_batch(spark, directory: str, rows: list[tuple], name: str) -> None:
+    """One parquet file of events with int64-nanos ts (mirrors testdata)."""
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts_min", "user_id", "event_type", "value"]
+    )
+    pdf["ts"] = (
+        (BASE + pd.to_timedelta(pdf.pop("ts_min"), unit="m")).astype("int64")
+    )
+    pdf["props"] = '{"k": 1}'
+    pdf = pdf[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, f"{name}.parquet")
+    pdf.to_parquet(path, engine="pyarrow", index=False)
+    # distinct mtimes => deterministic file-source ordering
+    time.sleep(0.05)
+
+
+def test_late_data_dropped_in_append_mode(spark, tmp_path):
+    src = str(tmp_path / "src")
+    # batch 0: events at minutes 1..5 (window [0,10)) and 12 (window [10,20))
+    _write_batch(
+        spark, src,
+        [(1, 1, 1, "click", 1.0), (2, 5, 1, "click", 1.0), (3, 12, 1, "click", 1.0)],
+        "b0",
+    )
+    # batch 1: watermark pusher at minute 40. The watermark COMPUTED from
+    # this batch (30min) only takes EFFECT one batch later (Spark updates
+    # the watermark at batch end, from data through the previous batch).
+    _write_batch(spark, src, [(4, 40, 1, "click", 1.0)], "b1")
+    # batch 2: innocuous event; during it the 30min watermark applies →
+    # window [0,10) is evicted and emitted with its 2 on-time events
+    _write_batch(spark, src, [(5, 41, 1, "click", 1.0)], "b2")
+    # batch 3: the LATE event at minute 2 — its window is closed; dropped
+    _write_batch(spark, src, [(6, 2, 1, "click", 99.0)], "b3")
+    # batch 4: pusher so any (erroneous) late-event effect would be flushed
+    _write_batch(spark, src, [(7, 70, 1, "click", 1.0)], "b4")
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    out = run_to_memory(
+        tumbling_counts(stream, "10 minutes", "10 minutes"),
+        "late_drop_sink",
+        "append",
+    )
+    rows = {r.window_start.minute: r for r in out.collect()}
+    # window [0,10) closed with ONLY the two on-time events; the late minute-2
+    # event (value 99) was dropped, not merged
+    assert rows[0].n == 2
+    assert rows[0].sum_value == pytest.approx(2.0)
+
+
+def test_append_vs_complete_and_batch_equivalence(spark, tmp_path):
+    src = str(tmp_path / "src")
+    rows = [(i, i % 25, i % 3, "click", 1.0) for i in range(50)]
+    _write_batch(spark, src, rows, "b0")
+    stream = read_event_stream(spark, src)
+    complete = run_to_memory(
+        tumbling_counts(stream), "cmp_complete", "complete"
+    ).select("window_start", "event_type", "n", "sum_value")
+
+    batch = (
+        spark.read.schema(
+            "event_id bigint, ts bigint, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    assert sorted(map(tuple, complete.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "src")
+    # same (user, type) appears 3x within the horizon → 1 survivor
+    _write_batch(
+        spark, src,
+        [(1, 1, 7, "click", 1.0), (2, 2, 7, "click", 1.0), (3, 3, 7, "click", 1.0),
+         (4, 1, 8, "view", 1.0)],
+        "b0",
+    )
+    stream = read_event_stream(spark, src)
+    out = run_to_memory(
+        dedup_within_watermark(stream), "dedup_sink", "append"
+    )
+    keys = sorted((r.user_id, r.event_type) for r in out.collect())
+    assert keys == [(7, "click"), (8, "view")]
+
+
+def test_session_window_stream(spark, tmp_path):
+    src = str(tmp_path / "src")
+    # user 1: events at 0,3,6 (one session, gaps<5) then 20 (new session);
+    # pusher event at minute 60 closes everything
+    _write_batch(
+        spark, src,
+        [(1, 0, 1, "click", 1.0), (2, 3, 1, "click", 1.0), (3, 6, 1, "click", 1.0),
+         (4, 20, 1, "click", 1.0), (5, 60, 2, "click", 1.0)],
+        "b0",
+    )
+    stream = read_event_stream(spark, src)
+    out = run_to_memory(session_counts(stream), "session_sink", "append")
+    u1 = sorted(
+        [(r.session_start.minute, r.n_events) for r in out.collect() if r.user_id == 1]
+    )
+    assert u1 == [(0, 3), (20, 1)]
+
+
+def test_file_sink_exactly_once_on_restart(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, src, [(1, 1, 1, "click", 1.0), (2, 2, 2, "view", 2.0)], "b0")
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    run_to_files(stream.select("event_id", "ts", "user_id"), out, ckpt)
+    n1 = spark.read.parquet(out).count()
+
+    # restart with NO new input: commit log must prevent re-emission
+    stream2 = read_event_stream(spark, src, max_files_per_trigger=1)
+    run_to_files(stream2.select("event_id", "ts", "user_id"), out, ckpt)
+    assert spark.read.parquet(out).count() == n1 == 2
+
+    # restart with one NEW file: only the delta appears
+    _write_batch(spark, src, [(3, 3, 3, "click", 3.0)], "b1")
+    stream3 = read_event_stream(spark, src, max_files_per_trigger=1)
+    run_to_files(stream3.select("event_id", "ts", "user_id"), out, ckpt)
+    ids = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2, 3]

@@ -1,0 +1,119 @@
+"""Reusable Structured Streaming jobs over event-shaped data (SURVEY §2.10).
+
+The reference is batch-only; its incremental unit is the FILE, resumed via
+``_SUCCESS`` markers (``DatasetYearTrain.java:89-94``). These jobs are the
+streaming generalization: the file-source + checkpoint + sink-commit-log
+triple gives exactly-once over growing directories — the same contract the
+reference enforces by hand, managed by the engine.
+
+State-size discipline (the 100 TB/day concern):
+- every aggregation is windowed AND watermarked → state is bounded by
+  (keys × windows inside the watermark horizon);
+- ``dropDuplicatesWithinWatermark`` bounds the dedup key set the same way;
+- sinks are idempotent (file sink commit log / foreachBatch with batchId).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_RAW_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def read_event_stream(
+    spark: SparkSession, directory: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source event stream (nanos→micros ts conversion as in
+    ``registry.load``). ``max_files_per_trigger=1`` gives deterministic
+    one-file micro-batches for tests."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # latestFirst=false (default): files process in discovery order.
+    return reader.parquet(directory).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "10 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling window counts — append mode emits each window
+    once, when the watermark passes its end; later-arriving rows for closed
+    windows are DROPPED (the late-data contract)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked session windows per user (gap-merge state machine)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type) with state bounded
+    by the watermark horizon — the streaming form of ``stream_dedup_keys``."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Drive a streaming DataFrame to completion into an in-memory table."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
+def run_to_files(
+    df: DataFrame, out_dir: str, checkpoint_dir: str, output_mode: str = "append"
+):
+    """File-sink job with checkpoint: the sink's ``_spark_metadata`` commit
+    log makes replay after restart exactly-once — the engine-managed form
+    of the reference's manual ``_SUCCESS``/``_temporary`` protocol."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
