@@ -1,0 +1,165 @@
+"""Corpus-level analytics: TF-IDF, n-gram statistics, embedding vector ops.
+
+The aggregate/statistical layer of the LLM-data-pipeline surface — built
+entirely from explode + groupBy + join + higher-order array functions, so
+every stage is a standard shuffle Catalyst can plan (no UDFs, no driver
+loops). At 100 TB: explode(tokens) multiplies rows by ~doc length — always
+aggregate (map-side combine) in the same stage as the explode, never
+materialize the exploded stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import load, register, spread
+
+
+@register(
+    "corpus_ngram_topk",
+    """
+    SELECT ngram, n FROM (
+        SELECT ngram, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, ngram) AS rn
+        FROM (
+            SELECT unnest(list_transform(
+                       range(1, len(string_split(text, ' '))),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1])) AS ngram
+            FROM documents
+        )
+        GROUP BY ngram
+    ) WHERE rn <= 20
+    """,
+    tags=("text",),
+)
+def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams: explode → count → top-k. The groupBy directly
+    above the explode gets map-side partial aggregation, so the shuffle
+    carries (ngram, partial_count), not the exploded token stream."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        d.select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.orderBy(F.desc("n"), F.asc("ngram")).limit(20).select("ngram", "n")
+    )
+
+
+@register(
+    "corpus_tfidf",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf,
+           round(tf.tf * ln(n.n_docs::DOUBLE / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    WHERE tf.doc_id < 25
+    """,
+    tags=("text",),
+)
+def corpus_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, term): two aggregations over one exploded token
+    stream + a broadcast join of the (small) document-frequency dim. The
+    df table is |vocabulary|-sized — broadcast it; never sort-merge the
+    token stream against it."""
+    d = spread(load(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # driver scalar: one tiny job, broadcast as literal
+    return (
+        tf.filter(F.col("doc_id") < 25)
+        .join(F.broadcast(df), "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "vector_normalize",
+    """
+    SELECT vec_id,
+           round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+               AS l2_norm,
+           round((embedding::DOUBLE[])[1]
+                 / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+               AS first_normalized
+    FROM embeddings
+    """,
+    tags=("vector",),
+)
+def vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization of embedding vectors — zip_with/aggregate Catalyst
+    math; the pre-processing step for cosine-as-dot-product ANN."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(F.zip_with(emb, emb, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b)
+    )
+    return e.select(
+        "vec_id",
+        F.round(norm, 6).alias("l2_norm"),
+        F.round(F.element_at(emb, 1) / norm, 6).alias("first_normalized"),
+    )
+
+
+@register(
+    "vector_centroids",
+    """
+    SELECT label, CAST(pos - 1 AS INT) AS pos, round(avg(v), 6) AS centroid_val
+    FROM (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding::DOUBLE[]) AS v
+        FROM embeddings
+    )
+    GROUP BY label, pos
+    HAVING pos <= 8
+    """,
+    tags=("vector",),
+)
+def vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (first 8 dims): posexplode → groupBy(label, pos)
+    avg — the k-means/IVF building block as a two-phase hash aggregation.
+    At 100 TB the alternative (aggregate() over struct arrays per label)
+    avoids the 64× row multiplication; explode+agg is clearer and
+    map-side-combines to the same shuffle volume."""
+    e = spread(load(spark, sf_dir, "embeddings"))
+    return (
+        e.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>"))
+        )
+        .select("label", (F.col("pos") + 1).alias("pos"), F.col("col").alias("v"))
+        .filter(F.col("pos") <= 8)
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("centroid_val"))
+        .select("label", (F.col("pos") - 1).cast("int").alias("pos"), "centroid_val")
+    )

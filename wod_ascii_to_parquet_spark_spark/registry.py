@@ -114,6 +114,7 @@ def load_all_operators() -> dict[str, QueryDef]:
     """Import every operator module (they self-register) and return QUERIES."""
     from .operators import (  # noqa: F401
         aggregations,
+        corpus,
         dedup,
         joins,
         multimodal,
@@ -121,6 +122,7 @@ def load_all_operators() -> dict[str, QueryDef]:
         relational,
         scalar_funcs,
         similarity,
+        sql_surface,
         text,
         windows,
         wod,
