@@ -1,0 +1,93 @@
+"""Cross-operator consistency properties:
+
+- MinHash-LSH (unblocked, approximate candidates + exact verify) must find
+  every pair the blocked exact n-gram Jaccard query finds (LSH searches a
+  superset of the blocked pair space at the same threshold).
+- LSH ANN must achieve reasonable recall against exact brute-force kNN.
+- Fingerprint dedup must agree with exact dedup on identical texts.
+- castTimestamp assembly must match Y/M/D + time fields.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from wod_ascii_to_parquet_spark_spark.registry import load_all_operators
+
+from .conftest import SF_DIR
+
+QUERIES = load_all_operators()
+
+
+def test_minhash_superset_of_blocked_jaccard(spark):
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_ngram_jaccard"].fn(spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_minhash_lsh"].fn(spark, SF_DIR).collect()
+    }
+    missed = exact - lsh
+    assert not missed, f"LSH missed exact near-dup pairs: {missed}"
+
+
+def test_ann_recall_vs_exact_knn(spark):
+    exact = QUERIES["similarity_knn_join"].fn(spark, SF_DIR).collect()
+    ann = QUERIES["similarity_ann_lsh"].fn(spark, SF_DIR).collect()
+    exact_pairs = {(r.qid, r.vec_id) for r in exact}
+    ann_pairs = {(r.qid, r.vec_id) for r in ann}
+    # 8-bit multi-probe (radius 2) LSH on near-uniform synthetic vectors:
+    # theoretical per-neighbor recall ≈ P(≤2 of 8 hyperplanes split a ~60°
+    # pair) ≈ 0.47; assert a conservative floor
+    assert ann_pairs, "ANN returned nothing"
+    recall = len(exact_pairs & ann_pairs) / len(exact_pairs)
+    assert recall >= 0.2, f"suspiciously low ANN recall: {recall}"
+    for r in ann:
+        assert r.qid != r.vec_id
+
+
+def test_fingerprint_groups_at_least_exact_dups(spark):
+    exact_groups = (
+        QUERIES["dedup_exact"].fn(spark, SF_DIR)
+        .filter(F.col("n_copies") > 1)
+        .count()
+    )
+    fp_groups = (
+        QUERIES["text_fingerprint"].fn(spark, SF_DIR)
+        .filter(F.col("n_docs") > 1)
+        .count()
+    )
+    # normalization can only merge more docs together
+    assert fp_groups >= exact_groups
+
+
+def test_cast_timestamp_assembly(spark, tmp_path):
+    from wod_ascii_to_parquet_spark_spark.plans.convert import (
+        FileTask,
+        convert_file,
+    )
+
+    out = str(tmp_path / "out")
+    task = FileTask(
+        "XBT",
+        "OBS",
+        "/root/reference/src/test/resources/wod/XBT/OBS/XBTO1967.gz",
+        out,
+        out,
+    )
+    convert_file(spark, task)
+    df = spark.read.parquet(task.output_path)
+    row = df.filter(F.col("castNumber") == 3411247).first()
+    # cast 3411247: 1967-01-01, time 0.4h = 00:24:00
+    assert str(row.castTimestamp) == "1967-01-01 00:24:00"
+    n_null = df.filter(
+        F.col("castTimestamp").isNull() & F.col("year").isNotNull()
+        & F.col("month").isNotNull() & F.col("day").isNotNull()
+        & F.col("time").isNotNull()
+    ).count()
+    assert n_null == 0

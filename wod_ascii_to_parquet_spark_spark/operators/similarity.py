@@ -24,7 +24,8 @@ from ..registry import load, register
 from .dedup import cosine
 
 _DIM = 64
-_NBITS = 12
+_NBITS = 8
+_PROBE_RADIUS = 2
 
 
 @register(
@@ -120,49 +121,64 @@ def _hyperplanes(nbits: int = _NBITS, dim: int = _DIM) -> list[list[float]]:
     return rng.standard_normal((nbits, dim)).tolist()
 
 
+def _probe_masks(nbits: int = _NBITS, radius: int = _PROBE_RADIUS) -> list[int]:
+    """All XOR masks with ≤ radius bits set — the multi-probe neighborhood."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(nbits), r):
+            masks.append(sum(1 << b for b in bits))
+    return masks
+
+
 @register("similarity_ann_lsh", None, tags=("similarity", "rows-only"))
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane LSH: 12 sign bits → bucket key; queries probe
-    their own bucket and exact-rerank inside it.
+    """ANN via random-hyperplane LSH with multi-probe: 8 sign bits → integer
+    bucket; each query probes its own bucket plus all buckets within
+    Hamming distance 2 (37 probes), then exact-reranks candidates.
 
     Scale path: the corpus is bucketed once (map-only), lookups are an
-    equi-join on the bucket key — at 100 TB this is the difference between
-    a hash-partitioned probe and an impossible cross product. Recall is
-    tunable with nbits / multi-probe; this registers the single-probe
-    variant and tests assert its recall against ``similarity_knn_join``."""
+    equi-join on the bucket id — at 100 TB this is the difference between a
+    hash-partitioned probe and an impossible cross product. Recall/cost is
+    tuned by (nbits, probe radius); tests assert recall against the exact
+    ``similarity_knn_join``."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     planes = _hyperplanes()
-    bucket = F.concat_ws(
-        "",
-        *[
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("emb"),
-                        F.array(*[F.lit(v) for v in plane]),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0),
-                    lambda s, v: s + v,
-                )
-                >= 0,
-                "1",
-            ).otherwise("0")
-            for plane in planes
-        ],
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("emb"),
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(0)
+    bucketed = e.withColumn("bucket", bucket.cast("int")).repartition(
+        F.col("bucket")
     )
-    bucketed = e.withColumn("bucket", bucket)
-    q = bucketed.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb"), "bucket"
+    masks = F.array(*[F.lit(m) for m in _probe_masks()])
+    q = (
+        bucketed.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("emb").alias("qemb"),
+            F.explode(
+                F.transform(masks, lambda m: F.col("bucket").bitwiseXOR(m))
+            ).alias("bucket"),
+        )
     )
     sim = cosine(F.col("emb"), F.col("qemb"))
     from pyspark.sql import Window as W
 
     w = W.partitionBy("qid").orderBy(F.desc("__raw"), F.asc("vec_id"))
     return (
-        bucketed.join(q, "bucket")
+        bucketed.join(F.broadcast(q), "bucket")
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", sim.alias("__raw"))
         .withColumn("rn", F.row_number().over(w))

@@ -23,6 +23,27 @@ def _casts(spark: SparkSession, rel: str, dataset: str) -> DataFrame:
     return ok_casts(wod_scan(spark, f"{WOD_FIXTURES}/{rel}", dataset=dataset))
 
 
+@register("source_discovery", None, tags=("wod", "rows-only"))
+def source_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: enumerate input keys under ``<prefix>/<DS>/<LEVEL>/`` with the
+    suffix filter, as a DataFrame (reference: paginated S3 ListObjectsV2
+    into a sorted TreeSet, ``S3Actions.java:59-89``; prefix build
+    ``DatasetTrain.java:64-71``)."""
+    from ..plans.convert import plan_tasks
+
+    tasks = plan_tasks(
+        WOD_FIXTURES, "/tmp/__discovery__",
+        datasets=("APB", "CTD", "DRB", "SUR", "XBT"), levels=("OBS", "STD"),
+    )
+    rows = [
+        (t.dataset, t.level, t.input_path.rsplit("/", 1)[-1], t.out_name)
+        for t in tasks
+    ]
+    return spark.createDataFrame(
+        rows, "dataset string, level string, input_name string, out_name string"
+    ).orderBy("dataset", "level", "input_name")
+
+
 @register("wod_ascii_scan", None, tags=("wod", "rows-only"))
 def wod_ascii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1: distributed gzipped fixed-width scan (reference driver-side

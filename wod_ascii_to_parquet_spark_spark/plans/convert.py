@@ -135,8 +135,22 @@ def convert_file(spark: SparkSession, task: FileTask, overwrite: bool = False) -
 
     parsed = wod_scan(spark, task.input_path, dataset=task.dataset).cache()
     try:
+        # castTimestamp: assembled from Y/M/D + fractional-hour time
+        # (SURVEY §1.2); try_* variants — invalid header dates yield null,
+        # not a job failure, under ANSI mode.
+        seconds = (F.col("time") * 3600).cast("int")
         casts = (
             ok_casts(parsed)
+            .withColumn(
+                "castTimestamp",
+                F.try_add(
+                    F.expr(
+                        "try_to_timestamp(concat(year, '-', lpad(month, 2, '0'), "
+                        "'-', lpad(day, 2, '0')))"
+                    ),
+                    F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), seconds),
+                ),
+            )
             .withColumn("geohash", geohash_udf("latitude", "longitude"))
             .withColumn("geohash3", F.substring("geohash", 1, 3))
         )
