@@ -139,6 +139,24 @@ def test_session_window_stream(spark, tmp_path):
     assert u1 == [(0, 3), (20, 1)]
 
 
+def test_stateful_user_totals_across_batches(spark, tmp_path):
+    from wod_ascii_to_parquet_spark_spark.streaming.jobs import (
+        stateful_user_totals,
+    )
+
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, [(1, 1, 7, "click", 1.5), (2, 2, 7, "click", 2.5)], "b0")
+    _write_batch(spark, src, [(3, 3, 7, "click", 3.0), (4, 4, 9, "view", 1.0)], "b1")
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    out = run_to_memory(stateful_user_totals(stream), "stateful_sink", "update")
+    # update mode re-emits per batch; the LAST emission per user is final
+    finals = {}
+    for r in out.collect():
+        finals[r.user_id] = max(finals.get(r.user_id, (0, 0.0)), (r.n, r.total))
+    assert finals[7] == (3, 7.0)
+    assert finals[9] == (1, 1.0)
+
+
 def test_file_sink_exactly_once_on_restart(spark, tmp_path):
     src = str(tmp_path / "src")
     out = str(tmp_path / "out")

@@ -1,0 +1,284 @@
+"""Scalar-function surface, part 2: extended string/math/date/array
+functions and argmax-style aggregates — dialect-mapped to DuckDB oracles.
+All whole-stage-codegen'd Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import load, register
+
+
+@register(
+    "str_funcs2",
+    """
+    SELECT c_custkey,
+           concat(upper(left(lower(c_mktsegment), 1)),
+                  substring(lower(c_mktsegment), 2)) AS seg_title,
+           reverse(c_name) AS name_rev,
+           translate(c_name, '#0', '_x') AS name_translated,
+           repeat(c_mktsegment, 2) AS seg_twice,
+           strpos(c_name, '#') AS hash_pos,
+           left(c_name, 4) AS name_left,
+           right(c_name, 4) AS name_right,
+           trim(concat(' ', c_mktsegment, ' ')) AS seg_trimmed,
+           split_part(c_name, '#', 2) AS num_part
+    FROM customer
+    """,
+    tags=("scalar",),
+)
+def str_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.initcap(F.lower("c_mktsegment")).alias("seg_title"),
+        F.reverse("c_name").alias("name_rev"),
+        F.translate("c_name", "#0", "_x").alias("name_translated"),
+        F.repeat("c_mktsegment", 2).alias("seg_twice"),
+        F.instr("c_name", "#").cast("bigint").alias("hash_pos"),
+        F.substring("c_name", 1, 4).alias("name_left"),
+        F.substring(F.col("c_name"), -4, 4).alias("name_right"),
+        F.trim(F.concat(F.lit(" "), F.col("c_mktsegment"), F.lit(" "))).alias(
+            "seg_trimmed"
+        ),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("num_part"),
+    )
+
+
+@register(
+    "math_funcs2",
+    """
+    SELECT o_orderkey,
+           round(sin(o_totalprice / 100000.0), 6) AS sin_v,
+           round(cos(o_totalprice / 100000.0), 6) AS cos_v,
+           round(atan2(o_totalprice / 100000.0, 2.0), 6) AS atan2_v,
+           round(exp(o_totalprice / 500000.0), 6) AS exp_v,
+           CAST(sign(o_totalprice - 250000.0) AS DOUBLE) AS sign_v,
+           round(radians(o_totalprice / 10000.0), 6) AS rad_v,
+           round(log10(o_totalprice), 6) AS log10_v,
+           round(cbrt(o_totalprice), 6) AS cbrt_v
+    FROM orders WHERE o_orderkey < 2000
+    """,
+    tags=("scalar",),
+)
+def math_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    x = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.round(F.sin(x / 100_000.0), 6).alias("sin_v"),
+        F.round(F.cos(x / 100_000.0), 6).alias("cos_v"),
+        F.round(F.atan2(x / 100_000.0, F.lit(2.0)), 6).alias("atan2_v"),
+        F.round(F.exp(x / 500_000.0), 6).alias("exp_v"),
+        F.signum(x - 250_000.0).alias("sign_v"),
+        F.round(F.radians(x / 10_000.0), 6).alias("rad_v"),
+        F.round(F.log10(x), 6).alias("log10_v"),
+        F.round(F.cbrt(x), 6).alias("cbrt_v"),
+    )
+
+
+@register(
+    "date_funcs2",
+    """
+    SELECT o_orderkey,
+           CAST(last_day(o_orderdate) AS DATE) AS month_end,
+           quarter(o_orderdate) AS qtr,
+           CASE WHEN dayofweek(o_orderdate) = 0 THEN 7
+                ELSE dayofweek(o_orderdate) END AS iso_dow,
+           weekofyear(o_orderdate) AS iso_week,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec,
+           make_date(year(o_orderdate), month(o_orderdate), 1) AS month_first
+    FROM orders
+    """,
+    tags=("scalar",),
+)
+def date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended date functions. Dialect note: Spark ``dayofweek`` is
+    1=Sunday..7=Saturday; DuckDB ``dayofweek`` is 0=Sunday..6=Saturday —
+    both sides normalize to ISO (1=Monday..7=Sunday)."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).alias("month_end"),
+        F.quarter(d).alias("qtr"),
+        F.weekday(d).alias("__wd"),
+        F.weekofyear(d).alias("iso_week"),
+        F.unix_timestamp(d).alias("epoch_sec"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("month_first"),
+    ).select(
+        "o_orderkey",
+        "month_end",
+        "qtr",
+        (F.col("__wd") + 1).alias("iso_dow"),  # weekday: 0=Mon → ISO 1=Mon
+        "iso_week",
+        "epoch_sec",
+        "month_first",
+    )
+
+
+@register(
+    "array_funcs2",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+               WHERE vec_id < 50)
+    SELECT vec_id,
+           round(list_reduce(emb[1:4], (a, b) -> a + b), 6) AS head4_sum,
+           round(list_reverse(emb)[1], 6) AS last_val,
+           list_position(list_transform(emb, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END), 1)
+               AS first_pos_idx,
+           len(flatten([emb[1:2], emb[3:4]])) AS flat_len,
+           round(list_sort(emb)[1], 6) AS min_via_sort
+    FROM e
+    """,
+    tags=("scalar",),
+)
+def array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """slice / reverse / array_position / flatten / array_sort."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    emb = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.round(
+            F.aggregate(F.slice(emb, 1, 4), F.lit(0.0), lambda a, b: a + b), 6
+        ).alias("head4_sum"),
+        F.round(F.element_at(F.reverse(emb), 1), 6).alias("last_val"),
+        F.array_position(
+            F.transform(emb, lambda x: F.when(x > 0, 1).otherwise(0)), 1
+        ).alias("first_pos_idx"),
+        F.size(F.flatten(F.array(F.slice(emb, 1, 2), F.slice(emb, 3, 2)))).alias(
+            "flat_len"
+        ),
+        F.round(F.element_at(F.array_sort(emb), 1), 6).alias("min_via_sort"),
+    )
+
+
+@register(
+    "agg_arg_minmax",
+    """
+    SELECT o_orderstatus,
+           arg_max(o_orderkey, o_totalprice) AS best_order,
+           arg_min(o_orderkey, o_totalprice) AS worst_order,
+           round(max(o_totalprice), 2) AS best_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def agg_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax aggregates). Deterministic here because
+    o_totalprice values are distinct per status group at test SFs; ties
+    would need a (value, key) struct-max formulation."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("best_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("worst_order"),
+        F.round(F.max("o_totalprice"), 2).alias("best_price"),
+    )
+
+
+@register(
+    "lateral_explode_join",
+    """
+    SELECT e.vec_id, t.pos, d.label,
+           round(t.v, 6) AS v
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+          WHERE vec_id < 10) e,
+         LATERAL (SELECT generate_subscripts(e.emb, 1) AS pos,
+                         unnest(e.emb) AS v) t,
+         (SELECT vec_id, label FROM embeddings) d
+    WHERE d.vec_id = e.vec_id AND t.pos <= 4
+    """,
+    tags=("join",),
+)
+def lateral_explode_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral (correlated generator) join: explode each row's array and
+    join the exploded stream back to a table — generator + equi-join, no
+    driver involvement."""
+    e = load(spark, sf_dir, "embeddings")
+    left = (
+        e.filter(F.col("vec_id") < 10)
+        .select("vec_id", F.posexplode(F.col("embedding").cast("array<double>")))
+        .select("vec_id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("v"))
+        .filter(F.col("pos") <= 4)
+    )
+    labels = e.select(F.col("vec_id").alias("vid2"), "label")
+    return (
+        left.join(F.broadcast(labels), left.vec_id == labels.vid2)
+        .select("vec_id", "pos", "label", F.round("v", 6).alias("v"))
+    )
+
+
+@register(
+    "merge_upsert",
+    """
+    WITH updates AS (
+        SELECT o_orderkey, o_custkey, round(o_totalprice * 1.1, 2) AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    inserts AS (
+        SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+               round(o_totalprice, 2) AS o_totalprice
+        FROM orders WHERE o_orderkey % 1000 = 0
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice FROM updates
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice FROM inserts
+    UNION ALL
+    SELECT t.o_orderkey, t.o_custkey, round(t.o_totalprice, 2)
+    FROM orders t
+    WHERE t.o_orderkey % 10 <> 0
+    """,
+    tags=("etl",),
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert emulation without a table format: target anti-join
+    changed-keys ∪ updates ∪ inserts. The classic pre-Delta CDC pattern;
+    with Delta/Iceberg on the classpath this becomes a native MERGE INTO
+    (jars not in this environment — see sources/lakehouse.py)."""
+    t = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    updates = (
+        t.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2))
+    )
+    inserts = t.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    unchanged = t.join(
+        updates.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).withColumn("o_totalprice", F.round("o_totalprice", 2))
+    return unchanged.unionByName(updates).unionByName(inserts)
+
+
+@register(
+    "explode_outer_nulls",
+    """
+    WITH e AS (SELECT vec_id,
+                      CASE WHEN vec_id % 7 = 0 THEN []
+                           ELSE (embedding::DOUBLE[])[1:2] END AS arr
+               FROM embeddings WHERE vec_id < 40)
+    SELECT vec_id, round(v, 6) AS v FROM (
+        SELECT vec_id, unnest(arr) AS v FROM e WHERE len(arr) > 0
+        UNION ALL
+        SELECT vec_id, NULL FROM e WHERE len(arr) = 0
+    )
+    """,
+    tags=("scalar",),
+)
+def explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with empty arrays survive with NULL — the
+    left-outer flavor of array unnesting (DuckDB emulates via UNION ALL)."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    arr = F.when(
+        F.col("vec_id") % 7 == 0, F.array().cast("array<double>")
+    ).otherwise(F.slice(F.col("embedding").cast("array<double>"), 1, 2))
+    return (
+        e.select("vec_id", arr.alias("arr"))
+        .select("vec_id", F.explode_outer("arr").alias("v0"))
+        .select("vec_id", F.round("v0", 6).alias("v"))
+    )

@@ -121,6 +121,7 @@ def load_all_operators() -> dict[str, QueryDef]:
         pipeline_ops,
         relational,
         scalar_funcs,
+        scalar_funcs2,
         similarity,
         sql_surface,
         text,

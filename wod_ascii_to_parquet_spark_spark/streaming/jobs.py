@@ -85,6 +85,38 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "10 minutes") -> 
     )
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (event count, value sum) maintained in the state store across
+    micro-batches, emitting the updated totals each batch.
+
+    This is the escape hatch for operators the built-in windowed/dedup
+    state machines can't express (custom sessionization, decaying counters,
+    online sketches). State is per-key and explicit — at scale, pair it
+    with a timeout (here ``NoTimeout`` since user_id cardinality is
+    bounded; real deployments use event-time timeouts to bound state)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "total": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n bigint, total double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Drive a streaming DataFrame to completion into an in-memory table."""
     q = (
