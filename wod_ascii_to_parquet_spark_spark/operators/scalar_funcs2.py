@@ -214,19 +214,18 @@ def lateral_explode_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "merge_upsert",
     """
     WITH updates AS (
-        SELECT o_orderkey, o_custkey, round(o_totalprice * 1.1, 2) AS o_totalprice
+        SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice
         FROM orders WHERE o_orderkey % 10 = 0
     ),
     inserts AS (
-        SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
-               round(o_totalprice, 2) AS o_totalprice
+        SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_totalprice
         FROM orders WHERE o_orderkey % 1000 = 0
     )
     SELECT o_orderkey, o_custkey, o_totalprice FROM updates
     UNION ALL
     SELECT o_orderkey, o_custkey, o_totalprice FROM inserts
     UNION ALL
-    SELECT t.o_orderkey, t.o_custkey, round(t.o_totalprice, 2)
+    SELECT t.o_orderkey, t.o_custkey, t.o_totalprice
     FROM orders t
     WHERE t.o_orderkey % 10 <> 0
     """,
@@ -240,18 +239,19 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
+    # additive bump, NO rounding: prices carry >2 decimals and any round()
+    # at a half-boundary diverges between engines; +1000.0 is bit-exact in
+    # both, so every branch passes values through identically.
     updates = (
         t.filter(F.col("o_orderkey") % 10 == 0)
-        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
     )
     inserts = t.filter(F.col("o_orderkey") % 1000 == 0).select(
         (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
         "o_custkey",
-        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_totalprice",
     )
-    unchanged = t.join(
-        updates.select("o_orderkey"), "o_orderkey", "left_anti"
-    ).withColumn("o_totalprice", F.round("o_totalprice", 2))
+    unchanged = t.join(updates.select("o_orderkey"), "o_orderkey", "left_anti")
     return unchanged.unionByName(updates).unionByName(inserts)
 
 
