@@ -154,8 +154,14 @@ def convert_file(spark: SparkSession, task: FileTask, overwrite: bool = False) -
             .withColumn("geohash", geohash_udf("latitude", "longitude"))
             .withColumn("geohash3", F.substring("geohash", 1, 3))
         )
+        # Writer-task count: capped at 16 per file-job. Beyond that, many
+        # concurrently-open parquet writers in one JVM contend (local[32]
+        # measured: 32 tasks ≈ 10 s vs 16 tasks ≈ 4 s for 1652 partition
+        # dirs); cluster-wide parallelism comes from running file-jobs
+        # concurrently, not from more writers per file.
+        n_write_tasks = min(16, spark.sparkContext.defaultParallelism)
         (
-            casts.repartition(F.col("geohash3"))
+            casts.repartition(n_write_tasks, F.col("geohash3"))
             # Sort by (geohash3, geohash): the partitioned writer requires
             # ordering by the partition column and would insert its own
             # non-stable sort (destroying the geohash order) unless the
