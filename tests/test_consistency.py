@@ -51,6 +51,16 @@ def test_ann_recall_vs_exact_knn(spark):
         assert r.qid != r.vec_id
 
 
+def test_asof_pandas_agrees_with_window_formulation(spark):
+    window_rows = {
+        tuple(r) for r in QUERIES["join_asof"].fn(spark, SF_DIR).collect()
+    }
+    pandas_rows = {
+        tuple(r) for r in QUERIES["join_asof_pandas"].fn(spark, SF_DIR).collect()
+    }
+    assert window_rows == pandas_rows
+
+
 def test_fingerprint_groups_at_least_exact_dups(spark):
     exact_groups = (
         QUERIES["dedup_exact"].fn(spark, SF_DIR)

@@ -240,6 +240,51 @@ def asof_join(
     )
 
 
+@register("join_asof_pandas", None, tags=("join", "rows-only"))
+def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via cogrouped ``applyInPandas`` + ``pd.merge_asof`` — the
+    alternative physical strategy for high match multiplicity: both sides
+    shuffle ONCE on the equi key, each key group merges sorted in pandas
+    (O(n log n) per group) instead of materializing the |matches| join.
+    Must agree with the window-based ``join_asof`` wherever ties are not
+    involved (asserted in tests/test_consistency.py). Rows-only: same
+    semantics as the oracled ``join_asof``."""
+    import pandas as pd
+
+    events = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+
+    def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values("ts")
+        # stable-sort so the LAST row per o_orderdate has the max orderkey,
+        # matching the window formulation's (date DESC, key DESC) tie-break
+        right = right.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        out = pd.merge_asof(
+            left,
+            right,
+            left_on="ts",
+            right_on="o_orderdate",
+            direction="backward",
+        )
+        out = out.dropna(subset=["o_orderkey"])
+        out["o_orderkey"] = out["o_orderkey"].astype("int64")
+        return out[["event_id", "ts", "user_id_x", "o_orderkey", "o_orderdate"]].rename(
+            columns={"user_id_x": "user_id"}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .cogroup(orders.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "o_orderkey bigint, o_orderdate timestamp",
+        )
+    )
+
+
 @register(
     "join_asof",
     """

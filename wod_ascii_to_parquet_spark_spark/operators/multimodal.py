@@ -114,6 +114,47 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _int_be4(col) -> "F.Column":
+    """int → 4-byte big-endian binary, as a Catalyst expression."""
+    return F.unhex(F.lpad(F.hex(col), 8, "0"))
+
+
+@register("multimodal_png_header", None, tags=("multimodal", "rows-only"))
+def multimodal_png_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL byte-level media handling: build a valid PNG signature + IHDR
+    prefix (magic, length, type, width/height as big-endian u32) per
+    document, then parse the dimensions back OUT of the raw bytes with
+    binary substring + hex arithmetic. Everything is Catalyst expressions
+    on binary columns — the exact shape of metadata extraction over image
+    blobs at scale, minus only the pixel codec. Correctness is pinned
+    against Python ``struct`` in tests/test_multimodal_bytes.py."""
+    d = load(spark, sf_dir, "documents")
+    width = (F.col("n_chars") % 640 + 1).cast("int")
+    height = (F.col("n_chars") % 480 + 1).cast("int")
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),  # PNG signature
+        F.unhex(F.lit("0000000D")),  # IHDR length = 13
+        F.col("ihdr_tag").cast("binary"),
+        _int_be4(width),
+        _int_be4(height),
+        F.unhex(F.lit("0806000000")),  # bit depth + color type + filler
+    )
+    blobbed = d.withColumn("ihdr_tag", F.lit("IHDR")).select(
+        "doc_id", png.alias("blob")
+    )
+    # parse back from raw bytes only
+    parsed_w = F.conv(F.hex(F.expr("substring(blob, 17, 4)")), 16, 10).cast("int")
+    parsed_h = F.conv(F.hex(F.expr("substring(blob, 21, 4)")), 16, 10).cast("int")
+    is_png = F.hex(F.expr("substring(blob, 1, 8)")) == "89504E470D0A1A0A"
+    return blobbed.select(
+        "doc_id",
+        F.octet_length("blob").alias("n_bytes"),
+        is_png.cast("int").alias("is_png"),
+        parsed_w.alias("width"),
+        parsed_h.alias("height"),
+    )
+
+
 @register(
     "multimodal_frame_sample",
     """
