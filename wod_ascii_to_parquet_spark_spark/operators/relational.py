@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import load, register
+from ..registry import REV_C100_SQL, load, register, rev_c100
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,18 +46,19 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            # exact integer-cents revenue (see registry.REV_C100_SQL): float
+            # round() at half-cent boundaries diverges between engines
+            F.sum(rev_c100()).alias("revenue_c100"),
             F.count(F.lit(1)).alias("n_items"),
         )
-        .orderBy(F.desc("revenue"))
+        .orderBy(F.desc("revenue_c100"))
     )
 
 
 FLAGSHIP_ORACLE = """
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c100,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -68,7 +69,7 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate <  TIMESTAMP '1998-01-01'
   AND r_name IN ('ASIA', 'EUROPE')
 GROUP BY r_name, n_name
-ORDER BY revenue DESC
+ORDER BY revenue_c100 DESC
 """
 
 register("flagship_regional_revenue", FLAGSHIP_ORACLE, tags=("flagship",))(flagship)

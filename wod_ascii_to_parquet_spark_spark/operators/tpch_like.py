@@ -1,0 +1,195 @@
+"""TPC-H-shaped analytical queries over the synthetic star schema —
+multi-join + agg + sort showcases beyond the flagship (Q5 shape). These are
+the canonical "does the optimizer do the right thing end-to-end" queries:
+dim filters push into scans, dims broadcast, aggregations two-phase, top-k
+via WindowGroupLimit/TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import load, register, rev_c100
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate, o_orderpriority,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c100
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY o_orderkey, odate, o_orderpriority
+    ORDER BY revenue_c100 DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("tpch",),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem, unfinished
+    revenue per order, top-20."""
+    customer = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    lineitem = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("odate"),
+            "o_orderpriority",
+        )
+        .agg(
+            # exact integer-cents revenue (registry.REV_C100_SQL rationale)
+            F.sum(rev_c100()).alias("revenue_c100")
+        )
+        .orderBy(F.desc("revenue_c100"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           sum(volume_c100) AS revenue_c100
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS volume_c100
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name < n2.n_name
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("tpch",),
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: 5-way join with the nation dim joined TWICE under
+    different roles (supplier vs customer nation) — alias-disambiguated
+    self-joined dimension, both broadcast."""
+    supplier = load(spark, sf_dir, "supplier")
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        supplier.join(lineitem, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.sum(rev_c100()).alias("revenue_c100")
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c100,
+           max(c_acctbal) AS c_acctbal
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue_c100 DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("tpch",),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: returned-items revenue per customer, top-20."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    lineitem = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(rev_c100()).alias("revenue_c100"),
+            F.max("c_acctbal").alias("c_acctbal"),
+        )
+        .orderBy(F.desc("revenue_c100"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+           round(total_qty, 2) AS total_qty
+    FROM (
+        SELECT o.o_custkey AS c_custkey, l.l_orderkey AS o_orderkey,
+               o.o_orderdate, sum(l.l_quantity) AS total_qty
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2, 3
+    )
+    WHERE total_qty > 150
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 50
+    """,
+    tags=("tpch",),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: large-quantity orders via aggregate-then-filter (HAVING
+    over a join), top-50."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.col("o_orderdate").cast("date").alias("odate"),
+        )
+        .agg(F.sum("l_quantity").alias("__raw_qty"))
+        .filter(F.col("__raw_qty") > 150)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "odate",
+            F.round("__raw_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(50)
+    )

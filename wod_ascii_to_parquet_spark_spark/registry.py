@@ -98,6 +98,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+#: Exact revenue in 1e-4 dollars: price (exact cents) × (1 − discount)
+#: (exact hundredths) computed entirely in BIGINT. Float `round()` on the
+#: equivalent double product diverges between engines whenever the exact
+#: decimal product sits on a half-cent boundary (short-decimal products do
+#: this ~1% of rows); integer arithmetic is bit-identical everywhere.
+#: round()-then-cast is required: Spark's ANSI double→bigint cast
+#: truncates while DuckDB's rounds — rounding first makes the double an
+#: exact integer so both casts agree.
+REV_C100_SQL = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+
+
+def rev_c100() -> "F.Column":
+    """Column form of :data:`REV_C100_SQL`."""
+    return F.round(F.col("l_extendedprice") * 100, 0).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    )
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the session's default parallelism.
 
@@ -125,6 +146,7 @@ def load_all_operators() -> dict[str, QueryDef]:
         similarity,
         sql_surface,
         text,
+        tpch_like,
         windows,
         wod,
     )
