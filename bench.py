@@ -33,6 +33,8 @@ HEADLINERS = [
     "topk_limit",
     "stream_tumbling_counts",
     "stream_session_window",
+    "q7_nation_volume",            # 6-way join, dim self-joined twice
+    "q18_large_orders",            # aggregate-then-filter + top-k
     "dedup_exact",
     "dedup_minhash_lsh",           # LSH signature + band join + verify
     "similarity_topk",

@@ -194,24 +194,33 @@ def convert(
     subset: tuple[str, ...] = (),
     overwrite: bool = False,
     max_concurrent: int = 4,
+    retries: int = 2,
 ) -> ConvertResult:
     """Run the full conversion job (the ``SparklerExecutor.execute`` mirror,
     test-facing API per ``SparklerExecutorLocalTest.java:56-74``).
 
     File jobs are independent; they run on a small thread pool so Spark can
     pipeline scheduling gaps (the reference runs them strictly sequentially,
-    ``SparklerExecutor.java:52``)."""
+    ``SparklerExecutor.java:52``). Each task retries ``retries`` times —
+    the driver-level mirror of the reference's Condor retry policy
+    (``wod-ascii-to-parquet-spark.submit:15-16``); a retried task resumes
+    from the stale-``_temporary`` cleanup path, so partial outputs of the
+    failed attempt are rebuilt, not appended to."""
     result = ConvertResult()
     tasks = plan_tasks(source, output, datasets, levels, subset)
 
     def run(task: FileTask) -> None:
-        try:
-            status = convert_file(spark, task, overwrite=overwrite)
-            (result.converted if status == "converted" else result.skipped).append(
-                task.output_path
-            )
-        except Exception as e:  # fail-fast surfaced per file, Sparkler.java:90-100
-            result.failed.append((task.input_path, str(e)))
+        last_err: Exception | None = None
+        for _attempt in range(retries + 1):
+            try:
+                status = convert_file(spark, task, overwrite=overwrite)
+                (result.converted if status == "converted" else result.skipped).append(
+                    task.output_path
+                )
+                return
+            except Exception as e:  # per-file fail-fast, Sparkler.java:90-100
+                last_err = e
+        result.failed.append((task.input_path, str(last_err)))
 
     if max_concurrent > 1:
         with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
