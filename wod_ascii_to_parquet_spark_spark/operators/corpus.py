@@ -104,6 +104,49 @@ def corpus_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_surprisal",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    freq AS (
+        SELECT term, count(*) AS tf,
+               sum(count(*)) OVER () AS total
+        FROM tok GROUP BY term
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(sum(-ln(freq.tf / freq.total)) / count(*), 6)
+               AS avg_surprisal
+    FROM tok JOIN freq USING (term)
+    GROUP BY doc_id
+    """,
+    tags=("text",),
+)
+def corpus_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal per document (mean −ln p(token) under corpus
+    frequencies) — the cheap perplexity proxy used to rank pretraining
+    data quality. Frequency dim is vocabulary-sized → broadcast; the token
+    stream is aggregated in the same stage it is exploded."""
+    d = spread(load(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = freq.agg(F.sum("tf")).first()[0]
+    return (
+        tok.join(F.broadcast(freq), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(-F.log(F.col("tf") / F.lit(float(total))))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_surprisal"),
+        )
+    )
+
+
+@register(
     "vector_normalize",
     """
     SELECT vec_id,

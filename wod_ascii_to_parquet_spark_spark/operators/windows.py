@@ -203,6 +203,31 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_nth_value",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           nth_value(o_totalprice, 2) OVER (
+               {_BYCUST}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_price
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return _orders(spark, sf_dir).select(
+        "o_orderkey",
+        "o_custkey",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+@register(
     "window_multi",
     f"""
     SELECT o_orderkey, o_custkey,

@@ -39,10 +39,10 @@ import shutil
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.geohash import geohash_udf
+from ..functions.geohash import geohash_col
 from ..sources.wod_ascii import errors, ok_casts, wod_scan
 
 DEFAULT_DATASETS = (
@@ -151,7 +151,10 @@ def convert_file(spark: SparkSession, task: FileTask, overwrite: bool = False) -
                     F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), seconds),
                 ),
             )
-            .withColumn("geohash", geohash_udf("latitude", "longitude"))
+            # pure-Catalyst geohash: the write path stays entirely JVM-side
+            # (the numpy pandas_udf variant is equivalent — parity asserted
+            # in tests/test_geohash.py — but costs an Arrow round-trip)
+            .withColumn("geohash", geohash_col(F.col("latitude"), F.col("longitude")))
             .withColumn("geohash3", F.substring("geohash", 1, 3))
         )
         # Writer-task count: capped at 16 per file-job. Beyond that, many
