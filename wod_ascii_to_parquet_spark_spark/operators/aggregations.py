@@ -73,6 +73,7 @@ def agg_group_sum_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg",),
 )
 def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts per group (two-shuffle expand plan)."""
     return (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
@@ -107,6 +108,7 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg",),
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals with grouping_id disambiguation."""
     return (
         load(spark, sf_dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
@@ -156,6 +158,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg",),
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS aggregation (SQL surface)."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
     return spark.sql(
         """
@@ -228,6 +231,7 @@ def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg",),
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev/variance/correlation/covariance per group."""
     return (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")

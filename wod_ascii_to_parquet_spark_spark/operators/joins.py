@@ -37,6 +37,7 @@ from ..registry import load, register
     tags=("join",),
 )
 def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain inner equi-join on the customer key."""
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     return orders.join(customer, orders.o_custkey == customer.c_custkey).select(
@@ -71,6 +72,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join",),
 )
 def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: unmatched customers survive with NULL order columns."""
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     return customer.join(orders, customer.c_custkey == orders.o_custkey, "left").select(
@@ -87,6 +89,7 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join",),
 )
 def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (mirror of the left-outer case)."""
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     return orders.join(customer, customer.c_custkey == orders.o_custkey, "right").select(
@@ -103,6 +106,7 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join",),
 )
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: both unmatched sides survive."""
     customer = load(spark, sf_dir, "customer")
     supplier = load(spark, sf_dir, "supplier")
     return customer.join(supplier, customer.c_custkey == supplier.s_suppkey, "full").select(

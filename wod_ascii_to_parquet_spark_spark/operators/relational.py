@@ -189,6 +189,7 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop",),
 )
 def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set union with duplicate elimination."""
     customer = load(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
@@ -208,6 +209,7 @@ def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop",),
 )
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct set intersection of two key sets."""
     customer = load(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
@@ -248,6 +250,7 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop",),
 )
 def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag (multiset) difference: EXCEPT ALL semantics."""
     orders = load(spark, sf_dir, "orders")
     return orders.select("o_orderstatus").exceptAll(
         orders.filter(F.col("o_orderkey") % 2 == 0).select("o_orderstatus")

@@ -30,6 +30,7 @@ from ..registry import load, register
     tags=("scalar",),
 )
 def str_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string functions: translate/repeat/strpos/left/right/trim/split_part."""
     c = load(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
@@ -64,6 +65,7 @@ def str_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar",),
 )
 def math_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric/exponential/log10/cbrt numeric kernel."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
     x = F.col("o_totalprice")
     return o.select(

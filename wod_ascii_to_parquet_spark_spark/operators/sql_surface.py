@@ -29,6 +29,7 @@ from ..registry import load, register
     tags=("scalar",),
 )
 def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/coalesce/nullif/greatest/least conditional scalars."""
     o = load(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -58,6 +59,7 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg",),
 )
 def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered and boolean aggregates (FILTER clause, bool_or/bool_and)."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
@@ -119,6 +121,7 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over full-partition frames."""
     from pyspark.sql import Window as W
 
     base = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -143,6 +146,7 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank and cume_dist distribution functions."""
     from pyspark.sql import Window as W
 
     w = W.partitionBy("o_custkey").orderBy("o_totalprice")
@@ -308,6 +312,7 @@ def subquery_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar",),
 )
 def interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp ± INTERVAL arithmetic and date casting."""
     o = load(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -363,6 +368,7 @@ def cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar",),
 )
 def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise and/or/xor/shifts/popcount over integer keys."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
     k = F.col("o_orderkey")
     return o.select(
@@ -388,6 +394,7 @@ def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar",),
 )
 def regexp_extract_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex capture-group extraction + full-match predicate."""
     c = load(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",

@@ -42,6 +42,7 @@ def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number with a unique tie-broken ordering."""
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return _orders(spark, sf_dir).select(
         "o_orderkey", "o_custkey", F.row_number().over(w).alias("rn")
@@ -58,6 +59,7 @@ def window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank(): ties share a rank, next rank skips."""
     w = W.partitionBy("o_custkey").orderBy("o_orderdate")
     return _orders(spark, sf_dir).select(
         "o_orderkey", "o_custkey", F.rank().over(w).alias("rnk")
@@ -74,6 +76,7 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def window_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank(): ties share a rank, no gaps."""
     w = W.partitionBy("o_custkey").orderBy("o_orderdate")
     return _orders(spark, sf_dir).select(
         "o_orderkey", "o_custkey", F.dense_rank().over(w).alias("drnk")
@@ -91,6 +94,7 @@ def window_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead neighbor access along a unique ordering."""
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return _orders(spark, sf_dir).select(
         "o_orderkey",
@@ -112,6 +116,7 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum over an unbounded-preceding row frame."""
     w = (
         W.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -169,6 +174,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) quartile bucketing per partition."""
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return _orders(spark, sf_dir).select(
         "o_orderkey", "o_custkey", F.ntile(4).over(w).alias("quartile")
@@ -215,6 +221,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over the full-partition frame."""
     w = (
         W.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")

@@ -44,6 +44,34 @@ def source_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dataset", "level", "input_name")
 
 
+@register("wod_convert_pipeline", None, tags=("wod", "rows-only"))
+def wod_convert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5/S6 end-to-end: run the full conversion pipeline (parse → split
+    → geohash → clustered partitioned write → _SUCCESS) on the smallest
+    fixture into a fresh temp dir, then return the re-read output — the
+    whole reference workload as one verifiable query. Rows-only (output
+    location is ephemeral); layout/sort/marker assertions live in
+    tests/test_convert_e2e.py."""
+    import tempfile
+
+    from ..plans.convert import FileTask, convert_file
+
+    out = tempfile.mkdtemp(prefix="wod_pipeline_q_")
+    task = FileTask("CTD", "OBS", f"{WOD_FIXTURES}/CTD/OBS/CTDO1971.gz", out, out)
+    convert_file(spark, task)
+    df = spark.read.parquet(task.output_path)
+    return df.select(
+        "dataset",
+        "castNumber",
+        "year",
+        "latitude",
+        "longitude",
+        "geohash",
+        "geohash3",
+        F.size("depths").alias("n_levels"),
+    )
+
+
 @register("wod_ascii_scan", None, tags=("wod", "rows-only"))
 def wod_ascii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1: distributed gzipped fixed-width scan (reference driver-side
