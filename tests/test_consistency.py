@@ -76,6 +76,23 @@ def test_fingerprint_groups_at_least_exact_dups(spark):
     assert fp_groups >= exact_groups
 
 
+def test_approx_percentile_accuracy(spark):
+    import math
+
+    exact = {
+        r.o_orderstatus: (r.median_price, r.p90_price)
+        for r in QUERIES["agg_median_percentile"].fn(spark, SF_DIR).collect()
+    }
+    approx = {
+        r.o_orderstatus: (r.approx_median, r.approx_p90)
+        for r in QUERIES["agg_approx_percentile"].fn(spark, SF_DIR).collect()
+    }
+    for status, (m, p90) in exact.items():
+        am, ap90 = approx[status]
+        assert math.isclose(am, m, rel_tol=0.05), (status, am, m)
+        assert math.isclose(ap90, p90, rel_tol=0.05), (status, ap90, p90)
+
+
 def test_cast_timestamp_assembly(spark, tmp_path):
     from wod_ascii_to_parquet_spark_spark.plans.convert import (
         FileTask,

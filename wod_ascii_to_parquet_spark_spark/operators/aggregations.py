@@ -246,6 +246,45 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_approx_percentile", None, tags=("agg", "rows-only"))
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch percentiles (`percentile_approx`, mergeable KLL-like state) —
+    the 100 TB replacement for exact per-group sorted-state percentiles.
+    Rows-only: sketch boundaries are engine-specific; accuracy is bounded
+    by the 1/accuracy parameter (tested against exact in
+    tests/test_consistency.py)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median"),
+            F.percentile_approx("o_totalprice", 0.9, 1000).alias("approx_p90"),
+        )
+    )
+
+
+@register("agg_histogram", None, tags=("agg", "rows-only"))
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric histogram sketch (``histogram_numeric``) flattened to
+    (bucket centroid, height) rows — distribution profiling in one pass.
+    Rows-only: centroid placement is engine-specific."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.histogram_numeric("o_totalprice", F.lit(8)).alias("hist"))
+        .select(
+            "o_orderstatus",
+            F.posexplode("hist").alias("bucket_idx", "bucket"),
+        )
+        .select(
+            "o_orderstatus",
+            "bucket_idx",
+            F.round(F.col("bucket.x"), 2).alias("centroid"),
+            F.col("bucket.y").cast("bigint").alias("height"),
+        )
+    )
+
+
 @register(
     "agg_pivot",
     """
