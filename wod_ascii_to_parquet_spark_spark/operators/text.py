@@ -172,6 +172,38 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_edit_distance",
+    """
+    WITH names AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 30)
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           levenshtein(a.c_name, b.c_name) AS edit_dist
+    FROM names a JOIN names b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    tags=("text", "dedup"),
+)
+def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit-distance near-match pairs over a bounded block —
+    the character-level arm of the fuzzy-matching family (n-gram/MinHash
+    operate on token level). Same confinement rule as every dedup arm:
+    edit distance is O(len²) per pair, so pairs come from a block/candidate
+    set, never the full corpus."""
+    names = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 30)
+        .select("c_custkey", "c_name")
+    )
+    a = names.select(F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"))
+    b = names.select(F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"))
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .filter(dist <= 2)
+        .select("key_a", "key_b", dist.alias("edit_dist"))
+    )
+
+
 _NORM_SQL = (
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
     " ' +', ' ', 'g'))"
