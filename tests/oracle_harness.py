@@ -8,7 +8,15 @@ DuckDB SQL over the same parquet tables, then compare
 - order-insensitive values (rows sorted; columns sorted by name; floats
   compared with a small tolerance to absorb engine summation-order ulps —
   the registered queries additionally round explicitly so the driver's
-  exact hash agrees).
+  exact hash agrees),
+- a STRICT pandas-path stringified comparison that mirrors the driver's
+  value hash: both results are pulled through pandas (``toPandas()`` /
+  ``.df()``) so engine type-representation drift surfaces locally.
+  Round-1 lesson: DuckDB ``sum(BIGINT)`` returns HUGEINT, which pandas
+  coerces to float64 — numerically equal to Spark's BIGINT but a different
+  *string*, so the driver's hash mismatched while the tolerant
+  ``fetchall()`` compare (HUGEINT → Python int) passed. The strict pass
+  fails that class locally.
 """
 
 from __future__ import annotations
@@ -53,6 +61,45 @@ def _sortkey(row):
     )
 
 
+def _strict_cell(v) -> str:
+    """Canonical string for one cell, applied identically to both engines.
+
+    Values that pandas coerced differently (int64 vs float64, Decimal vs
+    float) stringify differently and are reported — that is the point.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if v is None or v is pd.NaT:
+        return "NULL"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_strict_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{_strict_cell(k)}:{_strict_cell(x)}" for k, x in sorted(v.items())
+        ) + "}"
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    return str(v)
+
+
+def _strict_rows(pdf) -> list[tuple]:
+    """Sort columns by lower-cased name, stringify cells, sort rows."""
+    cols = sorted(pdf.columns, key=lambda c: c.lower())
+    rows = [
+        tuple(_strict_cell(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    ]
+    rows.sort()
+    return rows
+
+
 def compare(spark_df, con, sql: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = parity)."""
     problems: list[str] = []
@@ -87,6 +134,23 @@ def compare(spark_df, con, sql: str) -> list[str]:
                 problems.append(f"row {i}: spark={sr} duck={dr}")
     if n_bad:
         problems.append(f"value mismatches: {n_bad}/{len(s_rows)}")
+
+    # Strict driver-mirror pass: both engines through pandas, stringified.
+    spark_strict = _strict_rows(spark_df.toPandas())
+    duck_strict = _strict_rows(con.execute(sql).df())
+    if spark_strict != duck_strict:
+        shown = 0
+        n_strict = abs(len(spark_strict) - len(duck_strict))
+        for a, b in zip(spark_strict, duck_strict):
+            if a != b:
+                n_strict += 1
+                if shown < 3:
+                    problems.append(f"strict repr row: spark={a} duck={b}")
+                    shown += 1
+        problems.append(
+            f"strict stringified mismatch: {n_strict} rows "
+            "(the driver's value hash would fail)"
+        )
     return problems
 
 

@@ -57,8 +57,8 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FLAGSHIP_ORACLE = """
 SELECT r_name, n_name,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c100,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c100,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey

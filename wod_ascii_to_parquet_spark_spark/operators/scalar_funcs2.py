@@ -85,13 +85,14 @@ def math_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "date_funcs2",
     """
     SELECT o_orderkey,
-           CAST(last_day(o_orderdate) AS DATE) AS month_end,
+           CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
            quarter(o_orderdate) AS qtr,
            CASE WHEN dayofweek(o_orderdate) = 0 THEN 7
                 ELSE dayofweek(o_orderdate) END AS iso_dow,
            weekofyear(o_orderdate) AS iso_week,
            CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec,
-           make_date(year(o_orderdate), month(o_orderdate), 1) AS month_first
+           CAST(make_date(year(o_orderdate), month(o_orderdate), 1)
+                AS TIMESTAMP) AS month_first
     FROM orders
     """,
     tags=("scalar",),
@@ -104,12 +105,17 @@ def date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("o_orderdate")
     return o.select(
         "o_orderkey",
-        F.last_day(d).alias("month_end"),
+        # TIMESTAMP, not DATE: Spark DATE reaches pandas as datetime.date
+        # objects while DuckDB DATE arrives as datetime64 — the driver's
+        # stringified hash would diverge. TIMESTAMP is datetime64 on both.
+        F.last_day(d).cast("timestamp").alias("month_end"),
         F.quarter(d).alias("qtr"),
         F.weekday(d).alias("__wd"),
         F.weekofyear(d).alias("iso_week"),
         F.unix_timestamp(d).alias("epoch_sec"),
-        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("month_first"),
+        F.make_date(F.year(d), F.month(d), F.lit(1))
+        .cast("timestamp")
+        .alias("month_first"),
     ).select(
         "o_orderkey",
         "month_end",

@@ -306,7 +306,7 @@ def subquery_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
            o_orderdate + INTERVAL 3 DAY AS plus_3d,
            o_orderdate + INTERVAL 2 MONTH AS plus_2m,
            CAST(o_orderdate - INTERVAL 1 YEAR AS TIMESTAMP) AS minus_1y,
-           CAST(o_orderdate AS DATE) AS as_date
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS as_date
     FROM orders
     """,
     tags=("scalar",),
@@ -321,7 +321,10 @@ def interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") - F.expr("INTERVAL 1 YEAR"))
         .cast("timestamp")
         .alias("minus_1y"),
-        F.col("o_orderdate").cast("date").alias("as_date"),
+        # date-cast demo, re-cast to TIMESTAMP: a bare DATE column reaches
+        # pandas as datetime.date (Spark) vs datetime64 (DuckDB) and the
+        # driver's stringified hash diverges.
+        F.col("o_orderdate").cast("date").cast("timestamp").alias("as_date"),
     )
 
 

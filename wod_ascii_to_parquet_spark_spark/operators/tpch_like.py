@@ -16,9 +16,9 @@ from ..registry import load, register, rev_c100
 @register(
     "q3_shipping_priority",
     """
-    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate, o_orderpriority,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c100
+    SELECT o_orderkey, o_orderdate AS odate, o_orderpriority,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c100
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -48,7 +48,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
             "o_orderkey",
-            F.col("o_orderdate").cast("date").alias("odate"),
+            F.col("o_orderdate").alias("odate"),
             "o_orderpriority",
         )
         .agg(
@@ -64,7 +64,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_nation_volume",
     """
     SELECT supp_nation, cust_nation, l_year,
-           sum(volume_c100) AS revenue_c100
+           CAST(sum(volume_c100) AS BIGINT) AS revenue_c100
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                year(l_shipdate) AS l_year,
@@ -116,8 +116,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     """
     SELECT c_custkey, c_name, n_name,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c100,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c100,
            max(c_acctbal) AS c_acctbal
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -156,7 +156,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q18_large_orders",
     """
-    SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+    SELECT c_custkey, o_orderkey, o_orderdate AS odate,
            round(total_qty, 2) AS total_qty
     FROM (
         SELECT o.o_custkey AS c_custkey, l.l_orderkey AS o_orderkey,
@@ -180,7 +180,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("o_custkey").alias("c_custkey"),
             F.col("l_orderkey").alias("o_orderkey"),
-            F.col("o_orderdate").cast("date").alias("odate"),
+            F.col("o_orderdate").alias("odate"),
         )
         .agg(F.sum("l_quantity").alias("__raw_qty"))
         .filter(F.col("__raw_qty") > 150)
