@@ -36,3 +36,22 @@ def test_two_level_agg_equivalent(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, skew_safe.collect())
     )
+
+
+def test_salt_spreads_hot_key_with_constant_value(spark):
+    """Regression: a hot key whose rows all share ONE value must still
+    spread across salts (a value-derived salt collapses to a single one)."""
+    from pyspark.sql import functions as F2
+
+    df = spark.range(10_000).select(
+        F2.lit("hot").alias("k"), F2.lit(1.0).alias("v")
+    )
+    salted = df.withColumn(
+        "__salt",
+        F2.pmod(F2.xxhash64(F2.monotonically_increasing_id()), F2.lit(16)),
+    )
+    n_distinct = salted.select("__salt").distinct().count()
+    assert n_distinct >= 12  # ~16 expected; must not be 1
+
+    out = two_level_agg(df, "k", "v", n_salts=16).collect()
+    assert len(out) == 1 and out[0]["n"] == 10_000 and out[0]["sum_v"] == 10_000.0

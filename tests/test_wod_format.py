@@ -108,3 +108,22 @@ def test_stream_error_yields_error_row():
     results = list(iter_casts("garbage not a cast", "XBT"))
     assert len(results) == 1
     assert results[0][0] is None
+
+
+def test_dataset_inference_from_path():
+    """parse_file_content without dataset= infers DS from the reference
+    layout <...>/<DS>/<LEVEL>/<FILE> — regression: passing a dirname made
+    the fallback return the directory ABOVE the dataset code."""
+    import pathlib
+
+    from wod_ascii_to_parquet_spark_spark.sources.wod_ascii import (
+        _dataset_of,
+        parse_file_content,
+    )
+
+    path = "/root/reference/src/test/resources/wod/CTD/OBS/CTDO1971.gz"
+    assert _dataset_of(path) == "CTD"
+    content = pathlib.Path(path).read_bytes()
+    rows = list(parse_file_content(path, content))
+    assert rows and all(err is None for _, err in rows)
+    assert {cast[0] for cast, _ in rows} == {"CTD"}  # cast[0] = dataset col

@@ -135,6 +135,18 @@ def convert_file(spark: SparkSession, task: FileTask, overwrite: bool = False) -
 
     parsed = wod_scan(spark, task.input_path, dataset=task.dataset).cache()
     try:
+        # Error store FIRST, and idempotently (overwrite, not append): the
+        # skip/resume contract keys on the MAIN output's _SUCCESS, so any
+        # work that must exist whenever _SUCCESS exists has to commit
+        # before it. Writing errors after the main commit left a window
+        # where a crash dropped the error channel for a file every later
+        # resume would skip (TransformationErrorHandler.java:42-52 appends
+        # incrementally; here one overwrite per file is equivalent and
+        # retry-safe — append would duplicate rows when the main write
+        # fails after the error write succeeded).
+        errs = errors(parsed)
+        if errs.limit(1).count() > 0:
+            errs.coalesce(1).write.mode("overwrite").parquet(task.error_path)
         # castTimestamp: assembled from Y/M/D + fractional-hour time
         # (SURVEY §1.2); try_* variants — invalid header dates yield null,
         # not a job failure, under ANSI mode.
@@ -180,9 +192,6 @@ def convert_file(spark: SparkSession, task: FileTask, overwrite: bool = False) -
             .partitionBy("geohash3")
             .parquet(out)
         )
-        errs = errors(parsed)
-        if errs.limit(1).count() > 0:
-            errs.coalesce(1).write.mode("append").parquet(task.error_path)
     finally:
         parsed.unpersist()
     return "converted"

@@ -21,16 +21,19 @@ def salted_join(
     n_salts: int = 8,
     how: str = "inner",
 ) -> DataFrame:
-    """Equi-join with the big side salted deterministically.
+    """Equi-join with the big side salted per-row.
 
-    The big side's salt derives from a hash of its whole row (via
-    ``monotonically_increasing_id`` would be nondeterministic across
-    retries; a column hash is stable), so the same input always produces
-    the same partitioning. The small side is exploded ×``n_salts`` — its
+    The salt must vary WITHIN a hot key, so it cannot be a function of the
+    key (or of column values at all — a hot key whose rows are full
+    duplicates would still collapse to one salt). A per-row position salt
+    (``monotonically_increasing_id``) spreads every hot key evenly; any
+    salt value in ``[0, n_salts)`` joins correctly because the small side
+    is replicated across all salts, so retry nondeterminism cannot change
+    the result set. The small side is exploded ×``n_salts`` — its
     duplication factor is the price of spreading the hot key.
     """
     big_salted = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
     )
     small_salted = small.withColumn(
         "__salt",
@@ -45,9 +48,14 @@ def two_level_agg(
 ) -> DataFrame:
     """Skew-safe sum aggregation: pre-aggregate on (key, salt), then merge
     the ≤``n_salts`` partials per key — the hot key's input spreads over
-    ``n_salts`` reducers in phase one instead of hammering a single one."""
+    ``n_salts`` reducers in phase one instead of hammering a single one.
+
+    The salt is per-row (position hash), NOT a value hash: a hot key whose
+    rows share one value — a common skew shape — would map to a single
+    salt and re-funnel to one reducer. The grouped result is identical for
+    any salt assignment; only the phase-one distribution changes."""
     salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col(value)), F.lit(n_salts))
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
     )
     partial = salted.groupBy(key, "__salt").agg(
         F.sum(value).alias("__partial_sum"), F.count(F.lit(1)).alias("__partial_n")

@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import gzip
 import io
-import os
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -68,7 +67,7 @@ def _cast_row(c: RawCast) -> tuple:
 
 def parse_file_content(path: str, content: bytes, dataset: str | None = None) -> Iterator[tuple]:
     """Gunzip (if needed) + decode one file's casts → tagged-union tuples."""
-    ds = dataset or _dataset_of(os.path.dirname(path))
+    ds = dataset or _dataset_of(path)
     if path.endswith(".gz"):
         reader = io.TextIOWrapper(
             gzip.GzipFile(fileobj=io.BytesIO(content)), errors="replace"
@@ -175,7 +174,7 @@ def wod_scan(
             for i in range(batch.num_rows):
                 path = paths_col[i].as_py()
                 content = content_col[i].as_py()
-                ds = dataset or _dataset_of(os.path.dirname(path))
+                ds = dataset or _dataset_of(path)
                 oks: list = []
                 errs: list = []
                 if path.endswith(".gz"):
