@@ -44,3 +44,31 @@ def test_oracles_reference_known_tables_only():
 def test_query_names_are_stable_identifiers():
     for name in QUERIES:
         assert re.fullmatch(r"[a-z0-9_]+", name), name
+
+
+def test_sample_rotation_orders_unverified_first():
+    """load_all_operators orders oracled-but-never-green queries first so
+    the driver's fixed-size sample prefix rotates coverage across rounds."""
+    import json
+    import pathlib
+
+    from wod_ascii_to_parquet_spark_spark.registry import load_all_operators
+
+    qs = load_all_operators()
+    names = list(qs)
+    green = set()
+    for p in pathlib.Path(__file__).resolve().parents[1].glob(
+        "CORRECTNESS_r*.json"
+    ):
+        for name, res in json.loads(p.read_text()).items():
+            if isinstance(res, dict) and res.get("hash_match"):
+                green.add(name)
+    if not green:  # no driver history yet — any order is fine
+        return
+    first_green = min(
+        (names.index(n) for n in green if n in names), default=len(names)
+    )
+    # every oracled query that is NOT yet green must sort before ALL greens
+    for i, n in enumerate(names):
+        if qs[n].oracle is not None and n not in green:
+            assert i < first_green, (n, i, first_green)

@@ -222,22 +222,24 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "set_except",
     """
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT o_orderkey AS orderkey FROM orders
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT l_orderkey AS orderkey FROM lineitem
     """,
     tags=("setop",),
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct set difference (the reference's ``all.removeAll(success)``
-    inventory diff, ``OsPoolS3Lister.java:106``)."""
-    customer = load(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
+    inventory diff, ``OsPoolS3Lister.java:106``): orders with no lineitem
+    rows — nonempty in this testdata (~1.7% of orders), so the oracle
+    check is not vacuous (the previous nationkey diff was always empty)."""
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey")
     )
-    supplier = load(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey")
     )
-    return customer.subtract(supplier)
+    return orders.subtract(lineitem)
 
 
 @register(
