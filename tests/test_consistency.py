@@ -118,3 +118,64 @@ def test_cast_timestamp_assembly(spark, tmp_path):
         & F.col("time").isNotNull()
     ).count()
     assert n_null == 0
+
+
+def test_simhash_segments_equal_block_quadratic(spark):
+    """The pigeonhole-bucketed simhash must return EXACTLY the pairs the
+    (lang, source)-block self-join returns — bucketing changes the plan
+    shape (equi-join on segment keys), never the result set."""
+    from wod_ascii_to_parquet_spark_spark.operators.dedup import simhash_bits
+    from wod_ascii_to_parquet_spark_spark.registry import load, spread
+
+    s = simhash_bits(spread(load(spark, SF_DIR, "documents")), nbits=32)
+    a = s.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("src_a"),
+        F.col("bits").alias("bits_a"),
+    )
+    b = s.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("src_b"),
+        F.col("bits").alias("bits_b"),
+    )
+    hamming = F.aggregate(
+        F.zip_with(F.col("bits_a"), F.col("bits_b"), lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    brute = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("src_a") == F.col("src_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 8)
+        .collect()
+    }
+    bucketed = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in QUERIES["dedup_simhash"].fn(spark, SF_DIR).collect()
+    }
+    assert bucketed == brute
+
+
+def test_simhash_plan_has_no_theta_self_join(spark):
+    """The candidate join must be an equi-join (hash-partitionable on
+    segment keys), not a broadcast-nested-loop/cartesian theta join."""
+    plan = QUERIES["dedup_simhash"].fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash64_subset_sanity(spark):
+    """64-bit/d≤3 variant: symmetric, deterministic, and every returned
+    pair verifies at hamming ≤ 3."""
+    rows = QUERIES["dedup_simhash64"].fn(spark, SF_DIR).collect()
+    assert all(r.hamming <= 3 and r.doc_a < r.doc_b for r in rows)
+    rows2 = QUERIES["dedup_simhash64"].fn(spark, SF_DIR).collect()
+    assert {tuple(r) for r in rows} == {tuple(r) for r in rows2}

@@ -1,21 +1,24 @@
 """Fuzzy-deduplication family (driver contract: first-class at 100 TB).
 
-Four arms over ``documents``:
+Five arms over ``documents``:
 
 - ``dedup_ngram_jaccard`` — exact n-gram Jaccard within blocking keys
   (SQL-expressible → full oracle).
 - ``dedup_minhash_lsh``  — MinHash signatures + banded LSH candidate
   generation + exact verify (the 100 TB path; rows-only oracle since DuckDB
   lacks xxhash64).
-- ``dedup_simhash``      — 64-bit SimHash + Hamming-distance candidates
-  (rows-only).
+- ``dedup_simhash``      — 32-bit SimHash, Hamming ≤ 8, candidates via
+  bit-segment pigeonhole buckets (rows-only).
+- ``dedup_simhash64``    — 64-bit / Hamming ≤ 3 production parameters
+  (Manku et al., WWW'07), no blocking key needed (rows-only).
 - ``dedup_embedding_cosine`` — embedding-space near-dup pairs (full oracle).
 
-Scale design: the all-pairs comparison is always confined — by blocking keys
-(ngram/simhash), by LSH band buckets (minhash), or by ANN buckets
-(embeddings). The only unbounded self-join in this file is over ~0-sized
-candidate sets, never over the corpus. Everything is Catalyst higher-order
-functions on arrays — no Python in the row path.
+Scale design: the all-pairs comparison is always confined — by LSH band
+buckets (minhash), bit-segment buckets (simhash), ANN buckets (embeddings),
+or blocking keys (ngram — the one deliberately-blocked exact kernel, kept
+as the small-block verify oracle). The only unbounded self-join in this
+file is over ~0-sized candidate sets, never over the corpus. Everything is
+Catalyst higher-order functions on arrays — no Python in the row path.
 """
 
 from __future__ import annotations
@@ -211,16 +214,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash", None, tags=("dedup", "rows-only"))
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash near-dup candidates: per-token hash, bit-majority
-    vote → bit vector; pairs within (lang, source) blocks at Hamming
-    distance ≤ 8. One fold over the token hashes computes all 32 bit
-    counters (same loop-inversion discipline as ``minhash_signature`` —
-    per-bit aggregates would re-evaluate the tokenize+hash per bit).
-    Rows-only: DuckDB lacks xxhash64."""
-    nbits = 32
-    d = spread(load(spark, sf_dir, "documents"))
+def simhash_bits(d: DataFrame, nbits: int = 32) -> DataFrame:
+    """``(doc_id, lang, source, bits)`` — per-token hash, bit-majority vote.
+
+    One fold over the token hashes computes all ``nbits`` counters (same
+    loop-inversion discipline as ``minhash_signature`` — per-bit aggregates
+    would re-evaluate the tokenize+hash per bit)."""
     hashes = F.transform(
         F.split(F.col("text"), " "),
         lambda t: F.pmod(F.xxhash64(t), F.lit(1 << 31)),
@@ -243,36 +242,114 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     bits = F.transform(counts, lambda c: F.when(c >= 0, 1).otherwise(0).cast("int"))
-    s = d.select("doc_id", "lang", "source", bits.alias("bits")).repartition(
+    return d.select("doc_id", "lang", "source", bits.alias("bits")).repartition(
         F.col("doc_id")
     )
-    a = s.select(
+
+
+def _segment_starts(nbits: int, n_segments: int) -> list[tuple[int, int]]:
+    """(start, width) covering ``nbits`` bits with ``n_segments`` pieces."""
+    base, extra = divmod(nbits, n_segments)
+    out, pos = [], 0
+    for i in range(n_segments):
+        w = base + (1 if i < extra else 0)
+        out.append((pos, w))
+        pos += w
+    return out
+
+
+def _simhash_pairs(
+    s: DataFrame, nbits: int, max_hamming: int, key_cols: tuple[str, ...]
+) -> DataFrame:
+    """Hamming-≤``max_hamming`` pairs via bit-segment pigeonhole bucketing.
+
+    Split the fingerprint into ``max_hamming + 1`` segments: two vectors
+    within Hamming distance ``max_hamming`` differ in at most
+    ``max_hamming`` segments, so at least one segment is IDENTICAL — an
+    equi-join on ``(key, segment_index, segment_value)`` has guaranteed
+    recall. Candidates hit by several segments are de-duplicated; the
+    exact Hamming verify runs on candidates only. This replaces the
+    (lang, source)-block self-join, whose Σ|block|² pair count is a
+    scale-killer when one block is the whole corpus (e.g. "en"/"web").
+
+    Candidate-volume math: with k segments of w = nbits/k bits, a segment
+    bucket holds ~N/2^w docs. At 32 bits / distance 8 (k=9, w≈4) the
+    buckets are coarse — adequate pruning for modest N, but a real 100 TB
+    deployment widens the fingerprint instead: see ``dedup_simhash64``
+    (64-bit, distance 3, 16-bit segments → N/65536 per bucket; Manku
+    et al., WWW'07)."""
+    segs = _segment_starts(nbits, max_hamming + 1)
+    # seg value = the segment's bits folded into one int; explode to
+    # (key..., seg_idx, seg_val, doc_id, bits).
+    seg_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seg_idx"),
+                F.aggregate(
+                    F.slice(F.col("bits"), start + 1, width),
+                    F.lit(0),
+                    lambda acc, b: acc * 2 + b,
+                ).alias("seg_val"),
+            )
+            for i, (start, width) in enumerate(segs)
+        ]
+    )
+    e = s.select(
+        "doc_id", "bits", *key_cols, F.explode(seg_structs).alias("seg")
+    ).select("doc_id", "bits", *key_cols, "seg.seg_idx", "seg.seg_val")
+    a = e.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("lang").alias("lang_a"),
-        F.col("source").alias("src_a"),
         F.col("bits").alias("bits_a"),
+        *[F.col(c).alias(f"{c}_a") for c in key_cols],
+        "seg_idx",
+        "seg_val",
     )
-    b = s.select(
+    b = e.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("source").alias("src_b"),
         F.col("bits").alias("bits_b"),
+        *[F.col(c).alias(f"{c}_b") for c in key_cols],
+        "seg_idx",
+        "seg_val",
     )
+    cond = (F.col("doc_a") < F.col("doc_b"))
+    for c in key_cols:
+        cond &= F.col(f"{c}_a") == F.col(f"{c}_b")
     hamming = F.aggregate(
         F.zip_with(F.col("bits_a"), F.col("bits_b"), lambda x, y: F.abs(x - y)),
         F.lit(0),
         lambda acc, v: acc + v,
     )
     return (
-        a.join(
-            b,
-            (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("src_a") == F.col("src_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
+        a.join(b, ["seg_idx", "seg_val"])
+        .filter(cond)
         .select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= 8)
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair can collide on several segments
     )
+
+
+@register("dedup_simhash", None, tags=("dedup", "rows-only"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash near-dup pairs at Hamming ≤ 8 within (lang, source).
+
+    Candidate generation is bit-segment pigeonhole bucketing (9 segments →
+    guaranteed recall at distance 8), NOT a block self-join — see
+    ``_simhash_pairs``. Output is identical to the block-quadratic
+    formulation (asserted in tests/test_consistency.py). Rows-only:
+    DuckDB lacks xxhash64."""
+    s = simhash_bits(spread(load(spark, sf_dir, "documents")), nbits=32)
+    return _simhash_pairs(s, nbits=32, max_hamming=8, key_cols=("lang", "source"))
+
+
+@register("dedup_simhash64", None, tags=("dedup", "rows-only"))
+def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash at Hamming ≤ 3 — the production-parameter variant
+    (Manku et al., WWW'07: 64-bit fingerprints, distance 3). Four 16-bit
+    segments → bucket population ~N/65536 per segment: candidate volume
+    stays near-linear even when one (lang, source) slice is the whole
+    corpus, so no blocking key is needed at all."""
+    s = simhash_bits(spread(load(spark, sf_dir, "documents")), nbits=64)
+    return _simhash_pairs(s, nbits=64, max_hamming=3, key_cols=())
 
 
 def cosine(a: Column, b: Column) -> Column:
