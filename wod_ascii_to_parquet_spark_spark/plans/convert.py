@@ -35,7 +35,7 @@ bucket by (geohash3, salt) instead.
 from __future__ import annotations
 
 import os
-import shutil
+import posixpath
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
@@ -43,7 +43,14 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.geohash import geohash_col
+from ..sources.filesystem import FsClient
 from ..sources.wod_ascii import errors, ok_casts, wod_scan
+
+
+def _join(base: str, *parts: str) -> str:
+    """Path join that preserves URI schemes (``s3a://…``): posix-style,
+    never the platform separator."""
+    return posixpath.join(base, *parts)
 
 DEFAULT_DATASETS = (
     "APB", "CTD", "DRB", "GLD", "MBT", "MRB", "OSD", "PFL", "SUR", "UOR", "XBT",
@@ -64,7 +71,7 @@ class FileTask:
 
     @property
     def out_name(self) -> str:
-        name = os.path.basename(self.input_path)
+        name = self.input_path.rstrip("/").rsplit("/", 1)[-1]
         name = name[:-3] if name.endswith(".gz") else name
         if name == "SURF_ALL":  # DatasetYearTrain.java:39-40,231-233
             name = "SUR_ALL"
@@ -72,11 +79,11 @@ class FileTask:
 
     @property
     def output_path(self) -> str:
-        return os.path.join(self.output_dir, "yearly", self.dataset, self.level, self.out_name)
+        return _join(self.output_dir, "yearly", self.dataset, self.level, self.out_name)
 
     @property
     def error_path(self) -> str:
-        return os.path.join(self.error_dir, "error", self.dataset, self.level, self.out_name)
+        return _join(self.error_dir, "error", self.dataset, self.level, self.out_name)
 
 
 @dataclass
@@ -92,31 +99,42 @@ def plan_tasks(
     datasets: tuple[str, ...] = DEFAULT_DATASETS,
     levels: tuple[str, ...] = DEFAULT_LEVELS,
     subset: tuple[str, ...] = (),
+    spark: SparkSession | None = None,
 ) -> list[FileTask]:
     """Cartesian (datasets × levels) key listing + suffix/subset filter —
-    ``SparklerExecutor.java:60-69`` + ``DatasetTrain.java:51-86`` on local FS
-    (S3 listing would use boto3 paging, ``S3Actions.java:59-89``)."""
+    ``SparklerExecutor.java:60-69`` + ``DatasetTrain.java:51-86``.
+
+    With ``spark``, listing goes through the Hadoop ``FileSystem`` for the
+    path's scheme — ``s3a://`` sources page ListObjectsV2 inside the
+    connector, the mirror of ``S3Actions.listObjects``'s paginator
+    (``S3Actions.java:59-71``). Without it, plain ``os.listdir`` (pure
+    local, keeps planning importable without a JVM)."""
+    fs = FsClient(spark) if spark is not None else None
     tasks: list[FileTask] = []
     for ds in sorted(set(datasets)):
         for lvl in sorted(set(levels)):
-            prefix = os.path.join(source, ds, lvl)
-            if not os.path.isdir(prefix):
-                continue
-            for name in sorted(os.listdir(prefix)):
+            prefix = _join(source, ds, lvl)
+            if fs is not None:
+                names = fs.list_names(prefix)
+            elif os.path.isdir(prefix):
+                names = sorted(os.listdir(prefix))
+            else:
+                names = []
+            for name in names:
                 keep = name.endswith(".gz") if not subset else name in subset
                 if keep:
                     tasks.append(
-                        FileTask(ds, lvl, os.path.join(prefix, name), output, output)
+                        FileTask(ds, lvl, _join(prefix, name), output, output)
                     )
     return tasks
 
 
-def _has_success(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+def _has_success(fs: FsClient, path: str) -> bool:
+    return fs.exists(_join(path, "_SUCCESS"))
 
 
-def _has_stale_temp(path: str) -> bool:
-    return os.path.isdir(path) and os.path.exists(os.path.join(path, "_temporary"))
+def _has_stale_temp(fs: FsClient, path: str) -> bool:
+    return fs.is_dir(path) and fs.exists(_join(path, "_temporary"))
 
 
 def convert_file(spark: SparkSession, task: FileTask, overwrite: bool = False) -> str:
@@ -126,11 +144,12 @@ def convert_file(spark: SparkSession, task: FileTask, overwrite: bool = False) -
     output (``_SUCCESS``) is skipped unless ``overwrite``; a partial output
     (stale ``_temporary``) is removed and rebuilt.
     """
+    fs = FsClient(spark)
     out = task.output_path
-    if overwrite or _has_stale_temp(out):
-        shutil.rmtree(out, ignore_errors=True)
-        shutil.rmtree(task.error_path, ignore_errors=True)
-    if _has_success(out):
+    if overwrite or _has_stale_temp(fs, out):
+        fs.delete(out)
+        fs.delete(task.error_path)
+    if _has_success(fs, out):
         return "skipped"
 
     parsed = wod_scan(spark, task.input_path, dataset=task.dataset).cache()
@@ -219,7 +238,7 @@ def convert(
     from the stale-``_temporary`` cleanup path, so partial outputs of the
     failed attempt are rebuilt, not appended to."""
     result = ConvertResult()
-    tasks = plan_tasks(source, output, datasets, levels, subset)
+    tasks = plan_tasks(source, output, datasets, levels, subset, spark=spark)
 
     def run(task: FileTask) -> None:
         last_err: Exception | None = None
