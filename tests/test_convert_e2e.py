@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import glob
 import gzip
+import json
 import os
 import shutil
 
@@ -59,6 +60,27 @@ def test_outputs_and_markers(converted):
         path = os.path.join(out, rel)
         assert os.path.exists(os.path.join(path, "_SUCCESS")), rel
         assert glob.glob(os.path.join(path, "geohash3=*")), rel
+        # CRS sidecar (SURVEY §4.3; DatasetYearTrain.java:41-42,132-134)
+        sidecar = os.path.join(path, "_geo_metadata.json")
+        assert os.path.exists(sidecar), rel
+        meta = json.loads(open(sidecar).read())
+        assert meta["crs"]["id"] == {"authority": "EPSG", "code": 4326}
+        assert meta["geoparquet_version"] == "1.0.0"
+        assert meta["coordinates"] == {
+            "latitude": "latitude", "longitude": "longitude"
+        }
+
+
+def test_sidecar_heals_on_resume(spark, tmp_path):
+    """_SUCCESS present but sidecar missing (crash between the two
+    writes) → resume rewrites the sidecar without rebuilding."""
+    out = str(tmp_path / "out")
+    task = FileTask("CTD", "OBS", f"{WOD}/CTD/OBS/CTDO1971.gz", out, out)
+    assert convert_file(spark, task) == "converted"
+    sidecar = os.path.join(task.output_path, "_geo_metadata.json")
+    os.remove(sidecar)
+    assert convert_file(spark, task) == "skipped"
+    assert os.path.exists(sidecar)
 
 
 def test_cast_counts_roundtrip(spark, converted):

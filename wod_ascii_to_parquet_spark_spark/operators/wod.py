@@ -129,6 +129,75 @@ def wod_depth_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wod_list_missing",
+    """
+    WITH expected AS (
+        SELECT ds, CAST(1950 + y AS BIGINT) AS year
+        FROM (SELECT unnest(['CTD', 'OSD', 'PFL', 'XBT']) AS ds), range(0, 70) t(y)
+    ),
+    produced AS (
+        SELECT ds || '/OBS/' || ds || 'O' || CAST(year AS VARCHAR) || '.gz' AS key
+        FROM expected
+        WHERE (year * 31 + ascii(substr(ds, 1, 1))) % 9 <> 0
+    ),
+    parsed AS (
+        SELECT split_part(key, '/', 1) AS ds,
+               CAST(substr(split_part(key, '/', 3), 5, 4) AS BIGINT) AS year
+        FROM produced
+    )
+    SELECT e.ds AS dataset, e.year AS year
+    FROM expected e
+    WHERE NOT EXISTS (
+        SELECT 1 FROM parsed p WHERE p.ds = e.ds AND p.year = e.year
+    )
+    ORDER BY dataset, year
+    """,
+    tags=("wod",),
+)
+def wod_list_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's missing-inventory diff as an anti-join
+    (``OsPoolS3Lister.java:74-125``: page the produced listing, parse each
+    key back to (dataset, year) — ``getFileName``/``parseDatasetYear`` —
+    then ``all.removeAll(success)``). Here the produced listing is a
+    deterministic synthetic subset of the expected (dataset × year) grid
+    so the oracle can replay it; against a real bucket the ``produced``
+    leg is ``FsClient.list_names`` output. Anti-join beats the TreeSet
+    diff at scale: both legs stay distributed, no driver materialization.
+    """
+    ds = F.explode(
+        F.array(*[F.lit(x) for x in ("CTD", "OSD", "PFL", "XBT")])
+    ).alias("ds")
+    expected = (
+        spark.range(0, 70)
+        .select((F.col("id") + 1950).alias("year"))
+        .select("year", ds)
+    )
+    produced = expected.filter(
+        (F.col("year") * 31 + F.ascii(F.substring("ds", 1, 1))) % 9 != 0
+    ).select(
+        F.concat(
+            F.col("ds"), F.lit("/OBS/"), F.col("ds"), F.lit("O"),
+            F.col("year").cast("string"), F.lit(".gz"),
+        ).alias("key")
+    )
+    parsed = produced.select(
+        F.split_part(F.col("key"), F.lit("/"), F.lit(1)).alias("p_ds"),
+        F.substring(
+            F.split_part(F.col("key"), F.lit("/"), F.lit(3)), 5, 4
+        ).cast("bigint").alias("p_year"),
+    )
+    return (
+        expected.join(
+            parsed,
+            (F.col("ds") == F.col("p_ds")) & (F.col("year") == F.col("p_year")),
+            "left_anti",
+        )
+        .select(F.col("ds").alias("dataset"), "year")
+        .orderBy("dataset", "year")
+    )
+
+
+@register(
     "udaf_grouped",
     """
     SELECT l_orderkey, l_linenumber,

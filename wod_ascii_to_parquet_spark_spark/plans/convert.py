@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from ..functions.geohash import geohash_col
 from ..sources.filesystem import FsClient
 from ..sources.wod_ascii import errors, ok_casts, wod_scan
+from .geo_metadata import SIDECAR_NAME, geo_sidecar_bytes
 
 
 def _join(base: str, *parts: str) -> str:
@@ -150,6 +151,11 @@ def convert_file(spark: SparkSession, task: FileTask, overwrite: bool = False) -
         fs.delete(out)
         fs.delete(task.error_path)
     if _has_success(fs, out):
+        # Sidecar content is static; a crash after the main commit but
+        # before the sidecar write heals here instead of forcing a rebuild.
+        sidecar = _join(out, SIDECAR_NAME)
+        if not fs.exists(sidecar):
+            fs.write_bytes(sidecar, geo_sidecar_bytes())
         return "skipped"
 
     parsed = wod_scan(spark, task.input_path, dataset=task.dataset).cache()
@@ -211,6 +217,10 @@ def convert_file(spark: SparkSession, task: FileTask, overwrite: bool = False) -
             .partitionBy("geohash3")
             .parquet(out)
         )
+        # CRS sidecar (GeoParquet version + WGS-84 PROJJSON + column
+        # mapping) — the Sedona-free mirror of the reference's
+        # geoparquet.crs writer option (DatasetYearTrain.java:132-134).
+        fs.write_bytes(_join(out, SIDECAR_NAME), geo_sidecar_bytes())
     finally:
         parsed.unpersist()
     return "converted"
