@@ -179,3 +179,30 @@ def test_simhash64_subset_sanity(spark):
     assert all(r.hamming <= 3 and r.doc_a < r.doc_b for r in rows)
     rows2 = QUERIES["dedup_simhash64"].fn(spark, SF_DIR).collect()
     assert {tuple(r) for r in rows} == {tuple(r) for r in rows2}
+
+
+def test_asof_bucketed_agrees_with_window_formulation(spark):
+    """The time-bucketed as-of plan must be result-identical to the plain
+    equi-join + argmax plan, including with a bucket width small enough
+    that the carry path (not the in-bucket path) supplies most answers."""
+    from wod_ascii_to_parquet_spark_spark.operators.joins import (
+        asof_join,
+        asof_join_bucketed,
+    )
+    from wod_ascii_to_parquet_spark_spark.registry import load
+
+    events = load(spark, SF_DIR, "events").select("event_id", "ts", "user_id")
+    orders = load(spark, SF_DIR, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    kw = dict(on="user_id", left_ts="ts", right_ts="o_orderdate",
+              tiebreak="o_orderkey")
+    plain = {tuple(r) for r in asof_join(events, orders, **kw).collect()}
+    for bucket_seconds in (30 * 86400, 86400):  # monthly and daily buckets
+        bucketed = {
+            tuple(r)
+            for r in asof_join_bucketed(
+                events, orders, bucket_seconds=bucket_seconds, **kw
+            ).collect()
+        }
+        assert bucketed == plain, f"bucket_seconds={bucket_seconds}"

@@ -219,12 +219,12 @@ def asof_join(
     Implementation: equi-join on ``on`` with the range predicate, then window
     top-1 per left row — one shuffle on the equi key, fully JVM-side.
 
-    100 TB note: when the per-key match multiplicity is large, pre-bucket the
-    time axis (e.g. by day) and equi-join on (key, bucket) with a
-    lag-one-bucket union so each left row only meets a bounded slice of the
-    right side; or use ``applyInPandas`` + ``pd.merge_asof`` per key range.
-    A window over the raw equi-join is correct at any scale but its shuffle
-    payload is |matches|, not |left|.
+    100 TB note: when the per-key match multiplicity is large, use
+    :func:`asof_join_bucketed` (equi-join on (key, time-bucket) + carried
+    per-bucket maxima — bounded intermediate at any multiplicity) or the
+    cogrouped ``pd.merge_asof`` variant (``join_asof_pandas``). This
+    formulation is correct at any scale but materializes |matches| rows
+    into the argmax aggregate.
     """
     lcols = [F.col(f"l.{c}") for c in left.columns]
     rnames = [c for c in right.columns if c != on]
@@ -250,6 +250,99 @@ def asof_join(
         .agg(best)
         .select(*[c.split(".")[-1] for c in [f"l.{c}" for c in left.columns]],
                 *[F.col(f"__best.{c}").alias(c) for c in rnames])
+    )
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    tiebreak: str,
+    bucket_seconds: int = 30 * 86400,
+) -> DataFrame:
+    """As-of join with the time axis bucketed — the large×large scale path.
+
+    The plain formulation (equi-join on the key + range predicate) has a
+    join output of |matches| rows before the per-left-row argmax; with
+    large per-key match multiplicity that intermediate dominates. Here
+    every join is an EQUI join on ``(key, time_bucket)``:
+
+    1. per-(key, bucket) **summary**: the best right row of each bucket
+       (one aggregate row per nonempty bucket);
+    2. **carry**: for each left bucket, the best right row from any
+       strictly-earlier bucket — a running ``last`` over the per-key
+       bucket summaries (window over #(key, bucket) rows, not matches);
+    3. **in-bucket**: left ⋈ right on (key, bucket) with the exact
+       ``right_ts <= left_ts`` filter — multiplicity bounded by bucket
+       width, tunable via ``bucket_seconds``;
+    4. answer = max(in-bucket candidate, carry candidate) per left row.
+
+    Right rows in earlier buckets need no timestamp filter (bucket order
+    implies ``right_ts < left_ts``); later buckets never meet the left
+    row. Result is identical to :func:`asof_join` (same ordering struct,
+    same inner semantics) — registered under the same oracle and asserted
+    equal in tests/test_consistency.py.
+    """
+    from pyspark.sql import Window
+
+    rnames = [c for c in right.columns if c != on]
+    bucket = lambda ts: F.floor(F.unix_timestamp(F.col(ts)) / bucket_seconds)  # noqa: E731
+    lb = left.withColumn("__b", bucket(left_ts))
+    rb = right.withColumn("__b", bucket(right_ts))
+    # candidate = (ordering struct, payload struct): max() picks by
+    # (right_ts, tiebreak) first — same order as asof_join's max_by.
+    cand = F.struct(
+        F.struct(
+            F.col(right_ts).alias("ts"), F.col(tiebreak).alias("tb")
+        ).alias("o"),
+        F.struct(*[F.col(c).alias(c) for c in rnames]).alias("p"),
+    )
+
+    summaries = rb.groupBy(on, "__b").agg(F.max(cand).alias("s")).withColumn(
+        "__src", F.lit(1)
+    )
+    markers = (
+        lb.select(on, "__b")
+        .distinct()
+        .withColumn("__src", F.lit(0))
+        .withColumn("s", F.lit(None).cast(summaries.schema["s"].dataType))
+    )
+    # markers sort BEFORE same-bucket summaries (__src 0 < 1), so a left
+    # bucket's carry sees only strictly-earlier buckets; the latest
+    # nonempty bucket's summary is the global best (bucket order is time
+    # order for the per-bucket maxima).
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__b", "__src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry = (
+        markers.unionByName(summaries)
+        .withColumn("carry", F.last("s", ignorenulls=True).over(w))
+        .filter(F.col("__src") == 0)
+        .select(on, "__b", "carry")
+    )
+
+    in_bucket = (
+        lb.join(
+            rb.select(on, "__b", cand.alias("s"), F.col(right_ts).alias("__rts")),
+            [on, "__b"],
+        )
+        .filter(F.col("__rts") <= F.col(left_ts))
+        .groupBy(*left.columns)
+        .agg(F.max("s").alias("inb"))
+    )
+
+    return (
+        lb.join(carry, [on, "__b"], "left")
+        .join(in_bucket, list(left.columns), "left")
+        .withColumn("__best", F.greatest("inb", "carry"))  # greatest skips nulls
+        .filter(F.col("__best").isNotNull())
+        .select(
+            *left.columns, *[F.col(f"__best.p.{c}").alias(c) for c in rnames]
+        )
     )
 
 
@@ -298,9 +391,7 @@ def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "join_asof",
-    """
+ASOF_ORACLE = """
     SELECT event_id, ts, user_id, o_orderkey, o_orderdate
     FROM (
         SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, o.o_orderdate,
@@ -311,9 +402,10 @@ def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events e
         JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
     ) WHERE rn = 1
-    """,
-    tags=("join",),
-)
+"""
+
+
+@register("join_asof", ASOF_ORACLE, tags=("join",))
 def join_asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each event, the most recent order of that user at event time.
     (DuckDB could use ASOF JOIN; the oracle uses an explicit window so the
@@ -323,6 +415,23 @@ def join_asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
     )
     return asof_join(
+        events, orders, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        tiebreak="o_orderkey",
+    )
+
+
+@register("join_asof_bucketed", ASOF_ORACLE, tags=("join",))
+def join_asof_bucketed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of semantics through the time-bucketed plan (every join an
+    equi-join on (key, bucket); see :func:`asof_join_bucketed`) — the
+    strategy for large×large inputs with high per-key match multiplicity.
+    Shares ``join_asof``'s oracle: the two strategies must be
+    indistinguishable by result."""
+    events = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    return asof_join_bucketed(
         events, orders, on="user_id", left_ts="ts", right_ts="o_orderdate",
         tiebreak="o_orderkey",
     )
