@@ -46,3 +46,31 @@ def test_decode_stub_features_deterministic(spark):
         for r in QUERIES["multimodal_decode_stub"].fn(spark, SF_DIR).collect()
     }
     assert a == b and a
+
+
+def test_wav_header_roundtrip_vs_struct(spark):
+    """The Catalyst-built RIFF/WAVE header must be bit-identical to Python
+    struct packing (little-endian u16/u32 fields), and the Catalyst parse
+    must recover channels/rate from the raw bytes."""
+    import duckdb
+
+    rows = QUERIES["multimodal_wav_header"].fn(spark, SF_DIR).collect()
+    assert rows
+    con = duckdb.connect()
+    n_chars = dict(
+        con.execute(
+            f"SELECT doc_id, n_chars FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    )
+    for r in rows:
+        rate = 8000 + n_chars[r.doc_id] % 40000
+        channels = 1 + r.doc_id % 2
+        ref = (
+            b"RIFF" + struct.pack("<I", 0x24) + b"WAVE" + b"fmt "
+            + struct.pack("<I", 16) + struct.pack("<H", 1)
+            + struct.pack("<H", channels) + struct.pack("<I", rate)
+        )
+        assert r.n_bytes == len(ref) == 28
+        assert r.is_wav == 1
+        assert r.parsed_channels == channels
+        assert r.parsed_rate == rate

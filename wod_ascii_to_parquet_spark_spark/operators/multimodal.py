@@ -119,7 +119,32 @@ def _int_be4(col) -> "F.Column":
     return F.unhex(F.lpad(F.hex(col), 8, "0"))
 
 
-@register("multimodal_png_header", None, tags=("multimodal", "rows-only"))
+@register(
+    "multimodal_png_header",
+    """
+    WITH built AS (
+        -- independent byte-level build: blob assembled with from_hex/||,
+        -- then re-parsed from its hex dump (byte i = hex chars 2i-1..2i;
+        -- this DuckDB build lacks BLOB substring)
+        SELECT doc_id,
+               upper(hex(
+                   from_hex('89504E470D0A1A0A') || from_hex('0000000D')
+                   || encode('IHDR')
+                   || from_hex(printf('%08x', CAST(n_chars % 640 + 1 AS INT)))
+                   || from_hex(printf('%08x', CAST(n_chars % 480 + 1 AS INT)))
+                   || from_hex('0806000000')
+               )) AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(h) / 2 AS INT) AS n_bytes,
+           CAST(substring(h, 1, 16) = '89504E470D0A1A0A' AS INT) AS is_png,
+           CAST(concat('0x', substring(h, 33, 8)) AS INT) AS width,
+           CAST(concat('0x', substring(h, 41, 8)) AS INT) AS height
+    FROM built
+    """,
+    tags=("multimodal",),
+)
 def multimodal_png_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL byte-level media handling: build a valid PNG signature + IHDR
     prefix (magic, length, type, width/height as big-endian u32) per
@@ -127,7 +152,9 @@ def multimodal_png_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary substring + hex arithmetic. Everything is Catalyst expressions
     on binary columns — the exact shape of metadata extraction over image
     blobs at scale, minus only the pixel codec. Correctness is pinned
-    against Python ``struct`` in tests/test_multimodal_bytes.py."""
+    against Python ``struct`` in tests/test_multimodal_bytes.py AND
+    against DuckDB's independent blob build+parse (the oracle constructs
+    the same bytes with ``from_hex``/``||`` and re-parses them)."""
     d = load(spark, sf_dir, "documents")
     width = (F.col("n_chars") % 640 + 1).cast("int")
     height = (F.col("n_chars") % 480 + 1).cast("int")
@@ -152,6 +179,103 @@ def multimodal_png_header(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_png.cast("int").alias("is_png"),
         parsed_w.alias("width"),
         parsed_h.alias("height"),
+    )
+
+
+def _le_hex(col, nbytes: int) -> "F.Column":
+    """int → little-endian hex string of ``nbytes`` bytes (Catalyst): build
+    the big-endian hex, then emit its byte pairs in reverse order."""
+    be = F.lpad(F.hex(col), nbytes * 2, "0")
+    return F.concat(
+        *[F.substring(be, (nbytes - 1 - i) * 2 + 1, 2) for i in range(nbytes)]
+    )
+
+
+@register(
+    "multimodal_wav_header",
+    """
+    WITH params AS (
+        SELECT doc_id,
+               CAST(8000 + n_chars % 40000 AS INT) AS rate,
+               CAST(1 + doc_id % 2 AS INT) AS channels
+        FROM documents
+    ),
+    built AS (
+        -- RIFF/WAVE fmt chunk; multi-byte fields are LITTLE-endian, built
+        -- by emitting the %0Nx hex byte pairs in reverse order
+        SELECT doc_id, rate, channels,
+               upper(
+                   hex(encode('RIFF')) || '24000000' || hex(encode('WAVE'))
+                   || hex(encode('fmt ')) || '10000000' || '0100'
+                   || substring(printf('%04x', channels), 3, 2)
+                   || substring(printf('%04x', channels), 1, 2)
+                   || substring(printf('%08x', rate), 7, 2)
+                   || substring(printf('%08x', rate), 5, 2)
+                   || substring(printf('%08x', rate), 3, 2)
+                   || substring(printf('%08x', rate), 1, 2)
+               ) AS h
+        FROM params
+    )
+    SELECT doc_id,
+           CAST(length(h) / 2 AS INT) AS n_bytes,
+           CAST(substring(h, 1, 8) = hex(encode('RIFF'))
+                AND substring(h, 17, 8) = hex(encode('WAVE')) AS INT) AS is_wav,
+           -- parse the LE fields back by re-reversing the byte pairs
+           CAST(concat('0x', substring(h, 47, 2), substring(h, 45, 2)) AS INT)
+               AS parsed_channels,
+           CAST(concat('0x', substring(h, 55, 2), substring(h, 53, 2),
+                       substring(h, 51, 2), substring(h, 49, 2)) AS INT)
+               AS parsed_rate
+    FROM built
+    """,
+    tags=("multimodal",),
+)
+def multimodal_wav_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV/RIFF header build + parse over raw bytes — the little-endian
+    counterpart to ``multimodal_png_header`` (RIFF's u16/u32 fields are
+    LE, so the parse must reverse byte order; PNG's are BE). Layout:
+    RIFF + size + WAVE + 'fmt ' + chunk size 16 + PCM tag + channels(u16)
+    + sample rate(u32), all assembled and re-parsed with Catalyst binary/
+    hex expressions; the oracle independently builds and re-parses the
+    same bytes in DuckDB."""
+    d = load(spark, sf_dir, "documents")
+    rate = (8000 + F.col("n_chars") % 40000).cast("int")
+    channels = (1 + F.col("doc_id") % 2).cast("int")
+    wav_hex = F.upper(
+        F.concat(
+            F.hex(F.lit("RIFF").cast("binary")),
+            F.lit("24000000"),
+            F.hex(F.lit("WAVE").cast("binary")),
+            F.hex(F.lit("fmt ").cast("binary")),
+            F.lit("10000000"),
+            F.lit("0100"),
+            _le_hex(channels, 2),
+            _le_hex(rate, 4),
+        )
+    )
+    blobbed = d.select("doc_id", F.unhex(wav_hex).alias("blob"))
+    h = F.upper(F.hex(F.col("blob")))
+    le16 = F.conv(
+        F.concat(F.substring(h, 47, 2), F.substring(h, 45, 2)), 16, 10
+    ).cast("int")
+    le32 = F.conv(
+        F.concat(
+            F.substring(h, 55, 2), F.substring(h, 53, 2),
+            F.substring(h, 51, 2), F.substring(h, 49, 2),
+        ),
+        16,
+        10,
+    ).cast("int")
+    is_wav = (
+        (F.substring(h, 1, 8) == F.hex(F.lit("RIFF").cast("binary")))
+        & (F.substring(h, 17, 8) == F.hex(F.lit("WAVE").cast("binary")))
+    )
+    return blobbed.select(
+        "doc_id",
+        F.octet_length("blob").alias("n_bytes"),
+        is_wav.cast("int").alias("is_wav"),
+        le16.alias("parsed_channels"),
+        le32.alias("parsed_rate"),
     )
 
 
