@@ -206,3 +206,17 @@ def test_asof_bucketed_agrees_with_window_formulation(spark):
             ).collect()
         }
         assert bucketed == plain, f"bucket_seconds={bucket_seconds}"
+
+
+def test_ivf_recall_vs_exact_knn(spark):
+    """IVF (16 medoid cells, nprobe=4) must recover a reasonable share of
+    the exact top-3 neighbors, and every returned pair must verify."""
+    exact = QUERIES["similarity_knn_join"].fn(spark, SF_DIR).collect()
+    ivf = QUERIES["similarity_ann_ivf"].fn(spark, SF_DIR).collect()
+    exact_pairs = {(r.qid, r.vec_id) for r in exact}
+    ivf_pairs = {(r.qid, r.vec_id) for r in ivf}
+    assert ivf_pairs, "IVF returned nothing"
+    recall = len(exact_pairs & ivf_pairs) / len(exact_pairs)
+    assert recall >= 0.2, f"suspiciously low IVF recall: {recall}"
+    for r in ivf:
+        assert r.qid != r.vec_id

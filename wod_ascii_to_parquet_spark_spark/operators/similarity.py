@@ -1,6 +1,6 @@
 """Similarity search over the ``embeddings`` table (array<float>, 64-dim).
 
-Three tiers, mirroring how ANN is actually deployed over a 100 TB corpus:
+Four tiers, mirroring how ANN is actually deployed over a 100 TB corpus:
 
 - ``similarity_topk``    — brute-force cosine top-k for one query (the
   correctness baseline; full DuckDB oracle).
@@ -10,6 +10,11 @@ Three tiers, mirroring how ANN is actually deployed over a 100 TB corpus:
   signatures → bucket equi-join → exact re-rank inside buckets (the scale
   path: candidate generation is a hash shuffle on bucket keys, never a
   cross product). Rows-only (hyperplanes are engine-side constants).
+- ``similarity_ann_ivf`` — inverted-file index: assign every vector to its
+  nearest coarse centroid once, probe the nprobe nearest cells per query,
+  exact re-rank inside the probed cells. The quantizer uses deterministic
+  medoid seeds (raw data vectors), so dot products are bit-exact across
+  engines and the whole index is DuckDB-oracled.
 
 All vector math is Catalyst ``zip_with``/``aggregate`` over array<double> —
 JVM-side, codegen'd, no Python in the row path.
@@ -130,6 +135,113 @@ def _probe_masks(nbits: int = _NBITS, radius: int = _PROBE_RADIUS) -> list[int]:
         for bits in combinations(range(nbits), r):
             masks.append(sum(1 << b for b in bits))
     return masks
+
+
+_IVF_COS = """
+    list_dot_product({a}, {b})
+    / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))
+"""
+
+
+@register(
+    "similarity_ann_ivf",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    seeds AS (SELECT vec_id AS cell, emb AS cemb FROM e WHERE vec_id < 16),
+    assign AS (
+        SELECT vec_id, emb, cell FROM (
+            SELECT e.vec_id, e.emb, s.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_IVF_COS.format(a="e.emb", b="s.cemb")} DESC,
+                                s.cell
+                   ) AS rn
+            FROM e CROSS JOIN seeds s
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT qid, qemb, cell FROM (
+            SELECT q.vec_id AS qid, q.emb AS qemb, s.cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_IVF_COS.format(a="q.emb", b="s.cemb")} DESC,
+                                s.cell
+                   ) AS rn
+            FROM e q CROSS JOIN seeds s
+            WHERE q.vec_id < 10
+        ) WHERE rn <= 4
+    )
+    SELECT qid, vec_id, round(sim, 6) AS cos_sim FROM (
+        SELECT p.qid, a.vec_id,
+               {_IVF_COS.format(a="a.emb", b="p.qemb")} AS sim,
+               row_number() OVER (
+                   PARTITION BY p.qid
+                   ORDER BY {_IVF_COS.format(a="a.emb", b="p.qemb")} DESC,
+                            a.vec_id
+               ) AS rn
+        FROM probes p JOIN assign a ON a.cell = p.cell
+        WHERE a.vec_id <> p.qid
+    ) WHERE rn <= 3
+    """,
+    tags=("similarity",),
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: 16 coarse cells (medoid seeds = vectors 0..15), nprobe=4,
+    top-3 exact re-rank inside the probed cells.
+
+    Scale shape: assignment is one pass over the corpus against a
+    broadcast 16-row quantizer (map-only after the broadcast), probing is
+    an EQUI-join on cell id — the corpus partitioning by cell is built
+    once and reused across query batches, and candidate volume per query
+    is ~nprobe/ncells of the corpus instead of all of it. Deterministic
+    medoid seeds (raw data vectors, not float averages) keep every dot
+    product bit-exact across engines, which is what makes this ANN tier
+    fully DuckDB-oracled (LSH's hyperplanes are engine-side constants, so
+    that tier is rows-only)."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    seeds = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
+    )
+    seed_sim = cosine(F.col("emb"), F.col("cemb"))
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.desc("__s"), F.asc("cell")
+    )
+    assign = (
+        e.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "emb", "cell", seed_sim.alias("__s"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "cell")
+        .repartition(F.col("cell"))
+    )
+    probes = (
+        e.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("qid"), F.col("emb").alias("qemb"))
+        .crossJoin(F.broadcast(seeds))
+        .select("qid", "qemb", "cell", cosine(F.col("qemb"), F.col("cemb")).alias("__s"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.desc("__s"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("rn") <= 4)
+        .select("qid", "qemb", "cell")
+    )
+    rerank = cosine(F.col("emb"), F.col("qemb"))
+    w_top = W.partitionBy("qid").orderBy(F.desc("__raw"), F.asc("vec_id"))
+    return (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", rerank.alias("__raw"))
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id", F.round(F.col("__raw"), 6).alias("cos_sim"))
+    )
 
 
 @register("similarity_ann_lsh", None, tags=("similarity", "rows-only"))

@@ -20,6 +20,12 @@ Reference lifecycle (``SparklerExecutor.java:48-69`` +
   distributed write replaces it, and Spark's FileOutputCommitter provides
   the ``_temporary`` → rename atomicity + ``_SUCCESS`` marker the reference
   managed by hand.
+- The reference's remote-input staging (download each S3 object to a local
+  temp dir before parsing, clean up after — ``DatasetYearTrain.java:99-109``)
+  is obsolete by design: ``wod_scan`` reads through ``spark.read.format
+  ("binaryFile")``, which streams any supported URI scheme directly on the
+  executors — no driver-side download, no temp-dir lifecycle, and the read
+  parallelizes across files instead of serializing through one staging disk.
 - **SUR rename**: ``SURF_ALL`` → ``SUR_ALL``
   (``DatasetYearTrain.java:39-40,231-233``).
 
