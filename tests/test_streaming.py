@@ -178,3 +178,49 @@ def test_file_sink_exactly_once_on_restart(spark, tmp_path):
     run_to_files(stream3.select("event_id", "ts", "user_id"), out, ckpt)
     ids = sorted(r.event_id for r in spark.read.parquet(out).collect())
     assert ids == [1, 2, 3]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two file-source streams joined on user within a 30-minute horizon:
+    the streamed result (append mode, multi-batch) must equal the batch
+    interval join of the same data."""
+    from wod_ascii_to_parquet_spark_spark.streaming.jobs import interval_join
+
+    views_dir = str(tmp_path / "views")
+    buys_dir = str(tmp_path / "buys")
+    # views at minutes 0, 10, 50 for user 1; purchases at 20 (pairs with
+    # views at 0 and 10... 0 is exactly 20min before: within 30min) and 90
+    # (pairs with nothing: 50 is 40min earlier).
+    _write_batch(spark, views_dir, [(1, 0, 1, "view", 1.0),
+                                    (2, 10, 1, "view", 1.0)], "b0")
+    _write_batch(spark, buys_dir, [(100, 20, 1, "purchase", 9.0)], "b0")
+    _write_batch(spark, views_dir, [(3, 50, 1, "view", 1.0)], "b1")
+    _write_batch(spark, buys_dir, [(101, 90, 1, "purchase", 9.0),
+                                   (102, 200, 1, "purchase", 9.0)], "b1")
+
+    joined = interval_join(
+        read_event_stream(spark, views_dir),
+        read_event_stream(spark, buys_dir),
+    )
+    streamed = {
+        (r.view_id, r.purchase_id)
+        for r in run_to_memory(joined, "ssjoin_sink", "append").collect()
+    }
+    assert streamed == {(1, 100), (2, 100)}
+
+    # batch equivalence over the same files
+    def batch_side(d):
+        return (
+            spark.read.schema(
+                "event_id bigint, ts bigint, user_id bigint, "
+                "event_type string, value double, props string"
+            )
+            .parquet(d)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    batch = {
+        (r.view_id, r.purchase_id)
+        for r in interval_join(batch_side(views_dir), batch_side(buys_dir)).collect()
+    }
+    assert batch == streamed

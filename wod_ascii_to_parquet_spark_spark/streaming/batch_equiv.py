@@ -137,6 +137,33 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "events").select("user_id", "event_type").distinct()
 
 
+@register(
+    "stream_interval_join",
+    """
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           v.user_id AS user_id, v.ts AS view_ts, p.ts AS purchase_ts
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND v.ts <= p.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming",),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (view → purchase attribution within 30
+    minutes) run in batch mode: ``jobs.interval_join`` is the SAME
+    function the streaming behavior test drives with two file-source
+    streams — on batch inputs the watermarks are no-ops and the result
+    must equal this oracle."""
+    from .jobs import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    return interval_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+
+
 @register("stream_tumbling_live", _TUMBLE_SQL, tags=("streaming",))
 def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tumbling aggregation run through a REAL streaming query:

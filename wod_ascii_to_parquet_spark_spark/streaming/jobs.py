@@ -77,6 +77,46 @@ def session_counts(
     )
 
 
+def interval_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase pairs with the same user's
+    views from the preceding ``horizon``.
+
+    Both sides carry watermarks and the join condition bounds event time
+    in BOTH directions (``view_ts <= purchase_ts <= view_ts + horizon``),
+    so the state store evicts each side once the other's watermark passes
+    its horizon — without the time bound, stream-stream join state grows
+    forever. On batch DataFrames ``withWatermark`` is a no-op and this is
+    a plain interval join, which is what lets one definition serve the
+    oracled batch query AND the streaming behavior tests."""
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        "view_ts",
+        "purchase_ts",
+    )
+
+
 def dedup_within_watermark(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Stateful streaming dedup on (user_id, event_type) with state bounded
     by the watermark horizon — the streaming form of ``stream_dedup_keys``."""
