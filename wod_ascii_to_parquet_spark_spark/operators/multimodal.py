@@ -124,7 +124,7 @@ def _int_be4(col) -> "F.Column":
     """
     WITH built AS (
         -- independent byte-level build: blob assembled with from_hex/||,
-        -- then re-parsed from its hex dump (byte i = hex chars 2i-1..2i;
+        -- then re-parsed via the hex dump (byte i = hex chars 2i-1..2i;
         -- this DuckDB build lacks BLOB substring)
         SELECT doc_id,
                upper(hex(
