@@ -220,3 +220,30 @@ def test_ivf_recall_vs_exact_knn(spark):
     assert recall >= 0.2, f"suspiciously low IVF recall: {recall}"
     for r in ivf:
         assert r.qid != r.vec_id
+
+
+def test_curation_properties(spark):
+    """Packing: offsets stay under the budget and bins are contiguous per
+    shard. Sampling: at most 5 per stratum, deterministic across runs."""
+    from wod_ascii_to_parquet_spark_spark.operators.curation import (
+        PACK_BUDGET,
+        PACK_SHARDS,
+    )
+
+    packed = QUERIES["curation_pack_sequences"].fn(spark, SF_DIR).collect()
+    assert packed
+    by_shard = {}
+    for r in packed:
+        assert 0 <= r.offset_in_bin < PACK_BUDGET
+        assert 0 <= r.shard < PACK_SHARDS
+        by_shard.setdefault(r.shard, set()).add(r.bin)
+    for bins in by_shard.values():
+        assert bins == set(range(max(bins) + 1))  # contiguous bin ids
+
+    sample = QUERIES["curation_stratified_sample"].fn(spark, SF_DIR).collect()
+    per_stratum = {}
+    for r in sample:
+        per_stratum[(r.lang, r.source)] = per_stratum.get((r.lang, r.source), 0) + 1
+    assert per_stratum and max(per_stratum.values()) <= 5
+    again = QUERIES["curation_stratified_sample"].fn(spark, SF_DIR).collect()
+    assert {tuple(r) for r in sample} == {tuple(r) for r in again}

@@ -1,0 +1,182 @@
+"""Training-data curation operators (LLM-pipeline extension, first-class).
+
+The three moves a pretraining-data pipeline makes after dedup/quality:
+
+- ``curation_pack_sequences``   — pack documents into fixed token-budget
+  bins (context-window packing) via a sharded running sum;
+- ``curation_stratified_sample`` — deterministic per-stratum subsample with
+  a multiplicative-hash pseudo-random order (reproducible across engines
+  AND runs — no engine RNG);
+- ``curation_repetition_score`` — repeated-3-gram fraction per document,
+  the cheap repetition/boilerplate detector used for quality filtering.
+
+All three are fully DuckDB-oracled: every pseudo-random choice is integer
+arithmetic (no ``rand()``), every score is a ratio of counts.
+
+Scale notes (100 TB):
+- Packing uses a running sum windowed PER SHARD (``pmod(doc_id, 16)``), not
+  a global ORDER BY — a global cumulative sum would serialize the corpus
+  through one window partition. Shards pack independently (the standard
+  distributed approximation: bin breakage at shard boundaries is bounded
+  by n_shards × budget tokens).
+- The stratified sample is a filter after one per-stratum window top-K; at
+  extreme stratum skew, replace row_number with the hash-threshold form
+  (``h % M < K*M/N``) which needs no window at all.
+- The repetition score is per-row array math — map-only, embarrassingly
+  parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import load, register, spread
+
+#: Knuth multiplicative hash constant (2654435761 = 2^32 / φ); doc_id values
+#: stay far below 2^20, so the product fits int64 exactly in both engines.
+_KNUTH = 2654435761
+_MOD = 1 << 32
+
+PACK_BUDGET = 2048
+PACK_SHARDS = 16
+
+
+@register(
+    "curation_pack_sequences",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               doc_id % {PACK_SHARDS} AS shard,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, shard, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS prior
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor(prior / {PACK_BUDGET}) AS BIGINT) AS bin,
+           CAST(prior % {PACK_BUDGET} AS BIGINT) AS offset_in_bin
+    FROM c
+    """,
+    tags=("curation",),
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: assign each document a (shard, bin, offset)
+    under a {PACK_BUDGET}-token budget, by running-sum position in doc_id
+    order within its shard. A document straddling a boundary stays in the
+    earlier bin (bins overflow by < one document — the greedy streaming
+    packer's behavior). One window per shard; no global sort."""
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    t = d.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return t.select(
+        "doc_id",
+        F.col("shard").cast("bigint").alias("shard"),
+        "n_tokens",
+        F.floor(prior / PACK_BUDGET).cast("bigint").alias("bin"),
+        (prior % PACK_BUDGET).cast("bigint").alias("offset_in_bin"),
+    )
+
+
+@register(
+    "curation_stratified_sample",
+    f"""
+    SELECT lang, source, doc_id, n_chars FROM (
+        SELECT lang, source, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY (doc_id * {_KNUTH}) % {_MOD}, doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 5
+    """,
+    tags=("curation",),
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 5 documents per (lang, source)
+    stratum, chosen by a Knuth multiplicative-hash ordering — reproducible
+    pseudo-randomness with zero engine RNG, so the exact same sample falls
+    out of Spark, DuckDB, or a re-run (seed changes = different constant).
+    One window per stratum; for heavily skewed strata use the windowless
+    hash-threshold form noted in the module docstring."""
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    h = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_MOD)
+    w = W.partitionBy("lang", "source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("lang", "source", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@register(
+    "curation_repetition_score",
+    """
+    SELECT doc_id,
+           CAST(total AS BIGINT) AS n_grams,
+           round(1.0 - n_distinct / total, 6) AS repetition
+    FROM (
+        SELECT doc_id,
+               len(string_split(text, ' ')) - 2 AS total,
+               len(list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2]))) AS n_distinct
+        FROM documents
+    )
+    WHERE total >= 1
+    """,
+    tags=("curation",),
+)
+def curation_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-3-gram fraction (1 − distinct/total) — the standard cheap
+    boilerplate/repetition signal for pretraining quality filters. Pure
+    per-row array expressions (map-only); documents with fewer than 3
+    tokens are excluded (no 3-grams to measure)."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - 2)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    total = (F.size(toks) - 2).cast("bigint")
+    n_distinct = F.size(F.array_distinct(grams))
+    return (
+        d.filter(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            total.alias("n_grams"),
+            F.round(
+                F.lit(1.0) - n_distinct.cast("double") / total.cast("double"), 6
+            ).alias("repetition"),
+        )
+    )

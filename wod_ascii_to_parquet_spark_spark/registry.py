@@ -176,6 +176,7 @@ def load_all_operators() -> dict[str, QueryDef]:
     from .operators import (  # noqa: F401
         aggregations,
         corpus,
+        curation,
         dedup,
         joins,
         multimodal,
