@@ -154,18 +154,31 @@ def _driver_history() -> tuple[frozenset[str], frozenset[str]]:
     return frozenset(green), frozenset(seen)
 
 
+#: Queries whose fixes must re-verify before anything else: past external
+#: hash failures rank here automatically (see ``tier``); these names are
+#: queries whose ORACLES were repaired while still unsampled (the HUGEINT /
+#: DATE-repr bug class), so history alone cannot rank them.
+VERIFY_FIRST = (
+    "q3_shipping_priority",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q18_large_orders",
+)
+
+
 def load_all_operators() -> dict[str, QueryDef]:
     """Import every operator module (they self-register) and return QUERIES,
     ordered so external verification samples the least-verified queries
     first.
 
     The external driver verifies a fixed-size prefix of this dict per
-    round; with 119 registered queries and a 50-query sample, a static
+    round; with ~128 registered queries and a 50-query sample, a static
     registration order would leave the same tail forever unverified.
     Ordering by verification history rotates coverage automatically:
 
-    1. oracled queries never hash-verified green (includes past failures —
-       their fixes get re-checked first),
+    0. past hash FAILURES and ``VERIFY_FIRST`` (repaired oracles) — fixes
+       get re-checked before anything else,
+    1. oracled queries never hash-verified green,
     2. rows-only queries never sampled at all,
     3. rows-only queries already sampled,
     4. hash-verified green queries (known good; re-verified last).
@@ -197,10 +210,12 @@ def load_all_operators() -> dict[str, QueryDef]:
 
     def tier(q: QueryDef) -> int:
         if q.name in green:
-            return 3
+            return 4
+        if q.name in VERIFY_FIRST or (q.name in seen and q.oracle is not None):
+            return 0  # repaired oracle or past failure: re-check first
         if q.oracle is not None:
-            return 0
-        return 1 if q.name not in seen else 2
+            return 1
+        return 2 if q.name not in seen else 3
 
     ordered = sorted(QUERIES.values(), key=tier)  # stable: keeps reg. order
     return {q.name: q for q in ordered}
