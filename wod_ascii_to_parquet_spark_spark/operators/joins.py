@@ -136,19 +136,22 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_anti",
     """
-    SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
     """,
     tags=("join",),
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti: the S3 inventory diff (``OsPoolS3Lister.java:106``,
-    ``all.removeAll(success)``) as a distributed operator."""
-    customer = load(spark, sf_dir, "customer")
+    ``all.removeAll(success)``) as a distributed operator. Orders with no
+    lineitems — nonempty in this testdata (~1.7% of orders), so the check
+    is not vacuous (the previous customers-without-orders diff was always
+    empty: every customer has orders here)."""
     orders = load(spark, sf_dir, "orders")
-    return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
-    ).select("c_custkey", "c_name")
+    lineitem = load(spark, sf_dir, "lineitem")
+    return orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey, "left_anti"
+    ).select("o_orderkey", "o_totalprice")
 
 
 @register(

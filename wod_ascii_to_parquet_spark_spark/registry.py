@@ -156,13 +156,16 @@ def _driver_history() -> tuple[frozenset[str], frozenset[str]]:
 
 #: Queries whose fixes must re-verify before anything else: past external
 #: hash failures rank here automatically (see ``tier``); these names are
-#: queries whose ORACLES were repaired while still unsampled (the HUGEINT /
-#: DATE-repr bug class), so history alone cannot rank them.
+#: queries whose oracles were repaired while unsampled (the HUGEINT /
+#: DATE-repr bug class) or whose IMPLEMENTATION changed after a green
+#: round (stale green status), so history alone cannot rank them.
 VERIFY_FIRST = (
     "q3_shipping_priority",
     "q7_nation_volume",
     "q10_returned_items",
     "q18_large_orders",
+    "set_except",   # r01-green but replaced (was vacuous: always 0 rows)
+    "join_anti",    # r01-green but replaced (same vacuity fix)
 )
 
 
@@ -209,10 +212,12 @@ def load_all_operators() -> dict[str, QueryDef]:
     green, seen = _driver_history()
 
     def tier(q: QueryDef) -> int:
+        if q.name in VERIFY_FIRST:
+            return 0  # repaired/replaced: re-check first, even if once green
         if q.name in green:
             return 4
-        if q.name in VERIFY_FIRST or (q.name in seen and q.oracle is not None):
-            return 0  # repaired oracle or past failure: re-check first
+        if q.name in seen and q.oracle is not None:
+            return 0  # past hash failure with an oracle: re-check first
         if q.oracle is not None:
             return 1
         return 2 if q.name not in seen else 3
