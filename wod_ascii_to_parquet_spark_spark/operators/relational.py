@@ -158,6 +158,43 @@ def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_oracle() -> str:
+    from ..plans.zorder import zorder_key_sql
+
+    zsql = zorder_key_sql("(o_custkey % 65536)", "(o_orderkey % 65536)")
+    return f"""
+    SELECT o_orderkey,
+           CAST({zsql} AS BIGINT) AS zkey
+    FROM orders
+    ORDER BY zkey, o_orderkey
+    LIMIT 500
+    """
+
+
+def _zorder_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over two dimension columns — the
+    ``OPTIMIZE ZORDER BY`` primitive (see ``plans/zorder.py``): both
+    engines compute the 32-term bit interleave independently, so parity
+    proves the arithmetic. The write path (``zorder_write``:
+    repartitionByRange + local sort on this key → per-file min/max
+    locality on BOTH dimensions) is asserted in tests/test_zorder.py."""
+    from ..plans.zorder import zorder_key
+
+    o = load(spark, sf_dir, "orders")
+    z = zorder_key(
+        F.pmod(F.col("o_custkey"), F.lit(65536)),
+        F.pmod(F.col("o_orderkey"), F.lit(65536)),
+    )
+    return (
+        o.select("o_orderkey", z.alias("zkey"))
+        .orderBy("zkey", "o_orderkey")
+        .limit(500)
+    )
+
+
+register("zorder_key", _zorder_oracle(), tags=("sort",))(_zorder_query)
+
+
 # --- §2.7 set operations --------------------------------------------------
 
 

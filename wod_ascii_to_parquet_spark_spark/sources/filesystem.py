@@ -149,6 +149,28 @@ class FsClient:
         fs, p = self._fs_path(path)
         return bool(fs.mkdirs(p))
 
+    def rename(self, src: str, dst: str) -> bool:
+        """Directory/file rename — atomic on posix/HDFS; on s3a it is a
+        copy+delete (callers needing atomic publish on S3 should write to
+        the final location and rely on the committer instead)."""
+        fs, p_src = self._fs_path(src)
+        _, p_dst = self._fs_path(dst)
+        return bool(fs.rename(p_src, p_dst))
+
+    def file_sizes(self, path: str, recursive: bool = True) -> dict[str, int]:
+        """{path: bytes} for every regular file under ``path`` — the
+        planning input for compaction (``listFiles`` streams a
+        RemoteIterator; s3a pages the listing internally)."""
+        fs, p = self._fs_path(path)
+        if not fs.exists(p):
+            return {}
+        out: dict[str, int] = {}
+        it = fs.listFiles(p, recursive)
+        while it.hasNext():
+            st = it.next()
+            out[st.getPath().toString()] = int(st.getLen())
+        return out
+
     def read_bytes(self, path: str, limit: int | None = None) -> bytes:
         """Read a (small) file fully — driver-side metadata/sidecar reads,
         the ``S3Actions.openDownloadStream`` analog. Not for data files;
