@@ -37,8 +37,12 @@ HEADLINERS = [
     "q18_large_orders",            # aggregate-then-filter + top-k
     "dedup_exact",
     "dedup_minhash_lsh",           # LSH signature + band join + verify
+    "dedup_simhash",               # pigeonhole segment buckets (round 2)
     "similarity_topk",
     "similarity_knn_join",
+    "similarity_ann_ivf",          # oracled IVF ANN (round 2)
+    "join_asof_bucketed",          # equi-join-only as-of plan (round 2)
+    "curation_pack_sequences",     # sharded context-window packing (round 2)
     "text_quality",
     "json_funcs",
 ]
