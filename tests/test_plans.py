@@ -100,3 +100,30 @@ def test_whole_stage_codegen_in_scalar_pipeline(spark):
 def test_cross_join_is_broadcast(spark):
     plan = plan_of(spark, "join_cross")
     assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
+
+
+def test_convert_schedules_largest_files_first(spark, tmp_path, monkeypatch):
+    """The thread pool must receive tasks largest-first (LPT): the biggest
+    file starting last is what stretches the makespan."""
+    import os
+
+    from wod_ascii_to_parquet_spark_spark.plans import convert as C
+
+    seen = []
+    real = C.convert_file
+
+    def spy(spark_, task, overwrite=False):
+        seen.append(os.path.getsize(task.input_path))
+        return real(spark_, task, overwrite=overwrite)
+
+    monkeypatch.setattr(C, "convert_file", spy)
+    C.convert(
+        spark,
+        "/root/reference/src/test/resources/wod",
+        str(tmp_path / "out"),
+        datasets=("APB", "CTD", "XBT"),
+        levels=("OBS", "STD"),
+        max_concurrent=1,  # serial → submission order == execution order
+    )
+    assert len(seen) >= 3
+    assert seen == sorted(seen, reverse=True)

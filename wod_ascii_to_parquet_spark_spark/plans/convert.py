@@ -255,6 +255,12 @@ def convert(
     failed attempt are rebuilt, not appended to."""
     result = ConvertResult()
     tasks = plan_tasks(source, output, datasets, levels, subset, spark=spark)
+    # Largest file first (LPT scheduling): with a bounded worker pool, the
+    # biggest job starting last is what stretches the makespan — the
+    # reference processes in listing order and routinely tail-waits on one
+    # giant yearly file. Ties/missing sizes keep listing order (stable sort).
+    fs = FsClient(spark)
+    tasks.sort(key=lambda t: -fs.size(t.input_path))
 
     def run(task: FileTask) -> None:
         last_err: Exception | None = None

@@ -149,6 +149,13 @@ class FsClient:
         fs, p = self._fs_path(path)
         return bool(fs.mkdirs(p))
 
+    def size(self, path: str) -> int:
+        """File length in bytes (0 when missing)."""
+        fs, p = self._fs_path(path)
+        if not fs.exists(p):
+            return 0
+        return int(fs.getFileStatus(p).getLen())
+
     def rename(self, src: str, dst: str) -> bool:
         """Directory/file rename — atomic on posix/HDFS; on s3a it is a
         copy+delete (callers needing atomic publish on S3 should write to
