@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import load, register
+from ..registry import load, register, spread
 
 #: Tiny deterministic stopword lists per language for the n-gram/stopword
 #: heuristics. Chosen from the synthetic corpus vocabulary; the point is the
@@ -235,4 +235,66 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_PII_EMAIL = "[a-z]+@[a-z]+\\.[a-z]+"
+_PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "text_pii_scrub",
+    f"""
+    WITH injected AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 3 = 0
+                            THEN ' contact bob@example.com now'
+                            WHEN doc_id % 3 = 1
+                            THEN ' call 555-123-4567 or 555-987-6543'
+                            ELSE '' END AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_PII_PHONE}')) AS BIGINT)
+               AS n_phones,
+           md5(regexp_replace(regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM injected
+    """,
+    tags=("text",),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every pretraining pipeline runs
+    before publishing a corpus: detect + replace email/phone patterns,
+    report per-document match counts and the scrubbed content hash.
+
+    The synthetic corpus contains no real PII, so both engines INJECT
+    deterministic markers first (same CASE on doc_id) — the oracle then
+    proves detection counts and the scrubbed bytes, not just a no-op pass.
+    All regex work is JVM-side ``regexp_extract_all``/``regexp_replace``
+    (map-only, no shuffle); swapping in production patterns (SSNs, IBANs,
+    addresses) changes only the literals. Dialect note: DuckDB
+    ``regexp_replace`` needs the ``'g'`` flag for global replacement;
+    Spark's replaces all matches by default."""
+    d = spread(load(spark, sf_dir, "documents"))
+    raw = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" contact bob@example.com now"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" call 555-123-4567 or 555-987-6543"))
+        .otherwise(F.lit("")),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(_PII_PHONE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
     )
