@@ -134,10 +134,14 @@ def _previous_round() -> dict[str, float] | None:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    rounds = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
-    )
+    # fullmatch-filter before sorting: the glob also matches names like
+    # BENCH_rfoo.json whose sort key would otherwise raise mid-sort.
+    matched = [
+        (int(m.group(1)), p)
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p)))
+    ]
+    rounds = [p for _, p in sorted(matched)]
     if not rounds:
         return None
     try:

@@ -131,9 +131,16 @@ def spread(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
-def _driver_history() -> tuple[frozenset[str], frozenset[str]]:
-    """(hash-verified-green, ever-sampled) query names from the external
-    driver's ``CORRECTNESS_r*.json`` files at the repo root (if any)."""
+def _driver_history() -> tuple[frozenset[str], frozenset[str], frozenset[str]]:
+    """(hash-verified-green, ever-sampled, explicitly-failed) query names
+    from the external driver's ``CORRECTNESS_r*.json`` files at the repo
+    root (if any).
+
+    ``failed`` holds only EXPLICIT failure records (``hash_match`` is
+    literally False, or an error string) — a query sampled in a round that
+    recorded no hash (rows-only check, absent key) is merely ``seen``, not
+    failed. A later green clears an earlier failure (cumulative-green
+    convention)."""
     import glob
     import json
     import os
@@ -141,6 +148,7 @@ def _driver_history() -> tuple[frozenset[str], frozenset[str]]:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     green: set[str] = set()
     seen: set[str] = set()
+    failed: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -149,9 +157,16 @@ def _driver_history() -> tuple[frozenset[str], frozenset[str]]:
             continue
         for name, res in results.items():
             seen.add(name)
-            if isinstance(res, dict) and res.get("hash_match"):
+            if not isinstance(res, dict):
+                continue
+            if res.get("hash_match"):
                 green.add(name)
-    return frozenset(green), frozenset(seen)
+            elif res.get("hash_match") is False or (
+                # "no_oracle" is the rows-only sampling marker, not an error
+                res.get("err") and res.get("err") != "no_oracle"
+            ):
+                failed.add(name)
+    return frozenset(green), frozenset(seen), frozenset(failed - green)
 
 
 #: Queries whose fixes must re-verify before anything else: past external
@@ -159,13 +174,12 @@ def _driver_history() -> tuple[frozenset[str], frozenset[str]]:
 #: queries whose oracles were repaired while unsampled (the HUGEINT /
 #: DATE-repr bug class) or whose IMPLEMENTATION changed after a green
 #: round (stale green status), so history alone cannot rank them.
+#: The six r02 pins (repaired TPC-H oracles + de-vacuized set ops) all
+#: re-greened in CORRECTNESS_r02 and were removed — pinning them again
+#: would spend sample slots re-confirming known greens ahead of the
+#: never-sampled tail.
 VERIFY_FIRST = (
-    "q3_shipping_priority",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q18_large_orders",
-    "set_except",   # r01-green but replaced (was vacuous: always 0 rows)
-    "join_anti",    # r01-green but replaced (same vacuity fix)
+    "similarity_ann_ivf",  # r02-green; assignment stage rewritten map-only in r03
 )
 
 
@@ -209,15 +223,15 @@ def load_all_operators() -> dict[str, QueryDef]:
     )
     from .streaming import batch_equiv  # noqa: F401
 
-    green, seen = _driver_history()
+    green, seen, failed = _driver_history()
 
     def tier(q: QueryDef) -> int:
         if q.name in VERIFY_FIRST:
             return 0  # repaired/replaced: re-check first, even if once green
+        if q.name in failed:
+            return 0  # EXPLICIT past failure: re-check first
         if q.name in green:
             return 4
-        if q.name in seen and q.oracle is not None:
-            return 0  # past hash failure with an oracle: re-check first
         if q.oracle is not None:
             return 1
         return 2 if q.name not in seen else 3
