@@ -102,6 +102,33 @@ def test_cross_join_is_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
 
 
+def test_ivf_assignment_is_map_only(spark):
+    """The IVF index-build assignment must not inflate the corpus ×ncells:
+    no Window, and the ONLY corpus-side exchange is the final
+    repartition(cell) (the seed fold's SinglePartition exchange moves 16
+    rows and is irrelevant at scale)."""
+    from pyspark.sql import functions as F
+
+    from wod_ascii_to_parquet_spark_spark.operators.similarity import _ivf_assign
+    from wod_ascii_to_parquet_spark_spark.registry import load
+
+    e = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    seeds = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
+    )
+    df = _ivf_assign(e, seeds)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" not in plan, plan
+    hash_exchanges = [
+        line for line in plan.splitlines() if "hashpartitioning(" in line
+    ]
+    assert len(hash_exchanges) == 1 and "cell" in hash_exchanges[0], plan
+
+
 def test_convert_schedules_largest_files_first(spark, tmp_path, monkeypatch):
     """The thread pool must receive tasks largest-first (LPT): the biggest
     file starting last is what stretches the makespan."""

@@ -143,6 +143,49 @@ _IVF_COS = """
 """
 
 
+def _ivf_assign(e: DataFrame, seeds: DataFrame) -> DataFrame:
+    """Map-only IVF cell assignment: ``(vec_id, emb, cell)`` partitioned by
+    cell.
+
+    The quantizer (all seed cells) is folded into ONE row — an array of
+    ``struct(cell, cemb)`` sorted by cell — and broadcast; each corpus
+    vector then scores all cells in a single Catalyst expression and takes
+    the argmax with an ``aggregate`` fold. No per-(vector, cell) row
+    inflation, no Window, no shuffle before the final ``repartition(cell)``
+    — at scale the corpus stream stays map-side until the one partitioning
+    the index build actually needs (the r02 formulation crossJoined ×16 and
+    sorted 16·N rows under a Window just to pick the best of 16).
+
+    Tie-break matches the oracle's ``ORDER BY sim DESC, cell``: seeds are
+    sorted by cell ascending and the fold replaces only on STRICTLY greater
+    similarity, so the lowest cell among ties wins. Asserted map-only in
+    tests/test_plans.py."""
+    seed_arr = seeds.select(F.struct("cell", "cemb").alias("s")).agg(
+        F.sort_array(F.collect_list("s")).alias("__seeds")
+    )
+    scored = F.transform(
+        F.col("__seeds"),
+        lambda s: F.struct(
+            cosine(F.col("emb"), s["cemb"]).alias("sim"), s["cell"].alias("cell")
+        ),
+    )
+    init = F.struct(
+        F.lit(float("-inf")).alias("sim"),
+        F.element_at(F.col("__seeds"), 1)["cell"].alias("cell"),
+    )
+    best_cell = F.aggregate(
+        scored,
+        init,
+        lambda acc, x: F.when(x["sim"] > acc["sim"], x).otherwise(acc),
+        lambda acc: acc["cell"],
+    )
+    return (
+        e.crossJoin(F.broadcast(seed_arr))
+        .select("vec_id", "emb", best_cell.alias("cell"))
+        .repartition(F.col("cell"))
+    )
+
+
 @register(
     "similarity_ann_ivf",
     f"""
@@ -189,15 +232,17 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: 16 coarse cells (medoid seeds = vectors 0..15), nprobe=4,
     top-3 exact re-rank inside the probed cells.
 
-    Scale shape: assignment is one pass over the corpus against a
-    broadcast 16-row quantizer (map-only after the broadcast), probing is
-    an EQUI-join on cell id — the corpus partitioning by cell is built
-    once and reused across query batches, and candidate volume per query
-    is ~nprobe/ncells of the corpus instead of all of it. Deterministic
-    medoid seeds (raw data vectors, not float averages) keep every dot
-    product bit-exact across engines, which is what makes this ANN tier
-    fully DuckDB-oracled (LSH's hyperplanes are engine-side constants, so
-    that tier is rows-only)."""
+    Scale shape: assignment is one MAP-ONLY pass over the corpus against a
+    broadcast one-row quantizer array (``_ivf_assign`` — inline argmax
+    fold, no per-cell row inflation, no Window, no shuffle before the
+    single ``repartition(cell)``); probing is an EQUI-join on cell id —
+    the corpus partitioning by cell is built once and reused across query
+    batches, and candidate volume per query is ~nprobe/ncells of the
+    corpus instead of all of it. Deterministic medoid seeds (raw data
+    vectors, not float averages) keep every dot product bit-exact across
+    engines, which is what makes this ANN tier fully DuckDB-oracled
+    (LSH's hyperplanes are engine-side constants, so that tier is
+    rows-only)."""
     from pyspark.sql import Window as W
 
     e = load(spark, sf_dir, "embeddings").select(
@@ -206,18 +251,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = e.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
     )
-    seed_sim = cosine(F.col("emb"), F.col("cemb"))
-    w_assign = W.partitionBy("vec_id").orderBy(
-        F.desc("__s"), F.asc("cell")
-    )
-    assign = (
-        e.crossJoin(F.broadcast(seeds))
-        .select("vec_id", "emb", "cell", seed_sim.alias("__s"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "emb", "cell")
-        .repartition(F.col("cell"))
-    )
+    assign = _ivf_assign(e, seeds)
     probes = (
         e.filter(F.col("vec_id") < 10)
         .select(F.col("vec_id").alias("qid"), F.col("emb").alias("qemb"))
