@@ -43,6 +43,13 @@ def plan_target_files(total_bytes: int, target_bytes: int) -> int:
     return max(1, math.ceil(total_bytes / max(1, target_bytes)))
 
 
+def _is_data_file(path: str) -> bool:
+    """One predicate for before/after file counts: committer data files only
+    (``part-*``), never markers (``_SUCCESS``) or stray non-data names —
+    counting different sets on each side yields nonsense deltas."""
+    return path.rsplit("/", 1)[-1].startswith("part-")
+
+
 def compact(
     spark: SparkSession,
     path: str,
@@ -51,13 +58,21 @@ def compact(
 ) -> CompactionStats:
     """Rewrite the parquet dataset at ``path`` into ~``target_bytes`` files
     (optionally locally sorted by ``sort_by``). Skips the rewrite when the
-    dataset is already at or below the target file count."""
+    dataset is already at or below the target file count.
+
+    Publish order is crash-safe: the live dir is renamed ASIDE first
+    (``path__old``), the rewrite renamed into place, then the old dir
+    dropped. A failure between the two renames leaves ``path__old`` intact
+    and restorable (and this function restores it on a failed second
+    rename) — the old delete-then-rename order had a window where the only
+    copy of the data sat in a temp dir nobody reads. On s3a, where rename
+    is copy+delete and the window is wide, production deployments compact
+    into a NEW versioned location and flip a catalog pointer instead (see
+    module docstring); the aside-rename here is still strictly safer than
+    delete-first."""
     fs = FsClient(spark)
     sizes = {
-        p: n
-        for p, n in fs.file_sizes(path).items()
-        if p.rsplit("/", 1)[-1].endswith(".parquet")
-        or "part-" in p.rsplit("/", 1)[-1]
+        p: n for p, n in fs.file_sizes(path).items() if _is_data_file(p)
     }
     total = sum(sizes.values())
     n_out = plan_target_files(total, target_bytes)
@@ -65,17 +80,21 @@ def compact(
         return CompactionStats(len(sizes), len(sizes), total)
 
     tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
     df = spark.read.parquet(path).repartition(n_out)
     if sort_by:
         df = df.sortWithinPartitions(*sort_by)
     df.write.mode("overwrite").parquet(tmp)
 
-    fs.delete(path)
+    fs.delete(old)  # clear any leftover from a previous crashed publish
+    if not fs.rename(path, old):
+        raise RuntimeError(f"compaction publish failed: rename {path} -> {old}")
     if not fs.rename(tmp, path):
-        raise RuntimeError(f"compaction publish failed: rename {tmp} -> {path}")
-    after = sum(
-        1
-        for p in fs.file_sizes(path)
-        if p.rsplit("/", 1)[-1].startswith("part-")
-    )
+        restored = fs.rename(old, path)
+        raise RuntimeError(
+            f"compaction publish failed: rename {tmp} -> {path}"
+            f" (previous data {'restored' if restored else f'LEFT AT {old}'})"
+        )
+    fs.delete(old)
+    after = sum(1 for p in fs.file_sizes(path) if _is_data_file(p))
     return CompactionStats(len(sizes), after, total)
