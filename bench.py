@@ -37,7 +37,8 @@ HEADLINERS = [
     "q18_large_orders",            # aggregate-then-filter + top-k
     "dedup_exact",
     "dedup_minhash_lsh",           # LSH signature + band join + verify
-    "dedup_simhash",               # pigeonhole segment buckets (round 2)
+    "dedup_simhash",               # pedagogical 32-bit pigeonhole arm
+    "dedup_simhash64",             # HEADLINE simhash: Manku 64-bit/d<=3 (round 3)
     "similarity_topk",
     "similarity_knn_join",
     "similarity_ann_ivf",          # oracled IVF ANN (round 2)

@@ -172,13 +172,35 @@ def test_simhash_plan_has_no_theta_self_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_simhash64_subset_sanity(spark):
-    """64-bit/d≤3 variant: symmetric, deterministic, and every returned
-    pair verifies at hamming ≤ 3."""
+def test_simhash64_equals_unblocked_brute_force(spark):
+    """The headline 64-bit/d≤3 arm must return EXACTLY the pairs an
+    unblocked all-pairs Hamming scan returns (the 16-bit-segment pigeonhole
+    guarantees recall at distance 3; precision comes from the exact verify)
+    — plus basic shape/determinism invariants."""
+    from wod_ascii_to_parquet_spark_spark.operators.dedup import simhash_bits
+    from wod_ascii_to_parquet_spark_spark.registry import load, spread
+
     rows = QUERIES["dedup_simhash64"].fn(spark, SF_DIR).collect()
     assert all(r.hamming <= 3 and r.doc_a < r.doc_b for r in rows)
     rows2 = QUERIES["dedup_simhash64"].fn(spark, SF_DIR).collect()
     assert {tuple(r) for r in rows} == {tuple(r) for r in rows2}
+
+    s = simhash_bits(spread(load(spark, SF_DIR, "documents")), nbits=64)
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("bits").alias("bits_a"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("bits").alias("bits_b"))
+    hamming = F.aggregate(
+        F.zip_with(F.col("bits_a"), F.col("bits_b"), lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    brute = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert {tuple(r) for r in rows} == brute
 
 
 def test_asof_bucketed_agrees_with_window_formulation(spark):

@@ -332,22 +332,27 @@ def _simhash_pairs(
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash near-dup pairs at Hamming ≤ 8 within (lang, source).
 
-    Candidate generation is bit-segment pigeonhole bucketing (9 segments →
-    guaranteed recall at distance 8), NOT a block self-join — see
-    ``_simhash_pairs``. Output is identical to the block-quadratic
-    formulation (asserted in tests/test_consistency.py). Rows-only:
-    DuckDB lacks xxhash64."""
+    PEDAGOGICAL ARM — kept because its (lang, source) blocking + coarse
+    9×~4-bit segments (bucket population ~N/16) make the pigeonhole
+    mechanics easy to oracle against the block-quadratic formulation
+    (asserted identical in tests/test_consistency.py). The HEADLINE arm —
+    benched, driver-sampled, and what a 100 TB deployment should run — is
+    ``dedup_simhash64`` (bucket population ~N/65536, no blocking key).
+    Rows-only: DuckDB lacks xxhash64."""
     s = simhash_bits(spread(load(spark, sf_dir, "documents")), nbits=32)
     return _simhash_pairs(s, nbits=32, max_hamming=8, key_cols=("lang", "source"))
 
 
 @register("dedup_simhash64", None, tags=("dedup", "rows-only"))
 def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash at Hamming ≤ 3 — the production-parameter variant
-    (Manku et al., WWW'07: 64-bit fingerprints, distance 3). Four 16-bit
-    segments → bucket population ~N/65536 per segment: candidate volume
-    stays near-linear even when one (lang, source) slice is the whole
-    corpus, so no blocking key is needed at all."""
+    """64-bit SimHash at Hamming ≤ 3 — the HEADLINE simhash arm, using the
+    production parameters of Manku et al., WWW'07 (64-bit fingerprints,
+    distance 3). Four 16-bit segments → bucket population ~N/65536 per
+    segment: candidate volume stays near-linear even when one (lang,
+    source) slice is the whole corpus, so no blocking key is needed at
+    all. Benched in bench.py and asserted set-equal to the unblocked
+    all-pairs Hamming scan in tests/test_consistency.py; the 32-bit
+    ``dedup_simhash`` is the pedagogical variant."""
     s = simhash_bits(spread(load(spark, sf_dir, "documents")), nbits=64)
     return _simhash_pairs(s, nbits=64, max_hamming=3, key_cols=())
 
