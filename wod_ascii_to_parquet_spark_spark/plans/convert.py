@@ -64,6 +64,11 @@ DEFAULT_DATASETS = (
 )
 DEFAULT_LEVELS = ("OBS",)
 
+#: Compressed-size threshold above which a file's parse is scattered across
+#: the cluster (``wod_scan(scatter=True)``); below it, the record exchange
+#: costs more than the single-task decode it would parallelize.
+_SCATTER_MIN_BYTES = 256 * 1024
+
 
 @dataclass
 class FileTask:
@@ -164,71 +169,75 @@ def convert_file(spark: SparkSession, task: FileTask, overwrite: bool = False) -
             fs.write_bytes(sidecar, geo_sidecar_bytes())
         return "skipped"
 
-    parsed = wod_scan(spark, task.input_path, dataset=task.dataset).cache()
-    try:
-        # Error store FIRST, and idempotently (overwrite, not append): the
-        # skip/resume contract keys on the MAIN output's _SUCCESS, so any
-        # work that must exist whenever _SUCCESS exists has to commit
-        # before it. Writing errors after the main commit left a window
-        # where a crash dropped the error channel for a file every later
-        # resume would skip (TransformationErrorHandler.java:42-52 appends
-        # incrementally; here one overwrite per file is equivalent and
-        # retry-safe — append would duplicate rows when the main write
-        # fails after the error write succeeded).
-        errs = errors(parsed)
-        if errs.limit(1).count() > 0:
-            errs.coalesce(1).write.mode("overwrite").parquet(task.error_path)
-        # castTimestamp: assembled from Y/M/D + fractional-hour time
-        # (SURVEY §1.2); try_* variants — invalid header dates yield null,
-        # not a job failure, under ANSI mode.
-        seconds = (F.col("time") * 3600).cast("int")
-        casts = (
-            ok_casts(parsed)
-            .withColumn(
-                "castTimestamp",
-                F.try_add(
-                    F.expr(
-                        "try_to_timestamp(concat(year, '-', lpad(month, 2, '0'), "
-                        "'-', lpad(day, 2, '0')))"
-                    ),
-                    F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), seconds),
+    # Scatter-parse (gunzip+frame in the file task, field-decode fanned out
+    # across all cores) for files big enough that decode width matters;
+    # tiny files stay single-stage — their record exchange would cost more
+    # than it balances. No cache: the scattered parse is cheap enough that
+    # recomputing it for the error-check job beats paying the in-memory
+    # columnar encode of deeply nested cast structs.
+    scatter = fs.size(task.input_path) >= _SCATTER_MIN_BYTES
+    parsed = wod_scan(spark, task.input_path, dataset=task.dataset, scatter=scatter)
+    # Error store FIRST, and idempotently (overwrite, not append): the
+    # skip/resume contract keys on the MAIN output's _SUCCESS, so any
+    # work that must exist whenever _SUCCESS exists has to commit
+    # before it. Writing errors after the main commit left a window
+    # where a crash dropped the error channel for a file every later
+    # resume would skip (TransformationErrorHandler.java:42-52 appends
+    # incrementally; here one overwrite per file is equivalent and
+    # retry-safe — append would duplicate rows when the main write
+    # fails after the error write succeeded).
+    errs = errors(parsed)
+    if errs.limit(1).count() > 0:
+        errs.coalesce(1).write.mode("overwrite").parquet(task.error_path)
+    # castTimestamp: assembled from Y/M/D + fractional-hour time
+    # (SURVEY §1.2); try_* variants — invalid header dates yield null,
+    # not a job failure, under ANSI mode.
+    seconds = (F.col("time") * 3600).cast("int")
+    casts = (
+        ok_casts(parsed)
+        .withColumn(
+            "castTimestamp",
+            F.try_add(
+                F.expr(
+                    "try_to_timestamp(concat(year, '-', lpad(month, 2, '0'), "
+                    "'-', lpad(day, 2, '0')))"
                 ),
-            )
-            # pure-Catalyst geohash: the write path stays entirely JVM-side
-            # (the numpy pandas_udf variant is equivalent — parity asserted
-            # in tests/test_geohash.py — but costs an Arrow round-trip)
-            .withColumn("geohash", geohash_col(F.col("latitude"), F.col("longitude")))
-            .withColumn("geohash3", F.substring("geohash", 1, 3))
+                F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), seconds),
+            ),
         )
-        # Writer-task count: capped at 16 per file-job. Beyond that, many
-        # concurrently-open parquet writers in one JVM contend (local[32]
-        # measured: 32 tasks ≈ 10 s vs 16 tasks ≈ 4 s for 1652 partition
-        # dirs); cluster-wide parallelism comes from running file-jobs
-        # concurrently, not from more writers per file.
-        n_write_tasks = min(16, spark.sparkContext.defaultParallelism)
-        (
-            casts.repartition(n_write_tasks, F.col("geohash3"))
-            # Sort by (geohash3, geohash): the partitioned writer requires
-            # ordering by the partition column and would insert its own
-            # non-stable sort (destroying the geohash order) unless the
-            # existing sort order starts with it. Equivalent row order to
-            # the reference's sortWithinPartitions("geohash") since
-            # geohash3 is a prefix of geohash.
-            .sortWithinPartitions("geohash3", "geohash")
-            .write.mode("overwrite")
-            # static overwrite: the job owns the whole directory, and the
-            # dynamic committer would skip the _SUCCESS marker the
-            # skip/resume contract keys on (DatasetYearTrain.java:92).
-            .option("partitionOverwriteMode", "static")
-            .partitionBy("geohash3")
-            .parquet(out)
-        )
-        # CRS sidecar (GeoParquet version + WGS-84 PROJJSON + column
-        # mapping) — the Sedona-free mirror of the reference's
-        # geoparquet.crs writer option (DatasetYearTrain.java:132-134).
-        fs.write_bytes(_join(out, SIDECAR_NAME), geo_sidecar_bytes())
-    finally:
-        parsed.unpersist()
+        # pure-Catalyst geohash: the write path stays entirely JVM-side
+        # (the numpy pandas_udf variant is equivalent — parity asserted
+        # in tests/test_geohash.py — but costs an Arrow round-trip)
+        .withColumn("geohash", geohash_col(F.col("latitude"), F.col("longitude")))
+        .withColumn("geohash3", F.substring("geohash", 1, 3))
+    )
+    # Writer-task count: capped at 16 per file-job. Beyond that, many
+    # concurrently-open parquet writers in one JVM contend (local[32]
+    # measured: 32 tasks ≈ 10 s vs 16 tasks ≈ 4 s for 1652 partition
+    # dirs); cluster-wide parallelism comes from running file-jobs
+    # concurrently, not from more writers per file.
+    n_write_tasks = min(16, spark.sparkContext.defaultParallelism)
+    (
+        casts.repartition(n_write_tasks, F.col("geohash3"))
+        # Sort by (geohash3, geohash): the partitioned writer requires
+        # ordering by the partition column and would insert its own
+        # non-stable sort (destroying the geohash order) unless the
+        # existing sort order starts with it. Equivalent row order to
+        # the reference's sortWithinPartitions("geohash") since
+        # geohash3 is a prefix of geohash.
+        .sortWithinPartitions("geohash3", "geohash")
+        .write.mode("overwrite")
+        # static overwrite: the job owns the whole directory, and the
+        # dynamic committer would skip the _SUCCESS marker the
+        # skip/resume contract keys on (DatasetYearTrain.java:92).
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("geohash3")
+        .parquet(out)
+    )
+    # CRS sidecar (GeoParquet version + WGS-84 PROJJSON + column
+    # mapping) — the Sedona-free mirror of the reference's
+    # geoparquet.crs writer option (DatasetYearTrain.java:132-134).
+    fs.write_bytes(_join(out, SIDECAR_NAME), geo_sidecar_bytes())
     return "converted"
 
 

