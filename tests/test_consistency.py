@@ -244,6 +244,48 @@ def test_ivf_recall_vs_exact_knn(spark):
         assert r.qid != r.vec_id
 
 
+def test_ivf_join_recall_vs_exact(spark):
+    """The large-Q IVF join (100 queries, nprobe=4): every pair verifies
+    (qid≠vec_id, k≤3 per query), agrees with the small-batch IVF tier on
+    the shared 10 queries, and recovers a reasonable share of the exact
+    top-3 computed brute-force for the same 100-query batch."""
+    from wod_ascii_to_parquet_spark_spark.registry import load
+    from pyspark.sql import Window as W
+    from wod_ascii_to_parquet_spark_spark.operators.dedup import cosine
+
+    ivfj = QUERIES["similarity_ann_ivf_join"].fn(spark, SF_DIR).collect()
+    per_q: dict = {}
+    for r in ivfj:
+        assert r.qid != r.vec_id
+        per_q.setdefault(r.qid, []).append(r.vec_id)
+    assert all(len(v) <= 3 for v in per_q.values())
+
+    small = QUERIES["similarity_ann_ivf"].fn(spark, SF_DIR).collect()
+    small_pairs = {(r.qid, r.vec_id) for r in small}
+    join_pairs = {(r.qid, r.vec_id) for r in ivfj}
+    assert small_pairs <= join_pairs  # same cells, same probes, superset of queries
+
+    e = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    sim = cosine(F.col("emb"), F.col("qemb"))
+    w = W.partitionBy("qid").orderBy(F.desc("__raw"), F.asc("vec_id"))
+    exact = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", sim.alias("__raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .collect()
+    )
+    exact_pairs = {(r.qid, r.vec_id) for r in exact}
+    recall = len(exact_pairs & join_pairs) / len(exact_pairs)
+    assert recall >= 0.2, f"suspiciously low IVF-join recall: {recall}"
+
+
 def test_curation_properties(spark):
     """Packing: offsets stay under the budget and bins are contiguous per
     shard. Sampling: at most 5 per stratum, deterministic across runs."""

@@ -278,6 +278,127 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_probes(q: DataFrame, seeds: DataFrame, nprobe: int) -> DataFrame:
+    """Map-only multi-probe cell selection: ``(qid, qemb, cell)`` with the
+    ``nprobe`` nearest cells per query, one output row each.
+
+    Same broadcast-quantizer-array trick as ``_ivf_assign``, but keeping
+    the ``nprobe`` best cells instead of the argmax: score all cells into
+    a struct array, ``array_sort`` with a (sim DESC, cell ASC) comparator
+    — identical ordering to the oracle's ``row_number() OVER (ORDER BY sim
+    DESC, cell)`` — then slice + explode. No Window, no shuffle: the query
+    stream stays map-side until the cell equi-join that follows."""
+    seed_arr = seeds.select(F.struct("cell", "cemb").alias("s")).agg(
+        F.sort_array(F.collect_list("s")).alias("__seeds")
+    )
+    scored = F.transform(
+        F.col("__seeds"),
+        lambda s: F.struct(
+            cosine(F.col("qemb"), s["cemb"]).alias("sim"), s["cell"].alias("cell")
+        ),
+    )
+    by_sim_desc_cell = F.array_sort(
+        scored,
+        lambda l, r: F.when(l["sim"] > r["sim"], F.lit(-1))
+        .when(l["sim"] < r["sim"], F.lit(1))
+        .when(l["cell"] < r["cell"], F.lit(-1))
+        .when(l["cell"] > r["cell"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    return (
+        q.crossJoin(F.broadcast(seed_arr))
+        .select(
+            "qid",
+            "qemb",
+            F.explode(
+                F.transform(
+                    F.slice(by_sim_desc_cell, 1, nprobe), lambda s: s["cell"]
+                )
+            ).alias("cell"),
+        )
+    )
+
+
+@register(
+    "similarity_ann_ivf_join",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    seeds AS (SELECT vec_id AS cell, emb AS cemb FROM e WHERE vec_id < 16),
+    assign AS (
+        SELECT vec_id, emb, cell FROM (
+            SELECT e.vec_id, e.emb, s.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_IVF_COS.format(a="e.emb", b="s.cemb")} DESC,
+                                s.cell
+                   ) AS rn
+            FROM e CROSS JOIN seeds s
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT qid, qemb, cell FROM (
+            SELECT q.vec_id AS qid, q.emb AS qemb, s.cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_IVF_COS.format(a="q.emb", b="s.cemb")} DESC,
+                                s.cell
+                   ) AS rn
+            FROM e q CROSS JOIN seeds s
+            WHERE q.vec_id < 100
+        ) WHERE rn <= 4
+    )
+    SELECT qid, vec_id, round(sim, 6) AS cos_sim FROM (
+        SELECT p.qid, a.vec_id,
+               {_IVF_COS.format(a="a.emb", b="p.qemb")} AS sim,
+               row_number() OVER (
+                   PARTITION BY p.qid
+                   ORDER BY {_IVF_COS.format(a="a.emb", b="p.qemb")} DESC,
+                            a.vec_id
+               ) AS rn
+        FROM probes p JOIN assign a ON a.cell = p.cell
+        WHERE a.vec_id <> p.qid
+    ) WHERE rn <= 3
+    """,
+    tags=("similarity",),
+)
+def similarity_ann_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed k-NN JOIN — the large-query-batch tier: top-3 neighbors
+    for each of 100 query vectors, nprobe=4 over 16 medoid cells.
+
+    ``similarity_knn_join`` broadcasts the query batch and scores the full
+    corpus per query (right when Q is small); this variant instead assigns
+    BOTH sides to IVF cells map-only (``_ivf_assign`` / ``_ivf_probes``)
+    and meets them with a plain cell equi-join — no broadcast, no
+    crossJoin, candidate volume ~nprobe/ncells of |corpus|·|Q|. At 100 TB
+    this is the only join shape that works when the query batch itself is
+    a large table (e.g. dedup of a new crawl against the corpus).
+    Deterministic medoid seeds keep it fully DuckDB-oracled; recall vs the
+    exact k-NN join is asserted in tests/test_consistency.py."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    seeds = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
+    )
+    assign = _ivf_assign(e, seeds)
+    q = e.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    probes = _ivf_probes(q, seeds, nprobe=4)
+    from pyspark.sql import Window as W
+
+    rerank = cosine(F.col("emb"), F.col("qemb"))
+    w_top = W.partitionBy("qid").orderBy(F.desc("__raw"), F.asc("vec_id"))
+    return (
+        assign.join(probes, "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", rerank.alias("__raw"))
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id", F.round(F.col("__raw"), 6).alias("cos_sim"))
+    )
+
+
 @register("similarity_ann_lsh", None, tags=("similarity", "rows-only"))
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH with multi-probe: 8 sign bits → integer

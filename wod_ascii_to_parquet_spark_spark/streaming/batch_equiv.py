@@ -24,6 +24,8 @@ escape hatch for custom state machines.
 
 from __future__ import annotations
 
+from datetime import timedelta
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -162,6 +164,100 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view"),
         ev.filter(F.col("event_type") == "purchase"),
     )
+
+
+@register(
+    "stream_late_drop",
+    """
+    WITH m AS (SELECT max(ts) AS tmax FROM events)
+    SELECT to_timestamp(floor(epoch(ts) / 600) * 600)::TIMESTAMP AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events, m
+    WHERE ts >= tmax - INTERVAL 1 HOUR
+      AND floor(epoch(ts) / 600) * 600 + 600 <= epoch(tmax) - 600
+    GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP, registered and fully oracled — normally
+    unregistrable because drop behavior depends on trigger boundaries, so
+    this query pins the boundaries deterministically:
+
+    - trigger 1 = the newest hour of events (written as one file with an
+      artificially old mtime; ``maxFilesPerTrigger=1`` + the file source's
+      oldest-mtime-first ordering fix the batch order),
+    - trigger 2 = an EMPTY file. The watermark a batch's late-filter uses
+      is the one committed at the END of the previous batch, computed from
+      data through it — so a late event must arrive two batches after the
+      event that pushes the watermark. The empty innocuous batch commits
+      ``max(ts) - 10 min`` without adding rows (without it, the late batch
+      is filtered against the initial zero watermark and nothing drops).
+    - trigger 3 = everything older than the newest hour.
+
+    Every trigger-3 event is ≥ 50 min below the watermark, so its window
+    is entirely late and Spark MUST drop it. Append mode then emits
+    exactly the trigger-1 windows whose end ≤ watermark — a closed-form
+    set the oracle states directly: recent-hour events, windows ending at
+    least 10 min before ``max(ts)``. The one driver-side scalar
+    (``max(ts)``) is what stages the replay files; it is the harness of
+    the scenario, not a per-row collect.
+
+    The equivalent late-drop behavior on a LIVE unbounded stream is
+    exercised in tests/test_streaming.py; this registered variant is the
+    driver-checkable contract for it."""
+    import os
+    import tempfile
+    import time as _time
+
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    tmax = ev.agg(F.max("ts")).first()[0]
+    cut = tmax - timedelta(hours=1)
+
+    indir = tempfile.mkdtemp(prefix="stream_late_drop_")
+
+    def _age_new_parts(mtime: float) -> None:
+        # Pin every not-yet-pinned part file to `mtime` (strictly increasing
+        # across the three writes → deterministic trigger order).
+        for n in os.listdir(indir):
+            p = os.path.join(indir, n)
+            if n.startswith("part-") and os.path.getmtime(p) > mtime:
+                os.utime(p, (mtime, mtime))
+
+    # One file per logical batch: coalesce(1) so maxFilesPerTrigger=1 maps
+    # file == trigger; mtimes force the replay order (newest data FIRST).
+    now = _time.time()
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.mode("overwrite").parquet(indir)
+    _age_new_parts(now - 600)
+    ev.filter(F.lit(False)).coalesce(1).write.mode("append").parquet(indir)
+    _age_new_parts(now - 300)
+    ev.filter(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(indir)
+
+    name = "stream_late_drop_sink"
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
 
 
 @register("stream_tumbling_live", _TUMBLE_SQL, tags=("streaming",))
