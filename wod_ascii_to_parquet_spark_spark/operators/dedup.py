@@ -219,24 +219,25 @@ def simhash_bits(d: DataFrame, nbits: int = 32) -> DataFrame:
 
     One fold over the token hashes computes all ``nbits`` counters (same
     loop-inversion discipline as ``minhash_signature`` — per-bit aggregates
-    would re-evaluate the tokenize+hash per bit)."""
-    hashes = F.transform(
-        F.split(F.col("text"), " "),
-        lambda t: F.pmod(F.xxhash64(t), F.lit(1 << 31)),
-    )
-    bit_idx = F.sequence(F.lit(0), F.lit(nbits - 1))
+    would re-evaluate the tokenize+hash per bit).
+
+    Bits come straight off the full signed 64-bit ``xxhash64`` via integer
+    ``shiftright``/``&1`` — every position 0..63 is a well-mixed bit. (An
+    earlier formulation hashed mod 2³¹, which zeroed bits 31+ for every
+    document: at 64 bits that made two whole 16-bit segments CONSTANT
+    across the corpus, collapsing the pigeonhole buckets into one N²
+    bucket — a 50M-pair candidate blowup at a 5k-doc test scale.)"""
+    hashes = F.transform(F.split(F.col("text"), " "), lambda t: F.xxhash64(t))
     counts = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0).cast("bigint"), nbits),
         lambda acc, h: F.zip_with(
             acc,
-            F.transform(
-                bit_idx,
-                # (h >> i) & 1, via exact floor-div (h < 2^31 so the double
-                # division below is exact) mapped to ±1 votes.
-                lambda i: (
-                    F.floor(h / F.pow(F.lit(2.0), i)).cast("bigint") % 2
-                ) * 2 - 1,
+            F.array(
+                *[
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1
+                    for i in range(nbits)
+                ]
             ),
             lambda a, b: a + b,
         ),
