@@ -286,6 +286,41 @@ def test_ivf_join_recall_vs_exact(spark):
     assert recall >= 0.2, f"suspiciously low IVF-join recall: {recall}"
 
 
+def test_cluster_assign_matches_union_find(spark):
+    """The iterative min-label propagation must agree exactly with a plain
+    union-find over the same verified pair set, and the md5-LSH pairs it
+    consumes must superset the blocked exact-Jaccard kernel's pairs."""
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_minhash_lsh_md5"].fn(spark, SF_DIR).collect()
+    ]
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_ngram_jaccard"].fn(spark, SF_DIR).collect()
+    }
+    assert exact <= set(pairs)
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    got = {
+        r.doc_id: r.cluster_id
+        for r in QUERIES["dedup_cluster_assign"].fn(spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
 def test_curation_properties(spark):
     """Packing: offsets stay under the budget and bins are contiguous per
     shard. Sampling: at most 5 per stratum, deterministic across runs."""

@@ -34,7 +34,13 @@ def test_oracles_reference_known_tables_only():
             # CTE names: collect WITH aliases
             ctes = {
                 c.lower()
-                for c in re.findall(r"(?:WITH|,)\s*([a-zA-Z_][a-zA-Z0-9_]*)\s+AS\s*\(", q.oracle, re.I)
+                for c in re.findall(
+                    # WITH [RECURSIVE] name[(col, ...)] AS (   |   , name ... AS (
+                    r"(?:WITH(?:\s+RECURSIVE)?|,)\s*([a-zA-Z_][a-zA-Z0-9_]*)"
+                    r"\s*(?:\([^)]*\))?\s+AS\s*\(",
+                    q.oracle,
+                    re.I,
+                )
             }
             assert tok in allowed | ctes or tok in {"lateral"}, (
                 f"{name}: oracle references unknown table {tok!r}"

@@ -154,22 +154,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the 100 TB dedup path: O(N) signature pass, shuffle keyed on
     (band, band_key) — candidate generation never compares all pairs.
     Deterministic (xxhash64 is seeded-fixed), but not DuckDB-expressible →
-    rows-only check; exactness is covered by the oracled
-    ``dedup_ngram_jaccard`` whose verified pairs this must superset-match
-    on the same threshold (asserted in tests)."""
+    rows-only check; ``dedup_minhash_lsh_md5`` runs the SAME pipeline on a
+    cross-engine base hash and carries the full oracle, and exactness is
+    additionally covered by the oracled ``dedup_ngram_jaccard`` whose
+    verified pairs this must superset-match on the same threshold
+    (asserted in tests)."""
     d = spread(load(spark, sf_dir, "documents"))
     s = (
         d.select("doc_id", shingles(F.col("text")).alias("sh"))
         .withColumn("hashes", shingle_hashes(F.col("sh")))
         .withColumn("sig", minhash_signature(F.col("hashes")))
         .drop("hashes")
-        # Shuffle barrier: the band keys below reference `sig` 32 times and
-        # the verify stage reads `sh` twice; without an Exchange, project
-        # collapsing would inline (= re-evaluate) the signature expression
-        # at every reference. The exchange materializes (doc_id, sh, sig)
-        # once and ReuseExchange serves all three consumers from it.
-        .repartition(F.col("doc_id"))
+        .repartition(F.col("doc_id"))  # shuffle barrier, see _lsh_verified_pairs
     )
+    return _lsh_verified_pairs(s)
+
+
+def _lsh_verified_pairs(s: DataFrame) -> DataFrame:
+    """Banded-LSH candidate generation + exact verify over a prepared
+    ``(doc_id, sh, sig)`` frame: 8 bands × 4 rows → band-bucket equi-join →
+    exact Jaccard ≥ 0.5 on candidates only. ``s`` must arrive behind a
+    shuffle barrier (see callers): the band keys below reference ``sig``
+    32 times and the verify stage reads ``sh`` twice — without an
+    Exchange, project collapsing would inline (= re-evaluate) the
+    signature expression at every reference; the Exchange materializes
+    ``(doc_id, sh, sig)`` once and ReuseExchange serves all consumers."""
     nbands = _NPERM // _BAND_ROWS
     bands = F.array(
         *[
@@ -212,6 +221,93 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.filter(jac >= 0.5).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jac")
     )
+
+
+def shingle_hashes_md5(sh: Column) -> Column:
+    """Cross-engine base hash: first 60 bits of ``md5`` (identical in Spark
+    and DuckDB, verified bit-exact incl. unicode) reduced mod 2³¹−1 — same
+    range as :func:`shingle_hashes`, so :func:`minhash_signature` applies
+    unchanged. Materialize once before the signature fold (same CSE
+    discipline)."""
+    return F.transform(
+        sh,
+        lambda x: F.pmod(
+            F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint"),
+            F.lit(_MERSENNE),
+        ),
+    )
+
+
+def _md5_lsh_sql(select_pairs: str) -> str:
+    """Generate the DuckDB mirror of the md5-based banded LSH: shingles →
+    60-bit md5 hashes mod 2³¹−1 → 32 affine-permutation minima → 8×4 band
+    keys → band equi-join candidates → exact Jaccard ≥ 0.5. Signatures are
+    bit-exact vs the Spark side, so the candidate SET matches exactly —
+    LSH recall loss is identical on both sides by construction."""
+    sig = [
+        f"list_min(list_transform(hs, h -> ((2*{p}+3)*h + {p}*1000003)"
+        f" % {_MERSENNE}))"
+        for p in range(_NPERM)
+    ]
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || '-' || ".join(
+            f"({sig[b * _BAND_ROWS + r]})::VARCHAR" for r in range(_BAND_ROWS)
+        )
+        + " AS key FROM s"
+        for b in range(_NPERM // _BAND_ROWS)
+    )
+    return f"""
+    s0 AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents),
+    s AS (SELECT doc_id, sh,
+                 list_transform(sh, x ->
+                     ('0x' || substring(md5(x), 1, 15))::BIGINT
+                     % {_MERSENNE}) AS hs
+          FROM s0),
+    bands AS ({band_selects}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(sa.sh, sb.sh))::DOUBLE
+               / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jac
+        FROM cand c
+        JOIN s sa ON sa.doc_id = c.doc_a
+        JOIN s sb ON sb.doc_id = c.doc_b
+    )
+    {select_pairs}
+    """
+
+
+@register(
+    "dedup_minhash_lsh_md5",
+    "WITH "
+    + _md5_lsh_sql(
+        "SELECT doc_a, doc_b, round(jac, 6) AS jac FROM verified WHERE jac >= 0.5"
+    ),
+    tags=("dedup",),
+)
+def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded MinHash-LSH pipeline with a FULL DuckDB oracle: identical
+    plan shape to ``dedup_minhash_lsh`` (O(N) signature fold, band-key-only
+    shuffle, exact verify on candidates) but the base hash is the first 60
+    bits of ``md5`` — a primitive both engines evaluate bit-identically —
+    so signatures, band keys, candidate set, and verified pairs all match
+    DuckDB exactly. This upgrades the LSH family's verification story from
+    rows-only to hash-checked; the xxhash64 arm remains the cheaper
+    engine-side default."""
+    d = spread(load(spark, sf_dir, "documents"))
+    s = (
+        d.select("doc_id", shingles(F.col("text")).alias("sh"))
+        .withColumn("hashes", shingle_hashes_md5(F.col("sh")))
+        .withColumn("sig", minhash_signature(F.col("hashes")))
+        .drop("hashes")
+        .repartition(F.col("doc_id"))  # shuffle barrier, see _lsh_verified_pairs
+    )
+    return _lsh_verified_pairs(s)
 
 
 def simhash_bits(d: DataFrame, nbits: int = 32) -> DataFrame:
@@ -356,6 +452,86 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_simhash`` is the pedagogical variant."""
     s = simhash_bits(spread(load(spark, sf_dir, "documents")), nbits=64)
     return _simhash_pairs(s, nbits=64, max_hamming=3, key_cols=())
+
+
+@register(
+    "dedup_cluster_assign",
+    "WITH RECURSIVE "
+    + _md5_lsh_sql(
+        """,
+    pairs AS (SELECT doc_a, doc_b FROM verified WHERE jac >= 0.5),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, reached) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.reached FROM edges e JOIN reach r ON r.node = e.dst
+    )
+    SELECT node AS doc_id, min(reached) AS cluster_id
+    FROM reach GROUP BY node
+    """
+    ),
+    tags=("dedup",),
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified near-dup pair graph:
+    ``(doc_id, cluster_id)`` where ``cluster_id`` is the minimum doc_id in
+    the component — the step that turns PAIRS into dedup decisions (keep
+    ``doc_id == cluster_id``, drop the rest). Input pairs are the fully
+    oracled banded-LSH arm (``dedup_minhash_lsh_md5``), so the whole
+    pipeline — candidate generation through cluster assignment — is
+    hash-checked end-to-end; only documents that appear in at least one
+    pair are emitted (singletons trivially survive).
+
+    Spark side: iterative min-label propagation to a fixpoint — each round
+    every node takes the min of its own label and its neighbors' labels
+    (one equi-join + one groupBy per round); rounds needed = graph
+    diameter, and near-dup components are shallow (pairs share ≥50% of
+    shingles, so components are near-cliques with diameter ~2-3). The
+    monotone non-increasing sum of labels gives a cheap scalar
+    convergence check; ``localCheckpoint`` truncates the per-round lineage
+    (at 100 TB scale the same loop runs with the alternating
+    large-star/small-star optimization of Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14 — same join shape, fewer
+    rounds on high-diameter graphs; near-dup graphs don't have those).
+    DuckDB oracle: recursive-CTE transitive closure + min per node."""
+    pairs = dedup_minhash_lsh_md5(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(50):  # bound >> any real near-dup component diameter
+        nmin = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(nmin, labels.node == nmin.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
 
 
 def cosine(a: Column, b: Column) -> Column:
