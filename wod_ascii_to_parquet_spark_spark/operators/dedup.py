@@ -310,7 +310,9 @@ def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_verified_pairs(s)
 
 
-def simhash_bits(d: DataFrame, nbits: int = 32) -> DataFrame:
+def simhash_bits(
+    d: DataFrame, nbits: int = 32, token_hash=None
+) -> DataFrame:
     """``(doc_id, lang, source, bits)`` — per-token hash, bit-majority vote.
 
     One fold over the token hashes computes all ``nbits`` counters (same
@@ -322,8 +324,12 @@ def simhash_bits(d: DataFrame, nbits: int = 32) -> DataFrame:
     earlier formulation hashed mod 2³¹, which zeroed bits 31+ for every
     document: at 64 bits that made two whole 16-bit segments CONSTANT
     across the corpus, collapsing the pigeonhole buckets into one N²
-    bucket — a 50M-pair candidate blowup at a 5k-doc test scale.)"""
-    hashes = F.transform(F.split(F.col("text"), " "), lambda t: F.xxhash64(t))
+    bucket — a 50M-pair candidate blowup at a 5k-doc test scale.)
+
+    ``token_hash`` overrides the per-token hash (default ``xxhash64``) —
+    the md5-based oracled arm passes a cross-engine hash here."""
+    hasher = token_hash if token_hash is not None else (lambda t: F.xxhash64(t))
+    hashes = F.transform(F.split(F.col("text"), " "), hasher)
     counts = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0).cast("bigint"), nbits),
@@ -437,6 +443,78 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_simhash64`` (bucket population ~N/65536, no blocking key).
     Rows-only: DuckDB lacks xxhash64."""
     s = simhash_bits(spread(load(spark, sf_dir, "documents")), nbits=32)
+    return _simhash_pairs(s, nbits=32, max_hamming=8, key_cols=("lang", "source"))
+
+
+def _simhash_md5_oracle_sql(nbits: int = 32, max_hamming: int = 8) -> str:
+    """DuckDB mirror of the md5-based 32-bit SimHash: per-token 32-bit hash
+    (first 8 md5 hex chars — bit-exact vs Spark ``conv(substring(md5))``),
+    per-bit ±1 majority votes via unnest + 32 grouped sums, pigeonhole
+    segment self-joins for candidates, exact Hamming verify. Generated SQL
+    (~9 unioned segment joins); heavy but mechanical — the value is that
+    the ENTIRE simhash pipeline becomes hash-checked against a second
+    engine."""
+    segs = _segment_starts(nbits, max_hamming + 1)
+    votes = ",\n               ".join(
+        f"CASE WHEN sum(((h >> {i}) & 1) * 2 - 1) >= 0 THEN 1 ELSE 0 END"
+        f" AS b{i}"
+        for i in range(nbits)
+    )
+    seg_vals = ",\n               ".join(
+        "("
+        + " + ".join(
+            f"b{start + j} * {1 << (width - 1 - j)}" for j in range(width)
+        )
+        + f") AS s{i}"
+        for i, (start, width) in enumerate(segs)
+    )
+    hamming = " + ".join(f"abs(a.b{i} - b.b{i})" for i in range(nbits))
+    seg_joins = "\n        UNION\n        ".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        f" CAST({hamming} AS INTEGER) AS hamming"
+        f" FROM segv a JOIN segv b"
+        f" ON a.lang = b.lang AND a.source = b.source"
+        f" AND a.s{i} = b.s{i} AND a.doc_id < b.doc_id"
+        for i in range(len(segs))
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source,
+               ('0x' || substring(md5(t.tok), 1, 8))::BIGINT AS h
+        FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+    ),
+    bits AS (
+        SELECT doc_id, lang, source,
+               {votes}
+        FROM toks GROUP BY doc_id, lang, source
+    ),
+    segv AS (
+        SELECT *,
+               {seg_vals}
+        FROM bits
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+        {seg_joins}
+    ) WHERE hamming <= {max_hamming}
+    """
+
+
+@register("dedup_simhash_md5", _simhash_md5_oracle_sql(), tags=("dedup",))
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash (Hamming ≤ 8, (lang, source)-blocked) with a FULL
+    DuckDB oracle: the per-token hash is the first 32 bits of ``md5`` —
+    cross-engine bit-exact — so fingerprints, pigeonhole segments,
+    candidates and verified pairs all hash-match. Same plan shape as the
+    xxhash arms (map-only fingerprints, segment equi-join candidates,
+    exact verify); this arm exists to put the simhash FAMILY under the
+    hash-checked gate, with ``dedup_simhash64`` remaining the engine-side
+    scale default."""
+
+    def h32(t):
+        return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+    s = simhash_bits(
+        spread(load(spark, sf_dir, "documents")), nbits=32, token_hash=h32
+    )
     return _simhash_pairs(s, nbits=32, max_hamming=8, key_cols=("lang", "source"))
 
 

@@ -399,7 +399,39 @@ def similarity_ann_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_ann_lsh", None, tags=("similarity", "rows-only"))
+def _ann_lsh_oracle_sql() -> str:
+    """DuckDB mirror of the hyperplane-LSH index: the hyperplanes are plan
+    LITERALS (fixed seed), so the oracle inlines the exact same floats —
+    ``repr`` round-trips doubles exactly and both engines fold the dot
+    product over the same element order, so sign bits, buckets, probes and
+    re-rank all match bit-for-bit."""
+    planes = _hyperplanes()
+    masks = _probe_masks()
+    bucket_expr = "\n         + ".join(
+        f"(CASE WHEN list_dot_product(emb, [{', '.join(repr(v) for v in plane)}])"
+        f" >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    cos = _IVF_COS.format(a="c.emb", b="q.qemb")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    b AS (SELECT vec_id, emb, {bucket_expr} AS bucket FROM e),
+    q AS (
+        SELECT b.vec_id AS qid, b.emb AS qemb, xor(b.bucket, t.m) AS bucket
+        FROM b, unnest([{', '.join(str(m) for m in masks)}]) AS t(m)
+        WHERE b.vec_id < 10
+    )
+    SELECT qid, vec_id, round(sim, 6) AS cos_sim FROM (
+        SELECT q.qid, c.vec_id, {cos} AS sim,
+               row_number() OVER (
+                   PARTITION BY q.qid ORDER BY {cos} DESC, c.vec_id
+               ) AS rn
+        FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.qid
+    ) WHERE rn <= 3
+    """
+
+
+@register("similarity_ann_lsh", _ann_lsh_oracle_sql(), tags=("similarity",))
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH with multi-probe: 8 sign bits → integer
     bucket; each query probes its own bucket plus all buckets within
@@ -409,7 +441,10 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the bucket id — at 100 TB this is the difference between a
     hash-partitioned probe and an impossible cross product. Recall/cost is
     tuned by (nbits, probe radius); tests assert recall against the exact
-    ``similarity_knn_join``."""
+    ``similarity_knn_join``. Fully oracled: the fixed-seed hyperplanes are
+    plan literals, and the oracle inlines the same literals (see
+    ``_ann_lsh_oracle_sql``), turning the whole index — bucketing,
+    multi-probe, re-rank — into a hash-checked query."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
