@@ -74,6 +74,46 @@ def geohash_udf(lat: pd.Series, lon: pd.Series) -> pd.Series:
     return out
 
 
+def geohash_sql_parts(
+    lat_expr: str, lon_expr: str, precision: int = DEFAULT_PRECISION
+) -> tuple[str, str, str]:
+    """DuckDB SQL mirror of :func:`geohash_col` — the same quantize /
+    bit-interleave / base-32 arithmetic rendered as generated SQL, so the
+    engine's geohash derivation (the write path's partition key) is
+    verifiable against a second engine. Returns ``(lat_q_sql, lon_q_sql,
+    concat_sql)``; the caller aliases the first two as ``gh_lat`` /
+    ``gh_lon`` in a CTE and selects the third over it. Both engines
+    perform the identical double arithmetic in the identical order, so
+    the quantized bits are bit-exact; DuckDB's ``floor`` returns DOUBLE,
+    hence the ``::BIGINT``."""
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    lat_q = (
+        f"least(floor(({lat_expr} + 90.0) / 180.0 * {float(1 << nlat)!r}),"
+        f" {float((1 << nlat) - 1)!r})::BIGINT"
+    )
+    lon_q = (
+        f"least(floor(({lon_expr} + 180.0) / 360.0 * {float(1 << nlon)!r}),"
+        f" {float((1 << nlon) - 1)!r})::BIGINT"
+    )
+    chars = []
+    for c in range(precision):
+        terms = []
+        for b in range(5):
+            g = 5 * c + b  # global interleaved bit index, MSB first
+            src, pos = (
+                ("gh_lon", nlon - 1 - g // 2)
+                if g % 2 == 0
+                else ("gh_lat", nlat - 1 - g // 2)
+            )
+            terms.append(f"(({src} >> {pos}) & 1) * {1 << (4 - b)}")
+        chars.append(
+            f"substring('{_BASE32}', ({' + '.join(terms)})::INTEGER + 1, 1)"
+        )
+    return lat_q, lon_q, " || ".join(chars)
+
+
 def geohash_col(
     lat: Column, lon: Column, precision: int = DEFAULT_PRECISION
 ) -> Column:

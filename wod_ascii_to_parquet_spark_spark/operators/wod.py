@@ -1,10 +1,13 @@
 """WOD-domain operator queries (registry entries over the reference's bundled
 fixtures — read-only at /root/reference/src/test/resources/wod).
 
-These are rows-only (no SQL oracle: the WOD decode and geohash are custom
-kernels DuckDB does not have); their correctness is covered by
+Most are rows-only (no SQL oracle: the WOD decode runs over fixture files
+the oracle's table views cannot see); their correctness is covered by
 tests/test_wod_format.py (byte-exact framing invariant on all 34k fixture
 casts) and tests/test_geohash.py (canonical-bisection property check).
+``udf_geohash_oracle`` additionally puts the geohash kernel itself under
+the hash-checked gate via a generated DuckDB mirror over testdata-derived
+coordinates.
 """
 
 from __future__ import annotations
@@ -12,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.geohash import geohash_udf
+from ..functions.geohash import geohash_col, geohash_sql_parts, geohash_udf
 from ..registry import load, register
 from ..sources.wod_ascii import ok_casts, wod_scan
 
@@ -101,6 +104,47 @@ def udf_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("geohash", geohash_udf("latitude", "longitude"))
         .withColumn("geohash3", F.substring("geohash", 1, 3))
         .select("castNumber", "latitude", "longitude", "geohash", "geohash3")
+    )
+
+
+def _geohash_oracle_sql() -> str:
+    lat_q, lon_q, concat = geohash_sql_parts("lat", "lon")
+    return f"""
+    WITH coords AS (
+        SELECT c_custkey,
+               (c_custkey % 18000) / 100.0 - 90.0 AS lat,
+               ((c_custkey * 7919) % 36000) / 100.0 - 180.0 AS lon
+        FROM customer
+    ),
+    q AS (SELECT c_custkey, lat, lon,
+                 {lat_q} AS gh_lat, {lon_q} AS gh_lon
+          FROM coords)
+    SELECT c_custkey, lat, lon,
+           {concat} AS geohash,
+           substring({concat}, 1, 3) AS geohash3
+    FROM q
+    """
+
+
+@register("udf_geohash_oracle", _geohash_oracle_sql(), tags=("wod",))
+def udf_geohash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The geohash derivation itself under the hash-checked gate: the pure
+    Catalyst ``geohash_col`` (the expression the WRITE path partitions by)
+    over deterministic synthetic coordinates derived from ``c_custkey``
+    with exact integer arithmetic, against a generated DuckDB mirror of
+    the same quantize/interleave/base-32 pipeline (``geohash_sql_parts``).
+    Complements ``udf_geohash`` (rows-only — it runs over WOD fixture
+    casts, which the oracle's table views cannot see) and the
+    canonical-bisection property test in tests/test_geohash.py."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    lat = (F.col("c_custkey") % 18000) / 100.0 - 90.0
+    lon = ((F.col("c_custkey") * 7919) % 36000) / 100.0 - 180.0
+    return (
+        c.select(
+            "c_custkey", lat.alias("lat"), lon.alias("lon")
+        )
+        .withColumn("geohash", geohash_col(F.col("lat"), F.col("lon")))
+        .withColumn("geohash3", F.substring("geohash", 1, 3))
     )
 
 
