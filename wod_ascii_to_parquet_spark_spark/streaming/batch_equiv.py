@@ -231,7 +231,19 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     now = _time.time()
     ev.filter(F.col("ts") >= cut).coalesce(1).write.mode("overwrite").parquet(indir)
     _age_new_parts(now - 600)
+    before = {n for n in os.listdir(indir) if n.startswith("part-")}
     ev.filter(F.lit(False)).coalesce(1).write.mode("append").parquet(indir)
+    if not any(
+        n.startswith("part-") and n not in before for n in os.listdir(indir)
+    ):
+        # Guard: if the engine elided the empty file, push the watermark
+        # with one duplicate of the max-ts event instead — its window END
+        # is above every watermark this replay can reach (wm ≤ max(ts) −
+        # 10 min < its window end), so append mode can never emit it and
+        # the oracle result is unchanged.
+        ev.filter(F.col("ts") == F.lit(tmax)).limit(1).coalesce(1).write.mode(
+            "append"
+        ).parquet(indir)
     _age_new_parts(now - 300)
     ev.filter(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(indir)
 
