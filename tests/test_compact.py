@@ -59,3 +59,34 @@ def test_compact_with_local_sort(spark, tmp_path):
     if len(files) == 1:
         vals = [r.o_orderdate for r in spark.read.parquet(files[0]).select("o_orderdate").collect()]
         assert vals == sorted(vals)
+
+
+def test_compact_publish_failure_restores_original(spark, tmp_path, monkeypatch):
+    """If the rename of the rewrite into place fails, the previous dataset
+    must be restored at its original path (the aside-rename publish
+    protocol) — not deleted, not left in a temp dir nobody reads."""
+    import pytest
+
+    from wod_ascii_to_parquet_spark_spark.sources.filesystem import FsClient
+
+    import os
+
+    d = str(tmp_path / "data")
+    spark.range(1000).repartition(16).write.parquet(d)
+    before = sorted(r.id for r in spark.read.parquet(d).collect())
+    total = sum(
+        os.path.getsize(p) for p in glob.glob(f"{d}/part-*.parquet")
+    )
+
+    real_rename = FsClient.rename
+
+    def failing_rename(self, src, dst):
+        if src.endswith("__compact_tmp"):
+            return False  # simulate a failed publish of the rewrite
+        return real_rename(self, src, dst)
+
+    monkeypatch.setattr(FsClient, "rename", failing_rename)
+    with pytest.raises(RuntimeError, match="restored"):
+        compact(spark, d, target_bytes=total)  # compact 16 files toward 1
+    monkeypatch.undo()
+    assert sorted(r.id for r in spark.read.parquet(d).collect()) == before

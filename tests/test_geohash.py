@@ -79,3 +79,49 @@ def test_null_propagation(spark):
     )
     rows = df.select(geohash_udf("lat", "lon").alias("g")).collect()
     assert [r.g is None for r in rows] == [True, True, False]
+
+
+def test_sql_mirror_matches_column_expression(spark):
+    """The generated DuckDB mirror (geohash_sql_parts) must agree with the
+    Catalyst expression char-for-char, including range edges and cell
+    boundaries — this is what makes udf_geohash_oracle's hash gate
+    trustworthy."""
+    import duckdb
+
+    from wod_ascii_to_parquet_spark_spark.functions.geohash import (
+        geohash_sql_parts,
+    )
+
+    rng = np.random.default_rng(7)
+    coords = [
+        (0.0, 0.0),
+        (90.0, 180.0),
+        (-90.0, -180.0),
+        (89.9999999, 179.9999999),
+        (-89.9999999, -179.9999999),
+        (45.0, -90.0),  # exact cell boundaries at several precisions
+        (31.33, -140.58),
+    ] + [
+        (float(la), float(lo))
+        for la, lo in zip(
+            rng.uniform(-90, 90, 60), rng.uniform(-180, 180, 60)
+        )
+    ]
+    df = spark.createDataFrame(coords, "lat double, lon double")
+    got = [
+        r.gh
+        for r in df.select(
+            geohash_col(F.col("lat"), F.col("lon")).alias("gh")
+        ).collect()
+    ]
+    lat_q, lon_q, concat = geohash_sql_parts("lat", "lon")
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            f"WITH q AS (SELECT {lat_q} AS gh_lat, {lon_q} AS gh_lon"
+            f" FROM (SELECT ? AS lat, ? AS lon)) SELECT {concat} FROM q",
+            [la, lo],
+        ).fetchone()[0]
+        for la, lo in coords
+    ]
+    assert got == want

@@ -55,3 +55,19 @@ def test_salt_spreads_hot_key_with_constant_value(spark):
 
     out = two_level_agg(df, "k", "v", n_salts=16).collect()
     assert len(out) == 1 and out[0]["n"] == 10_000 and out[0]["sum_v"] == 10_000.0
+
+
+def test_salt_is_deterministic_across_materializations(spark):
+    """The per-row salt must be a pure function of durable row identity so
+    shuffle-retry recomputation cannot reassign it: two independent
+    materializations of the salted frame must agree row-for-row."""
+    from wod_ascii_to_parquet_spark_spark.plans.skew import _row_salt
+
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    salted = df.withColumn("__salt", _row_salt(df, 16, None))
+    one = {(r["o_orderkey"], r["__salt"]) for r in salted.collect()}
+    two = {(r["o_orderkey"], r["__salt"]) for r in salted.collect()}
+    assert one == two
+    assert len({s for _, s in one}) > 1  # actually spreads
