@@ -49,6 +49,22 @@ HEADLINERS = [
 ]
 
 
+def _cpu_probe() -> float:
+    """Seconds for a fixed single-threaded numpy workload (min of 3) — a
+    calibration anchor for cross-round comparisons: this host's available
+    CPU swings up to ~70% between runs, so a query-time ratio between
+    rounds only means something relative to the probe ratio."""
+    import numpy as np
+
+    a = np.random.default_rng(0).standard_normal((1200, 1200))
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (a @ a).sum()
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 3)
+
+
 def main() -> None:
     t_session = time.perf_counter()
     from wod_ascii_to_parquet_spark_spark.registry import load_all_operators
@@ -120,6 +136,7 @@ def main() -> None:
         "sf": SF_DIR,
         "cpus": CPUS,
         "session_startup_sec": round(session_sec, 3),
+        "cpu_probe_sec": _cpu_probe(),
     }
     prev = _previous_round()
     if prev:

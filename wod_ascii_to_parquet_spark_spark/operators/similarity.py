@@ -252,20 +252,13 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
     )
     assign = _ivf_assign(e, seeds)
-    probes = (
-        e.filter(F.col("vec_id") < 10)
-        .select(F.col("vec_id").alias("qid"), F.col("emb").alias("qemb"))
-        .crossJoin(F.broadcast(seeds))
-        .select("qid", "qemb", "cell", cosine(F.col("qemb"), F.col("cemb")).alias("__s"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("qid").orderBy(F.desc("__s"), F.asc("cell"))
-            ),
-        )
-        .filter(F.col("rn") <= 4)
-        .select("qid", "qemb", "cell")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
     )
+    # Same map-only probe selection as the join tier; the one-row quantizer
+    # aggregate is plan-identical to _ivf_assign's, so ReuseExchange serves
+    # both from a single build.
+    probes = _ivf_probes(q, seeds, nprobe=4)
     rerank = cosine(F.col("emb"), F.col("qemb"))
     w_top = W.partitionBy("qid").orderBy(F.desc("__raw"), F.asc("vec_id"))
     return (
