@@ -185,10 +185,11 @@ def vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            round(scale, 6) AS scale_r,
-           CASE WHEN scale = 0 THEN list_transform(emb, x -> 0)
-                ELSE list_transform(emb, x ->
-                    greatest(-127, least(127, floor(x / scale + 0.5)))::INT)
-           END AS q,
+           array_to_string(
+               CASE WHEN scale = 0 THEN list_transform(emb, x -> 0)
+                    ELSE list_transform(emb, x ->
+                        greatest(-127, least(127, floor(x / scale + 0.5)))::INT)
+               END, ',') AS q_csv,
            round(CASE WHEN scale = 0 THEN 0.0 ELSE list_max(
                list_transform(emb, x -> abs(x -
                    greatest(-127, least(127, floor(x / scale + 0.5))) * scale))
@@ -208,7 +209,12 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagree on round()'s half-boundary behavior (Spark BigDecimal
     half-up vs DuckDB scale+rint), while floor of the identical double
     arithmetic is bit-deterministic in both — the same discipline as
-    ``REV_C100_SQL``. Map-only, zero shuffle."""
+    ``REV_C100_SQL``. Map-only, zero shuffle.
+
+    The quantized vector is emitted as ``q_csv`` (comma-joined string,
+    identical int formatting in both engines) rather than ``array<int>``:
+    the driver's canonicalizer sorts columns through pandas, which cannot
+    hash list values (r3 CORRECTNESS err: "unhashable type: 'list'")."""
     e = load(spark, sf_dir, "embeddings")
     emb = F.col("embedding").cast("array<double>")
     scale = F.array_max(F.transform(emb, lambda x: F.abs(x))) / 127.0
@@ -236,7 +242,7 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "vec_id",
         F.round(F.col("scale"), 6).alias("scale_r"),
-        q.alias("q"),
+        F.concat_ws(",", q.cast("array<string>")).alias("q_csv"),
         F.round(max_err, 6).alias("max_abs_err"),
     )
 
