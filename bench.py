@@ -127,26 +127,37 @@ def main() -> None:
     timings["wod_convert_xbt"] = round(min(wod_runs), 3)
 
     total = round(sum(timings.values()), 3)
+    # The ONE printed line stays compact: the driver captures only the last
+    # ~2,000 chars of stdout, and round 3's line (with cold_runs +
+    # previous_round + regressions inlined) overflowed that and left
+    # BENCH_r03.json unparseable. Everything beyond the essentials goes to
+    # BENCH_DETAIL.json next to this script instead.
     out_doc = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "cold_runs": cold,
         "sf": SF_DIR,
         "cpus": CPUS,
-        "session_startup_sec": round(session_sec, 3),
         "cpu_probe_sec": _cpu_probe(),
     }
+    detail = dict(
+        out_doc,
+        cold_runs=cold,
+        session_startup_sec=round(session_sec, 3),
+    )
     prev = _previous_round()
     if prev:
-        out_doc["previous_round"] = prev
+        detail["previous_round"] = prev
         # regression gate: steady-state > 1.3x the prior round's number
-        out_doc["regressions"] = {
+        detail["regressions"] = {
             name: {"now": timings[name], "was": prev[name]}
             for name in timings
             if name in prev and prev[name] > 0 and timings[name] > 1.3 * prev[name]
         }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=2)
     print(json.dumps(out_doc))
 
 
@@ -166,14 +177,20 @@ def _previous_round() -> dict[str, float] | None:
         if (m := re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p)))
     ]
     rounds = [p for _, p in sorted(matched)]
-    if not rounds:
-        return None
-    try:
-        with open(rounds[-1]) as fh:
-            doc = json.load(fh)
-        return doc.get("parsed", doc).get("queries")
-    except (OSError, ValueError, AttributeError):
-        return None
+    # Walk back from the latest round: a round whose line overflowed the
+    # driver's tail capture has `"parsed": null` (r3 did) — skip it rather
+    # than lose the comparison entirely.
+    for path in reversed(rounds):
+        try:
+            with open(path) as fh:
+                doc = json.load(fh)
+            parsed = doc.get("parsed", doc)
+            queries = parsed.get("queries") if isinstance(parsed, dict) else None
+            if queries:
+                return queries
+        except (OSError, ValueError):
+            continue
+    return None
 
 
 if __name__ == "__main__":
