@@ -103,13 +103,17 @@ def test_cross_join_is_broadcast(spark):
 
 
 def test_ivf_assignment_is_map_only(spark):
-    """The IVF index-build assignment must not inflate the corpus ×ncells:
-    no Window, and the ONLY corpus-side exchange is the final
-    repartition(cell) (the seed fold's SinglePartition exchange moves 16
-    rows and is irrelevant at scale)."""
+    """The IVF index-build assignment must not inflate the corpus ×ncells
+    and must be truly MAP-ONLY: no Window, and no hash exchange at all (the
+    seed fold's SinglePartition exchange moves 16 rows and is irrelevant at
+    scale). The caller — broadcast probe join, cell equi-join, or
+    partitioned write — decides the first shuffle."""
     from pyspark.sql import functions as F
 
-    from wod_ascii_to_parquet_spark_spark.operators.similarity import _ivf_assign
+    from wod_ascii_to_parquet_spark_spark.operators.similarity import (
+        _ivf_assign,
+        _seed_array,
+    )
     from wod_ascii_to_parquet_spark_spark.registry import load
 
     e = load(spark, SF_DIR, "embeddings").select(
@@ -118,15 +122,34 @@ def test_ivf_assignment_is_map_only(spark):
     seeds = e.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
     )
-    df = _ivf_assign(e, seeds)
+    df = _ivf_assign(e, _seed_array(seeds))
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
     assert "Window" not in plan, plan
-    hash_exchanges = [
-        line for line in plan.splitlines() if "hashpartitioning(" in line
-    ]
-    assert len(hash_exchanges) == 1 and "cell" in hash_exchanges[0], plan
+    assert "hashpartitioning(" not in plan, plan
+
+
+def test_ivf_query_plan_reuses_quantizer_and_no_double_argmax(spark):
+    """Full similarity_ann_ivf plan invariants (the r3→r5 regression fix):
+
+    - the one-row quantizer fold is built ONCE and reused for probes
+      (ReusedExchange);
+    - the computed ``cell`` key is non-nullable, so the inner join does NOT
+      push an ``isnotnull(<argmax fold>)`` copy of the 16-cell scoring
+      expression into a filter (which doubled the assignment cost);
+    - no REPARTITION_BY_COL corpus shuffle feeding the broadcast probe join.
+    """
+    from wod_ascii_to_parquet_spark_spark.registry import load_all_operators
+
+    q = load_all_operators()["similarity_ann_ivf"]
+    df = q.fn(spark, SF_DIR)
+    df.collect()  # AQE only materializes ReusedExchange in the FINAL plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan[:2000]
+    assert "ReusedExchange" in plan, plan[:4000]
+    assert "isnotnull(aggregate(" not in plan, plan[:4000]
+    assert "REPARTITION_BY_COL" not in plan, plan[:4000]
 
 
 def test_convert_schedules_largest_files_first(spark, tmp_path, monkeypatch):

@@ -142,36 +142,86 @@ _IVF_COS = """
     / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))
 """
 
+#: Cell-scoring metric: cosine with the per-row ||emb|| factor dropped.
+#: Dividing by a positive per-row constant cannot change which cell ranks
+#: highest, so assignment/probe order is the cosine order — at a third of
+#: the arithmetic (the seed norm is precomputed once in the broadcast seed
+#: array; the corpus-row norm is never needed). Both engines use this same
+#: expression, so the index stays bit-exact / hash-checked.
+_IVF_SCALED = """
+    list_dot_product({a}, {b}) / sqrt(list_dot_product({b}, {b}))
+"""
 
-def _ivf_assign(e: DataFrame, seeds: DataFrame) -> DataFrame:
-    """Map-only IVF cell assignment: ``(vec_id, emb, cell)`` partitioned by
-    cell.
 
-    The quantizer (all seed cells) is folded into ONE row — an array of
-    ``struct(cell, cemb)`` sorted by cell — and broadcast; each corpus
-    vector then scores all cells in a single Catalyst expression and takes
-    the argmax with an ``aggregate`` fold. No per-(vector, cell) row
-    inflation, no Window, no shuffle before the final ``repartition(cell)``
-    — at scale the corpus stream stays map-side until the one partitioning
-    the index build actually needs (the r02 formulation crossJoined ×16 and
-    sorted 16·N rows under a Window just to pick the best of 16).
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+
+
+def _seed_array(seeds: DataFrame) -> DataFrame:
+    """Fold the quantizer (all seed cells) into ONE broadcastable row: an
+    array of ``struct(cell, cemb, cnorm)`` sorted by cell ascending, with
+    each seed's L2 norm precomputed so per-row scoring does a single dot
+    product per cell. Build this ONCE per query and pass the same DataFrame
+    to both ``_ivf_assign`` and ``_ivf_probes`` — identical subtrees, so the
+    16-row fold is built and broadcast a single time (ReuseExchange,
+    asserted in tests/test_plans.py)."""
+    arr = seeds.select(F.struct("cell", "cemb").alias("s")).agg(
+        F.sort_array(F.collect_list("s")).alias("__raw")
+    )
+    with_norm = F.transform(
+        F.col("__raw"),
+        lambda s: F.struct(
+            s["cell"].alias("cell"),
+            s["cemb"].alias("cemb"),
+            F.sqrt(
+                F.aggregate(
+                    F.transform(s["cemb"], lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                )
+            ).alias("cnorm"),
+        ),
+    )
+    return arr.select(with_norm.alias("__seeds"))
+
+
+def _ivf_assign(e: DataFrame, seed_arr: DataFrame) -> DataFrame:
+    """MAP-ONLY IVF cell assignment: ``(vec_id, emb, cell)``.
+
+    Each corpus vector scores all cells in a single Catalyst expression
+    against the broadcast one-row quantizer and takes the argmax with an
+    ``aggregate`` fold. No per-(vector, cell) row inflation, no Window, and
+    no shuffle AT ALL: the caller decides what happens to the assigned
+    stream (broadcast-join probes for a small query batch; cell equi-join
+    — which brings its own hash exchange — for the large-batch join tier;
+    a partitioned/bucketed write for a persisted index). r3 carried a
+    ``repartition(cell)`` here, which fed a *broadcast* join in
+    ``similarity_ann_ivf`` — a full corpus shuffle that nothing consumed;
+    dropping it is most of the r3→r5 IVF speedup.
+
+    ``cell`` is wrapped in ``coalesce(.., -1)`` to make it provably
+    non-nullable: a nullable computed join key makes the downstream inner
+    join push ``isnotnull(cell)`` beneath the projection, where Catalyst
+    substitutes the WHOLE argmax fold into the filter — every corpus row
+    then scores all 16 cells twice (observed in the r3/r4 physical plan).
+    With a non-nullable key the filter constant-folds away; asserted in
+    tests/test_plans.py.
 
     Tie-break matches the oracle's ``ORDER BY sim DESC, cell``: seeds are
     sorted by cell ascending and the fold replaces only on STRICTLY greater
-    similarity, so the lowest cell among ties wins. Asserted map-only in
-    tests/test_plans.py."""
-    seed_arr = seeds.select(F.struct("cell", "cemb").alias("s")).agg(
-        F.sort_array(F.collect_list("s")).alias("__seeds")
-    )
+    similarity, so the lowest cell among ties wins."""
     scored = F.transform(
         F.col("__seeds"),
         lambda s: F.struct(
-            cosine(F.col("emb"), s["cemb"]).alias("sim"), s["cell"].alias("cell")
+            (_dot(F.col("emb"), s["cemb"]) / s["cnorm"]).alias("sim"),
+            s["cell"].alias("cell"),
         ),
     )
     init = F.struct(
         F.lit(float("-inf")).alias("sim"),
-        F.element_at(F.col("__seeds"), 1)["cell"].alias("cell"),
+        F.lit(-1).cast("long").alias("cell"),
     )
     best_cell = F.aggregate(
         scored,
@@ -179,10 +229,8 @@ def _ivf_assign(e: DataFrame, seeds: DataFrame) -> DataFrame:
         lambda acc, x: F.when(x["sim"] > acc["sim"], x).otherwise(acc),
         lambda acc: acc["cell"],
     )
-    return (
-        e.crossJoin(F.broadcast(seed_arr))
-        .select("vec_id", "emb", best_cell.alias("cell"))
-        .repartition(F.col("cell"))
+    return e.crossJoin(F.broadcast(seed_arr)).select(
+        "vec_id", "emb", F.coalesce(best_cell, F.lit(-1)).alias("cell")
     )
 
 
@@ -196,7 +244,7 @@ def _ivf_assign(e: DataFrame, seeds: DataFrame) -> DataFrame:
             SELECT e.vec_id, e.emb, s.cell,
                    row_number() OVER (
                        PARTITION BY e.vec_id
-                       ORDER BY {_IVF_COS.format(a="e.emb", b="s.cemb")} DESC,
+                       ORDER BY {_IVF_SCALED.format(a="e.emb", b="s.cemb")} DESC,
                                 s.cell
                    ) AS rn
             FROM e CROSS JOIN seeds s
@@ -207,7 +255,7 @@ def _ivf_assign(e: DataFrame, seeds: DataFrame) -> DataFrame:
             SELECT q.vec_id AS qid, q.emb AS qemb, s.cell,
                    row_number() OVER (
                        PARTITION BY q.vec_id
-                       ORDER BY {_IVF_COS.format(a="q.emb", b="s.cemb")} DESC,
+                       ORDER BY {_IVF_SCALED.format(a="q.emb", b="s.cemb")} DESC,
                                 s.cell
                    ) AS rn
             FROM e q CROSS JOIN seeds s
@@ -251,14 +299,12 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = e.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
     )
-    assign = _ivf_assign(e, seeds)
+    seed_arr = _seed_array(seeds)
+    assign = _ivf_assign(e, seed_arr)
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
     )
-    # Same map-only probe selection as the join tier; the one-row quantizer
-    # aggregate is plan-identical to _ivf_assign's, so ReuseExchange serves
-    # both from a single build.
-    probes = _ivf_probes(q, seeds, nprobe=4)
+    probes = _ivf_probes(q, seed_arr, nprobe=4)
     rerank = cosine(F.col("emb"), F.col("qemb"))
     w_top = W.partitionBy("qid").orderBy(F.desc("__raw"), F.asc("vec_id"))
     return (
@@ -271,7 +317,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_probes(q: DataFrame, seeds: DataFrame, nprobe: int) -> DataFrame:
+def _ivf_probes(q: DataFrame, seed_arr: DataFrame, nprobe: int) -> DataFrame:
     """Map-only multi-probe cell selection: ``(qid, qemb, cell)`` with the
     ``nprobe`` nearest cells per query, one output row each.
 
@@ -281,13 +327,11 @@ def _ivf_probes(q: DataFrame, seeds: DataFrame, nprobe: int) -> DataFrame:
     — identical ordering to the oracle's ``row_number() OVER (ORDER BY sim
     DESC, cell)`` — then slice + explode. No Window, no shuffle: the query
     stream stays map-side until the cell equi-join that follows."""
-    seed_arr = seeds.select(F.struct("cell", "cemb").alias("s")).agg(
-        F.sort_array(F.collect_list("s")).alias("__seeds")
-    )
     scored = F.transform(
         F.col("__seeds"),
         lambda s: F.struct(
-            cosine(F.col("qemb"), s["cemb"]).alias("sim"), s["cell"].alias("cell")
+            (_dot(F.col("qemb"), s["cemb"]) / s["cnorm"]).alias("sim"),
+            s["cell"].alias("cell"),
         ),
     )
     by_sim_desc_cell = F.array_sort(
@@ -322,7 +366,7 @@ def _ivf_probes(q: DataFrame, seeds: DataFrame, nprobe: int) -> DataFrame:
             SELECT e.vec_id, e.emb, s.cell,
                    row_number() OVER (
                        PARTITION BY e.vec_id
-                       ORDER BY {_IVF_COS.format(a="e.emb", b="s.cemb")} DESC,
+                       ORDER BY {_IVF_SCALED.format(a="e.emb", b="s.cemb")} DESC,
                                 s.cell
                    ) AS rn
             FROM e CROSS JOIN seeds s
@@ -333,7 +377,7 @@ def _ivf_probes(q: DataFrame, seeds: DataFrame, nprobe: int) -> DataFrame:
             SELECT q.vec_id AS qid, q.emb AS qemb, s.cell,
                    row_number() OVER (
                        PARTITION BY q.vec_id
-                       ORDER BY {_IVF_COS.format(a="q.emb", b="s.cemb")} DESC,
+                       ORDER BY {_IVF_SCALED.format(a="q.emb", b="s.cemb")} DESC,
                                 s.cell
                    ) AS rn
             FROM e q CROSS JOIN seeds s
@@ -373,11 +417,12 @@ def similarity_ann_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = e.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
     )
-    assign = _ivf_assign(e, seeds)
+    seed_arr = _seed_array(seeds)
+    assign = _ivf_assign(e, seed_arr)
     q = e.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
     )
-    probes = _ivf_probes(q, seeds, nprobe=4)
+    probes = _ivf_probes(q, seed_arr, nprobe=4)
     from pyspark.sql import Window as W
 
     rerank = cosine(F.col("emb"), F.col("qemb"))
