@@ -446,18 +446,35 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_pairs(s, nbits=32, max_hamming=8, key_cols=("lang", "source"))
 
 
-def _simhash_md5_oracle_sql(nbits: int = 32, max_hamming: int = 8) -> str:
-    """DuckDB mirror of the md5-based 32-bit SimHash: per-token 32-bit hash
-    (first 8 md5 hex chars — bit-exact vs Spark ``conv(substring(md5))``),
-    per-bit ±1 majority votes via unnest + 32 grouped sums, pigeonhole
-    segment self-joins for candidates, exact Hamming verify. Generated SQL
-    (~9 unioned segment joins); heavy but mechanical — the value is that
-    the ENTIRE simhash pipeline becomes hash-checked against a second
-    engine."""
+def _simhash_md5_oracle_sql(
+    nbits: int = 32,
+    max_hamming: int = 8,
+    key_cols: tuple[str, ...] = ("lang", "source"),
+) -> str:
+    """DuckDB mirror of the md5-based SimHash arms: per-token cross-engine
+    hash from md5 hex chars (bit-exact vs Spark ``conv(substring(md5))``),
+    per-bit ±1 majority votes via unnest + ``nbits`` grouped sums,
+    pigeonhole segment self-joins for candidates, exact Hamming verify.
+    Generated SQL (max_hamming+1 unioned segment joins); heavy but
+    mechanical — the value is that the ENTIRE simhash pipeline becomes
+    hash-checked against a second engine.
+
+    At 32 bits the hash is the first 8 md5 hex chars. At 64 bits it is the
+    first SIXTEEN hex chars, carried as two 32-bit halves (``h`` = chars
+    1-8 supplying bits 32..63, ``h2`` = chars 9-16 supplying bits 0..31):
+    a single 16-hex-char value can exceed signed-BIGINT range, and both
+    engines' ``>>``-on-halves formulation sidesteps signed-shift
+    ambiguity. The Spark twin assembles the same signed 64-bit value with
+    ``shiftleft(h, 32) | h2``."""
     segs = _segment_starts(nbits, max_hamming + 1)
+
+    def bit(i: int) -> str:
+        if nbits <= 32:
+            return f"((h >> {i}) & 1)"
+        return f"((h2 >> {i}) & 1)" if i < 32 else f"((h >> {i - 32}) & 1)"
+
     votes = ",\n               ".join(
-        f"CASE WHEN sum(((h >> {i}) & 1) * 2 - 1) >= 0 THEN 1 ELSE 0 END"
-        f" AS b{i}"
+        f"CASE WHEN sum({bit(i)} * 2 - 1) >= 0 THEN 1 ELSE 0 END AS b{i}"
         for i in range(nbits)
     )
     seg_vals = ",\n               ".join(
@@ -469,24 +486,30 @@ def _simhash_md5_oracle_sql(nbits: int = 32, max_hamming: int = 8) -> str:
         for i, (start, width) in enumerate(segs)
     )
     hamming = " + ".join(f"abs(a.b{i} - b.b{i})" for i in range(nbits))
+    key_join = "".join(f" AND a.{c} = b.{c}" for c in key_cols)
     seg_joins = "\n        UNION\n        ".join(
         f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
         f" CAST({hamming} AS INTEGER) AS hamming"
         f" FROM segv a JOIN segv b"
-        f" ON a.lang = b.lang AND a.source = b.source"
-        f" AND a.s{i} = b.s{i} AND a.doc_id < b.doc_id"
+        f" ON a.s{i} = b.s{i} AND a.doc_id < b.doc_id{key_join}"
         for i in range(len(segs))
+    )
+    keys = "".join(f"{c}, " for c in key_cols)
+    h2 = (
+        ",\n               ('0x' || substring(md5(t.tok), 9, 8))::BIGINT AS h2"
+        if nbits > 32
+        else ""
     )
     return f"""
     WITH toks AS (
-        SELECT doc_id, lang, source,
-               ('0x' || substring(md5(t.tok), 1, 8))::BIGINT AS h
+        SELECT doc_id, {keys}
+               ('0x' || substring(md5(t.tok), 1, 8))::BIGINT AS h{h2}
         FROM documents, unnest(string_split(text, ' ')) AS t(tok)
     ),
     bits AS (
-        SELECT doc_id, lang, source,
+        SELECT doc_id, {keys}
                {votes}
-        FROM toks GROUP BY doc_id, lang, source
+        FROM toks GROUP BY doc_id{"".join(", " + c for c in key_cols)}
     ),
     segv AS (
         SELECT *,
@@ -529,6 +552,32 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs Hamming scan in tests/test_consistency.py; the 32-bit
     ``dedup_simhash`` is the pedagogical variant."""
     s = simhash_bits(spread(load(spark, sf_dir, "documents")), nbits=64)
+    return _simhash_pairs(s, nbits=64, max_hamming=3, key_cols=())
+
+
+@register(
+    "dedup_simhash64_md5",
+    _simhash_md5_oracle_sql(nbits=64, max_hamming=3, key_cols=()),
+    tags=("dedup",),
+)
+def dedup_simhash64_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HEADLINE 64-bit/distance-3 simhash arm under a FULL DuckDB
+    oracle: the per-token hash is the first 64 bits of ``md5`` — assembled
+    from two 32-bit hex halves (``shiftleft(hi, 32) | lo``), cross-engine
+    bit-exact — so the Manku-parameter pipeline (four 16-bit pigeonhole
+    segments, no blocking key, exact Hamming verify) hash-matches end to
+    end. Same plan shape as ``dedup_simhash64``; this arm closes the last
+    rows-only gap in the dedup family (the 32-bit md5 arm covered only the
+    pedagogical parameters)."""
+
+    def h64(t):
+        hi = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+        lo = F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("bigint")
+        return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+    s = simhash_bits(
+        spread(load(spark, sf_dir, "documents")), nbits=64, token_hash=h64
+    )
     return _simhash_pairs(s, nbits=64, max_hamming=3, key_cols=())
 
 

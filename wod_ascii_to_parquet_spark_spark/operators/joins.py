@@ -349,15 +349,29 @@ def asof_join_bucketed(
     )
 
 
-@register("join_asof_pandas", None, tags=("join", "rows-only"))
+ASOF_ORACLE = """
+    SELECT event_id, ts, user_id, o_orderkey, o_orderdate
+    FROM (
+        SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, o.o_orderdate,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+               ) AS rn
+        FROM events e
+        JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+"""
+
+
+@register("join_asof_pandas", ASOF_ORACLE, tags=("join",))
 def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join via cogrouped ``applyInPandas`` + ``pd.merge_asof`` — the
     alternative physical strategy for high match multiplicity: both sides
     shuffle ONCE on the equi key, each key group merges sorted in pandas
     (O(n log n) per group) instead of materializing the |matches| join.
-    Must agree with the window-based ``join_asof`` wherever ties are not
-    involved (asserted in tests/test_consistency.py). Rows-only: same
-    semantics as the oracled ``join_asof``."""
+    Must agree with the window-based ``join_asof`` (asserted in
+    tests/test_consistency.py) and shares its full oracle: the stable-sort
+    tie-break below reproduces the oracle's (date DESC, key DESC) pick."""
     import pandas as pd
 
     events = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
@@ -392,20 +406,6 @@ def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey bigint, o_orderdate timestamp",
         )
     )
-
-
-ASOF_ORACLE = """
-    SELECT event_id, ts, user_id, o_orderkey, o_orderdate
-    FROM (
-        SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, o.o_orderdate,
-               row_number() OVER (
-                   PARTITION BY e.event_id
-                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
-               ) AS rn
-        FROM events e
-        JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
-    ) WHERE rn = 1
-"""
 
 
 @register("join_asof", ASOF_ORACLE, tags=("join",))
