@@ -65,10 +65,35 @@ def test_outputs_and_markers(converted):
         assert os.path.exists(sidecar), rel
         meta = json.loads(open(sidecar).read())
         assert meta["crs"]["id"] == {"authority": "EPSG", "code": 4326}
-        assert meta["geoparquet_version"] == "1.0.0"
+        assert meta["geoparquet_version"] == "1.1.0"
         assert meta["coordinates"] == {
             "latitude": "latitude", "longitude": "longitude"
         }
+
+
+def test_geoparquet_footer_readable(converted):
+    """Every data file carries the spec `geo` footer key (GeoParquet 1.1,
+    native point encoding, WGS-84 PROJJSON) and the geometry struct mirrors
+    (longitude, latitude) — i.e. a GeoParquet-aware reader recognizes the
+    output without the sidecar."""
+    import pyarrow.parquet as pq
+
+    out, _ = converted
+    base = os.path.join(out, "yearly/XBT/OBS/XBTO1967.parquet")
+    files = sorted(glob.glob(os.path.join(base, "geohash3=*", "*.parquet")))
+    assert files
+    for f in files[:5] + files[-1:]:
+        md = pq.read_schema(f).metadata
+        assert md and b"geo" in md, f
+        geo = json.loads(md[b"geo"])
+        assert geo["version"] == "1.1.0"
+        assert geo["primary_column"] == "geometry"
+        col = geo["columns"]["geometry"]
+        assert col["encoding"] == "point"
+        assert col["geometry_types"] == ["Point"]
+        assert col["crs"]["id"] == {"authority": "EPSG", "code": 4326}
+    row = pq.read_table(files[0]).to_pylist()[0]
+    assert row["geometry"] == {"x": row["longitude"], "y": row["latitude"]}
 
 
 def test_sidecar_heals_on_resume(spark, tmp_path):

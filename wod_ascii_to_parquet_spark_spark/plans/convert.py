@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 from ..functions.geohash import geohash_col
 from ..sources.filesystem import FsClient
 from ..sources.wod_ascii import errors, ok_casts, wod_scan
-from .geo_metadata import SIDECAR_NAME, geo_sidecar_bytes
+from .geo_metadata import SIDECAR_NAME, attach_geo_footer, geo_sidecar_bytes
 
 
 def _join(base: str, *parts: str) -> str:
@@ -162,10 +162,13 @@ def convert_file(spark: SparkSession, task: FileTask, overwrite: bool = False) -
         fs.delete(out)
         fs.delete(task.error_path)
     if _has_success(fs, out):
-        # Sidecar content is static; a crash after the main commit but
-        # before the sidecar write heals here instead of forcing a rebuild.
+        # The sidecar is written LAST, after the GeoParquet footer attach,
+        # so it is the publish-completion marker: a crash after the main
+        # commit but before/mid footer-attach heals here (both steps are
+        # idempotent) instead of forcing a rebuild.
         sidecar = _join(out, SIDECAR_NAME)
         if not fs.exists(sidecar):
+            attach_geo_footer(fs, out)
             fs.write_bytes(sidecar, geo_sidecar_bytes())
         return "skipped"
 
@@ -210,6 +213,14 @@ def convert_file(spark: SparkSession, task: FileTask, overwrite: bool = False) -
         # in tests/test_geohash.py — but costs an Arrow round-trip)
         .withColumn("geohash", geohash_col(F.col("latitude"), F.col("longitude")))
         .withColumn("geohash3", F.substring("geohash", 1, 3))
+        # GeoParquet 1.1 native-point geometry (struct<x=lon, y=lat>) —
+        # pure Catalyst, declared in the `geo` footer attached at publish
+        .withColumn(
+            "geometry",
+            F.struct(
+                F.col("longitude").alias("x"), F.col("latitude").alias("y")
+            ),
+        )
     )
     # Writer-task count: capped at 16 per file-job. Beyond that, many
     # concurrently-open parquet writers in one JVM contend (local[32]
@@ -234,9 +245,11 @@ def convert_file(spark: SparkSession, task: FileTask, overwrite: bool = False) -
         .partitionBy("geohash3")
         .parquet(out)
     )
-    # CRS sidecar (GeoParquet version + WGS-84 PROJJSON + column
-    # mapping) — the Sedona-free mirror of the reference's
-    # geoparquet.crs writer option (DatasetYearTrain.java:132-134).
+    # Real GeoParquet: attach the `geo` footer key to every data file
+    # (the Sedona-free mirror of the reference's geoparquet.version/crs
+    # writer options, DatasetYearTrain.java:132-134), THEN the sidecar —
+    # its presence marks the footer pass complete for crash-healing.
+    attach_geo_footer(fs, out)
     fs.write_bytes(_join(out, SIDECAR_NAME), geo_sidecar_bytes())
     return "converted"
 

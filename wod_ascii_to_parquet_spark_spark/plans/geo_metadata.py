@@ -1,21 +1,32 @@
-"""Dataset-level geospatial metadata sidecar.
+"""GeoParquet footer metadata + dataset-level sidecar.
 
 The reference writes GeoParquet through Sedona with a WGS-84 PROJJSON CRS
 baked into the parquet footer (``DatasetYearTrain.java:41-42`` defines the
 PROJJSON; ``:132-134`` passes ``geoparquet.version``/``geoparquet.crs`` to
-the writer). Without Sedona, the Spark-first equivalent is a
-``_geo_metadata.json`` sidecar next to each output dataset carrying the
-same information: GeoParquet version, the CRS, and the lon/lat column
-mapping + geohash covering (SURVEY §4.3). Readers that need real
-GeoParquet can re-encode from these columns; the CRS is the standard EPSG
-4326 definition published at proj.org.
+the writer). The Sedona-free equivalent here is two-layered:
+
+- **Real GeoParquet footers** (:func:`attach_geo_footer`): at publish time
+  every data file gets the spec's ``geo`` key-value footer entry attached
+  via pyarrow. The geometry column is the ``struct<x, y>`` the convert
+  pipeline adds, declared with GeoParquet 1.1's native ``point`` encoding
+  — expressible in pure Catalyst (``F.struct(lon, lat)``), unlike WKB,
+  which would need a byte-assembling UDF in the write path. GeoParquet-
+  aware readers (GDAL ≥ 3.8, GeoPandas) recognize the output directly.
+- A ``_geo_metadata.json`` sidecar carrying the same information at the
+  dataset level (SURVEY §4.3) — kept because it is readable without a
+  parquet parser and doubles as the publish-completion marker for the
+  footer attach (see ``plans/convert.py``).
+
+The CRS is the standard EPSG 4326 definition published at proj.org.
 """
 
 from __future__ import annotations
 
 import json
 
-GEOPARQUET_VERSION = "1.0.0"  # DatasetYearTrain.java:43
+#: 1.1.0 (not the reference's 1.0.0): 1.1 adds the native ``point``
+#: encoding for struct<x,y> columns; 1.0 allows WKB only.
+GEOPARQUET_VERSION = "1.1.0"  # cf. DatasetYearTrain.java:43
 
 #: WGS 84 (EPSG:4326) PROJJSON — proj.org schema v0.7, the same CRS the
 #: reference embeds (DatasetYearTrain.java:41-42).
@@ -71,6 +82,69 @@ WGS84_PROJJSON: dict = {
 
 SIDECAR_NAME = "_geo_metadata.json"
 
+GEOMETRY_COLUMN = "geometry"
+
+
+def geo_footer_dict() -> dict:
+    """The GeoParquet ``geo`` footer entry (spec v1.1.0): primary geometry
+    column with native ``point`` encoding (struct fields x=longitude,
+    y=latitude) and the WGS-84 PROJJSON CRS — the footer the reference has
+    Sedona write (DatasetYearTrain.java:132-134)."""
+    return {
+        "version": GEOPARQUET_VERSION,
+        "primary_column": GEOMETRY_COLUMN,
+        "columns": {
+            GEOMETRY_COLUMN: {
+                "encoding": "point",
+                "geometry_types": ["Point"],
+                "crs": WGS84_PROJJSON,
+            }
+        },
+    }
+
+
+def attach_geo_footer(fs, out_dir: str, max_workers: int = 16) -> int:
+    """Attach the ``geo`` key to every data file footer under ``out_dir``;
+    returns the number of files rewritten.
+
+    Each file is read and rewritten through pyarrow IN MEMORY via the
+    FsClient byte API, so the attach works on any Hadoop-visible scheme
+    (local, hdfs, s3a) — per-partition convert outputs are row-group-sized
+    by construction. Idempotent: re-attaching the same key is a no-op
+    change, so crash-healing can simply run it again (the sidecar, written
+    AFTER this step, is the completion marker — see convert_file).
+
+    Scale shape: this is one extra read+encode+write of the freshly
+    written output, embarrassingly parallel per FILE — here a thread pool
+    inside the per-file job; on a 1000-executor cluster the same function
+    is the body of a ``foreach`` over the file listing. The JVM parquet
+    writer cannot attach custom footer keys mid-write, so the post-pass is
+    the price of real GeoParquet without Sedona on the classpath."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    geo = json.dumps(geo_footer_dict()).encode()
+    paths = sorted(
+        p for p in fs.file_sizes(out_dir) if p.endswith(".parquet")
+    )
+
+    def one(path: str) -> None:
+        table = pq.read_table(pa.BufferReader(fs.read_bytes(path)))
+        meta = dict(table.schema.metadata or {})
+        meta[b"geo"] = geo
+        sink = pa.BufferOutputStream()
+        pq.write_table(
+            table.replace_schema_metadata(meta), sink, compression="snappy"
+        )
+        fs.write_bytes(path, sink.getvalue().to_pybytes())
+
+    if paths:
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            list(pool.map(one, paths))
+    return len(paths)
+
 
 def geo_sidecar_bytes() -> bytes:
     """Serialized sidecar content (static — independent of the data, so
@@ -80,6 +154,7 @@ def geo_sidecar_bytes() -> bytes:
         {
             "geoparquet_version": GEOPARQUET_VERSION,
             "crs": WGS84_PROJJSON,
+            "geo_footer": geo_footer_dict(),
             "coordinates": {"latitude": "latitude", "longitude": "longitude"},
             "covering": {"geohash": "geohash", "partition": "geohash3"},
         },
