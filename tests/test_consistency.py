@@ -321,6 +321,35 @@ def test_cluster_assign_matches_union_find(spark):
     assert got == expected
 
 
+def test_cluster_star_matches_propagation_and_bounds_rounds(spark):
+    """large_small_star must produce exactly the min-label-propagation
+    clustering on the real LSH pair graph, and on a high-diameter path
+    graph — where propagation needs diameter rounds — it must converge in
+    O(log² n) rounds with the correct component minima."""
+    from wod_ascii_to_parquet_spark_spark.operators.dedup import large_small_star
+
+    prop = {
+        r.doc_id: r.cluster_id
+        for r in QUERIES["dedup_cluster_assign"].fn(spark, SF_DIR).collect()
+    }
+    star = {
+        r.doc_id: r.cluster_id
+        for r in QUERIES["dedup_cluster_assign_star"].fn(spark, SF_DIR).collect()
+    }
+    assert star == prop
+
+    # path 0-1-...-63 (diameter 63) plus a disjoint triangle rooted at 100
+    path = [(i, i + 1) for i in range(63)]
+    tri = [(101, 100), (102, 101), (100, 102)]
+    edges = spark.createDataFrame(path + tri, "u long, v long")
+    labels, rounds = large_small_star(edges)
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    expected = {i: 0 for i in range(64)}
+    expected.update({100: 100, 101: 100, 102: 100})
+    assert got == expected
+    assert rounds <= 12, f"star CC took {rounds} rounds on a 64-path"
+
+
 def test_curation_properties(spark):
     """Packing: offsets stay under the budget and bins are contiguous per
     shard. Sampling: at most 5 per stratum, deterministic across runs."""

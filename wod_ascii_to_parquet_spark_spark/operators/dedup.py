@@ -619,11 +619,11 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     diameter, and near-dup components are shallow (pairs share ≥50% of
     shingles, so components are near-cliques with diameter ~2-3). The
     monotone non-increasing sum of labels gives a cheap scalar
-    convergence check; ``localCheckpoint`` truncates the per-round lineage
-    (at 100 TB scale the same loop runs with the alternating
-    large-star/small-star optimization of Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC'14 — same join shape, fewer
-    rounds on high-diameter graphs; near-dup graphs don't have those).
+    convergence check; ``localCheckpoint`` truncates the per-round lineage.
+    For graphs NOT guaranteed shallow, the alternating large-star /
+    small-star variant is implemented as :func:`large_small_star`
+    (registered as ``dedup_cluster_assign_star`` under the same oracle) —
+    same join shape per round, O(log² n) rounds on any diameter.
     DuckDB oracle: recursive-CTE transitive closure + min per node."""
     pairs = dedup_minhash_lsh_md5(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
@@ -659,6 +659,135 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def large_small_star(
+    edges: DataFrame, max_rounds: int = 50
+) -> tuple[DataFrame, int]:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): O(log² n) rounds on ANY graph, vs. diameter rounds for
+    min-label propagation — the variant a 100 TB deployment runs when
+    components are not guaranteed shallow.
+
+    Input: undirected edges as ``(u, v)`` in any orientation. Each round
+    rewires edges toward component minima while preserving connectivity:
+
+    - **large-star** (per node ``u``, over the full neighborhood): connect
+      every STRICTLY LARGER neighbor to ``m = min(N(u) ∪ {u})``. On
+      canonical ``u < v`` edges that is one emission per edge:
+      ``(m(u), v)``.
+    - **small-star** (per node ``w``, over smaller neighbors only): with
+      ``m = min`` of ``w``'s smaller neighborhood, connect every smaller
+      neighbor AND ``w`` itself to ``m``.
+
+    Both phases are a groupBy-min plus an equi-join on the node id — the
+    SAME shuffle shape as one label-propagation round, so the win is
+    strictly in round count. Convergence = canonical edge set unchanged
+    (count + order-insensitive xxhash checksum — one driver scalar per
+    round, same discipline as the propagation loop). At the fixpoint the
+    edge set is a star forest: every edge is (component-min, member).
+
+    Returns ``((doc_id, cluster_id), rounds_used)``; equivalence with
+    min-label propagation and round-count bounds are asserted in
+    tests/test_consistency.py."""
+    e = (
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def canon(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def checksum(df: DataFrame):
+        # bit_xor: order-insensitive and overflow-free under ANSI mode
+        r = df.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        return (r["c"], r["h"])
+
+    prev = checksum(e)
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        # large-star: m over the FULL neighborhood of the smaller endpoint
+        nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m_full = nbrs.groupBy("u").agg(
+            F.least(F.col("u"), F.min("v")).alias("m")
+        )
+        e = canon(
+            nbrs.join(m_full, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+        ).localCheckpoint()
+        # small-star: m over the smaller neighborhood of the larger endpoint
+        m_small = e.groupBy("v").agg(F.min("u").alias("m"))
+        j = e.join(m_small, "v")
+        e = canon(
+            j.select(F.col("m").alias("a"), F.col("u").alias("b")).union(
+                j.select(F.col("m").alias("a"), F.col("v").alias("b"))
+            )
+        ).localCheckpoint()
+        cur = checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    labels = (
+        e.select(F.col("v").alias("doc_id"), F.col("u").alias("cluster_id"))
+        .union(
+            e.select(F.col("u").alias("doc_id"), F.col("u").alias("cluster_id"))
+        )
+        .groupBy("doc_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    return labels, rounds
+
+
+@register(
+    "dedup_cluster_assign_star",
+    "WITH RECURSIVE "
+    + _md5_lsh_sql(
+        """,
+    pairs AS (SELECT doc_a, doc_b FROM verified WHERE jac >= 0.5),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, reached) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.reached FROM edges e JOIN reach r ON r.node = e.dst
+    )
+    SELECT node AS doc_id, min(reached) AS cluster_id
+    FROM reach GROUP BY node
+    """
+    ),
+    tags=("dedup",),
+)
+def dedup_cluster_assign_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_cluster_assign`` through the large-star/small-star engine
+    (:func:`large_small_star`) instead of min-label propagation — same
+    oracled result over the same fully-oracled LSH pair graph, O(log² n)
+    rounds instead of diameter rounds. Near-dup graphs are shallow so both
+    finish in a handful of rounds here; this arm exists so the
+    high-diameter-safe variant is CODE under the hash-checked gate, not a
+    docstring promise."""
+    pairs = dedup_minhash_lsh_md5(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    labels, _ = large_small_star(pairs)
+    return labels
 
 
 def cosine(a: Column, b: Column) -> Column:
