@@ -96,6 +96,19 @@ def test_geoparquet_footer_readable(converted):
     assert row["geometry"] == {"x": row["longitude"], "y": row["latitude"]}
 
 
+def test_footer_rewrite_preserves_spark_readability(spark, converted):
+    """The pyarrow footer pass must not change how Spark decodes ANY
+    column — in particular timestamps (INT96) must survive the re-encode
+    (a plain pyarrow rewrite silently turns them into TIMESTAMP(NANOS),
+    which Spark rejects at scan time)."""
+    out, _ = converted
+    df = spark.read.parquet(
+        os.path.join(out, "yearly/XBT/OBS/XBTO1967.parquet")
+    )
+    rows = df.select("castTimestamp", "latitude", "longitude").limit(5).collect()
+    assert len(rows) == 5
+
+
 def test_sidecar_heals_on_resume(spark, tmp_path):
     """_SUCCESS present but sidecar missing (crash between the two
     writes) → resume rewrites the sidecar without rebuilding."""

@@ -180,3 +180,59 @@ def curation_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("repetition"),
         )
     )
+
+
+#: Benchmark-decontamination n-gram length — 13 is the published standard
+#: (GPT-3 appendix C / Llama 2: flag train docs sharing any 13-gram with an
+#: eval benchmark). The synthetic stand-in for the benchmark suite is the
+#: first EVAL_DOCS documents.
+DECON_N = 13
+EVAL_DOCS = 20
+
+
+@register(
+    "curation_decontaminate",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+        SELECT doc_id, md5(array_to_string(t[i:i+{DECON_N - 1}], ' ')) AS g
+        FROM toks, unnest(range(1, len(t) - {DECON_N - 2})) AS r(i)
+        WHERE len(t) >= {DECON_N}
+    ),
+    ev AS (SELECT DISTINCT g FROM grams WHERE doc_id < {EVAL_DOCS})
+    SELECT doc_id, count(DISTINCT g) AS n_contaminated
+    FROM grams JOIN ev USING (g)
+    WHERE doc_id >= {EVAL_DOCS}
+    GROUP BY doc_id
+    """,
+    tags=("curation",),
+)
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    13-gram with the eval set (docs 0..EVAL_DOCS-1 stand in for the
+    benchmark suite), with the count of distinct contaminated grams —
+    the GPT-3/Llama-style filter every pretraining pipeline runs before
+    training.
+
+    Scale shape: the corpus side is explode → md5 → broadcast-semi-join,
+    never shuffled on its own volume — eval-benchmark gram sets are tiny
+    (MBs) by construction, so candidate matching is map-side; only the
+    matched grams (≈0 on clean corpora) reach the per-doc aggregate.
+    Cross-engine: grams are joined on md5 of the joined token window, so
+    both engines agree bit-exactly."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (DECON_N - 1)),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, DECON_N), " ")),
+    )
+    g = d.filter(F.size(toks) >= DECON_N).select(
+        "doc_id", F.explode(grams).alias("g")
+    )
+    ev = g.filter(F.col("doc_id") < EVAL_DOCS).select("g").distinct()
+    return (
+        g.filter(F.col("doc_id") >= EVAL_DOCS)
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_contaminated"))
+    )

@@ -136,7 +136,14 @@ def attach_geo_footer(fs, out_dir: str, max_workers: int = 16) -> int:
         meta[b"geo"] = geo
         sink = pa.BufferOutputStream()
         pq.write_table(
-            table.replace_schema_metadata(meta), sink, compression="snappy"
+            table.replace_schema_metadata(meta),
+            sink,
+            compression="snappy",
+            # Preserve Spark's INT96 timestamp encoding: a plain re-encode
+            # turns INT96 → TIMESTAMP(NANOS)/INT64, which Spark then
+            # refuses to read back as timestamp (regression-tested in
+            # test_convert_e2e.py::test_geoparquet_footer_readable).
+            use_deprecated_int96_timestamps=True,
         )
         fs.write_bytes(path, sink.getvalue().to_pybytes())
 

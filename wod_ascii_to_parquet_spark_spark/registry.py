@@ -179,7 +179,10 @@ def _driver_history() -> tuple[frozenset[str], frozenset[str], frozenset[str]]:
 #: would spend sample slots re-confirming known greens ahead of the
 #: never-sampled tail.
 VERIFY_FIRST = (
-    "similarity_ann_ivf",  # r02-green; assignment stage rewritten map-only in r03
+    # r05: IVF scoring switched to the scaled metric (impl + oracle SQL
+    # changed together) — re-check even though r04 was green.
+    "similarity_ann_ivf",
+    "similarity_ann_ivf_join",
 )
 
 
