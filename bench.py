@@ -42,8 +42,10 @@ HEADLINERS = [
     "similarity_topk",
     "similarity_knn_join",
     "similarity_ann_ivf",          # oracled IVF ANN (round 2)
+    "similarity_ann_ivf_join",     # large-batch ANN join tier (round 5)
     "join_asof_bucketed",          # equi-join-only as-of plan (round 2)
     "curation_pack_sequences",     # sharded context-window packing (round 2)
+    "curation_decontaminate",      # 13-gram eval-overlap filter (round 5)
     "text_quality",
     "json_funcs",
 ]

@@ -280,17 +280,11 @@ def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay of a static source is deterministic and equals the batch result,
     so it shares the tumbling oracle — the stream/batch equivalence claim,
     checked by the driver itself."""
-    load(spark, sf_dir, "events")  # sets the nanos-read conf
-    raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, "
-        "event_type string, value double, props string"
-    )
+    from .jobs import read_event_stream
+
     name = "stream_tumbling_live_sink"
     stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        read_event_stream(spark, sf_dir, path_glob="events.parquet")
         .withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "10 minutes"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))

@@ -25,19 +25,43 @@ EVENTS_RAW_SCHEMA = (
 
 
 def read_event_stream(
-    spark: SparkSession, directory: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    directory: str,
+    max_files_per_trigger: int | None = None,
+    path_glob: str | None = None,
 ) -> DataFrame:
-    """File-source event stream (nanos→micros ts conversion as in
-    ``registry.load``). ``max_files_per_trigger=1`` gives deterministic
-    one-file micro-batches for tests."""
+    """File-source event stream with a microsecond ``ts`` timestamp.
+    ``max_files_per_trigger=1`` gives deterministic one-file micro-batches
+    for tests.
+
+    Spark builds differ in how the parquet reader surfaces
+    TIMESTAMP(NANOS): older vectorized readers reject it unless
+    ``nanosAsLong`` maps it to raw int64 nanos; newer ones read it
+    natively as ``timestamp_ntz`` truncated to micros and IGNORE that
+    conf. A hardcoded ``ts bigint`` stream schema silently mis-scales on
+    the latter (the reader hands back micros, the pipeline divides by
+    1000 again). So: probe the BATCH reader's view of the files — one
+    footer read — and mirror whatever it reports in the stream schema,
+    converting to a microsecond timestamp either way; parity with
+    ``registry.load`` holds on both reader generations."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    probe = spark.read
+    if path_glob:
+        probe = probe.option("pathGlobFilter", path_glob)
+    raw_ts = dict(probe.parquet(directory).dtypes).get("ts", "timestamp")
+    if raw_ts == "bigint":  # nanosAsLong honored: raw int64 nanos
+        schema = EVENTS_RAW_SCHEMA
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    else:  # native read: already a (µs-truncated) timestamp flavor
+        schema = EVENTS_RAW_SCHEMA.replace("ts bigint", f"ts {raw_ts}")
+        ts = F.col("ts").cast("timestamp")
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
     # latestFirst=false (default): files process in discovery order.
-    return reader.parquet(directory).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    return reader.parquet(directory).withColumn("ts", ts)
 
 
 def tumbling_counts(
