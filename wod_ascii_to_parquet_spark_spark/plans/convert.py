@@ -168,7 +168,7 @@ def convert_file(spark: SparkSession, task: FileTask, overwrite: bool = False) -
         # idempotent) instead of forcing a rebuild.
         sidecar = _join(out, SIDECAR_NAME)
         if not fs.exists(sidecar):
-            attach_geo_footer(fs, out)
+            attach_geo_footer(fs, out, spark=spark)
             fs.write_bytes(sidecar, geo_sidecar_bytes())
         return "skipped"
 
@@ -249,7 +249,7 @@ def convert_file(spark: SparkSession, task: FileTask, overwrite: bool = False) -
     # (the Sedona-free mirror of the reference's geoparquet.version/crs
     # writer options, DatasetYearTrain.java:132-134), THEN the sidecar —
     # its presence marks the footer pass complete for crash-healing.
-    attach_geo_footer(fs, out)
+    attach_geo_footer(fs, out, spark=spark)
     fs.write_bytes(_join(out, SIDECAR_NAME), geo_sidecar_bytes())
     return "converted"
 

@@ -103,7 +103,7 @@ def geo_footer_dict() -> dict:
     }
 
 
-def attach_geo_footer(fs, out_dir: str, max_workers: int = 16) -> int:
+def attach_geo_footer(fs, out_dir: str, max_workers: int = 16, spark=None) -> int:
     """Attach the ``geo`` key to every data file footer under ``out_dir``;
     returns the number of files rewritten.
 
@@ -119,25 +119,37 @@ def attach_geo_footer(fs, out_dir: str, max_workers: int = 16) -> int:
     inside the per-file job; on a 1000-executor cluster the same function
     is the body of a ``foreach`` over the file listing. The JVM parquet
     writer cannot attach custom footer keys mid-write, so the post-pass is
-    the price of real GeoParquet without Sedona on the classpath."""
+    the price of real GeoParquet without Sedona on the classpath.
+
+    I/O path, fastest first:
+
+    1. **Spark job over the file listing** (local paths + a live session):
+       ``parallelize(paths).foreachPartition(rewrite)`` — each Python
+       WORKER PROCESS rewrites its slice with pyarrow directly on OS
+       paths. This is the 100 TB shape verbatim (the listing is the RDD;
+       executors rewrite the files they can see) and locally it sidesteps
+       both the py4j gateway and the driver GIL — the gateway byte API
+       measured 4× the whole conversion, a driver thread pool still ~3.7 s
+       of GIL-serialized pyarrow calls for ~1,700 per-geohash files, the
+       Spark job ~an order less.
+    2. Driver thread pool on OS paths (local, no session handed in).
+    3. FsClient byte API (remote schemes — works anywhere Hadoop sees).
+
+    Local writes go to a temp file + ``os.replace`` so a crash mid-rewrite
+    never leaves a torn data file."""
     from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     geo = json.dumps(geo_footer_dict()).encode()
-    paths = sorted(
-        p for p in fs.file_sizes(out_dir) if p.endswith(".parquet")
-    )
 
-    def one(path: str) -> None:
-        table = pq.read_table(pa.BufferReader(fs.read_bytes(path)))
+    def rewrite(table, write_sink) -> None:
         meta = dict(table.schema.metadata or {})
         meta[b"geo"] = geo
-        sink = pa.BufferOutputStream()
         pq.write_table(
             table.replace_schema_metadata(meta),
-            sink,
+            write_sink,
             compression="snappy",
             # Preserve Spark's INT96 timestamp encoding: a plain re-encode
             # turns INT96 → TIMESTAMP(NANOS)/INT64, which Spark then
@@ -145,12 +157,87 @@ def attach_geo_footer(fs, out_dir: str, max_workers: int = 16) -> int:
             # test_convert_e2e.py::test_geoparquet_footer_readable).
             use_deprecated_int96_timestamps=True,
         )
-        fs.write_bytes(path, sink.getvalue().to_pybytes())
+
+    local_root = _local_path(out_dir)
+    if local_root is not None:
+        import os
+
+        paths = sorted(
+            os.path.join(dirpath, f)
+            for dirpath, _, files in os.walk(local_root)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        if spark is not None and paths:
+            geo_bytes = geo
+
+            def _rewrite_slice(it):
+                import os as _os
+
+                import pyarrow.parquet as _pq
+
+                for path in it:
+                    t = _pq.read_table(path, use_threads=False)
+                    meta = dict(t.schema.metadata or {})
+                    meta[b"geo"] = geo_bytes
+                    tmp = path + "._geo_tmp"
+                    _pq.write_table(
+                        t.replace_schema_metadata(meta),
+                        tmp,
+                        compression="snappy",
+                        use_deprecated_int96_timestamps=True,
+                    )
+                    _os.replace(tmp, path)
+                    _drop_stale_crc(path)
+
+            n = max(1, min(len(paths), spark.sparkContext.defaultParallelism))
+            spark.sparkContext.parallelize(paths, n).foreachPartition(
+                _rewrite_slice
+            )
+            return len(paths)
+
+        def one(path: str) -> None:
+            tmp = path + "._geo_tmp"
+            rewrite(pq.read_table(path), tmp)
+            os.replace(tmp, path)
+            _drop_stale_crc(path)
+
+    else:
+        paths = sorted(
+            p for p in fs.file_sizes(out_dir) if p.endswith(".parquet")
+        )
+
+        def one(path: str) -> None:
+            table = pq.read_table(pa.BufferReader(fs.read_bytes(path)))
+            sink = pa.BufferOutputStream()
+            rewrite(table, sink)
+            fs.write_bytes(path, sink.getvalue().to_pybytes())
 
     if paths:
         with ThreadPoolExecutor(max_workers=max_workers) as pool:
             list(pool.map(one, paths))
     return len(paths)
+
+
+def _local_path(path: str) -> str | None:
+    """OS path for ``path`` if it is on the local filesystem, else None."""
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    return None if "://" in path else path
+
+
+def _drop_stale_crc(path: str) -> None:
+    """Remove the Hadoop ChecksumFileSystem sidecar for a file rewritten
+    BEHIND Hadoop's back (direct OS I/O): the JVM writer left a
+    ``.<name>.crc`` next to each part file, and a stale one makes every
+    later Hadoop read fail with ChecksumException. Reading without a crc
+    sidecar is fine (verification is simply skipped)."""
+    import os
+
+    d, name = os.path.split(path)
+    crc = os.path.join(d, f".{name}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
 
 
 def geo_sidecar_bytes() -> bytes:
