@@ -109,6 +109,59 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_containment",
+    f"""
+    WITH s AS (SELECT doc_id, lang, source, {_SHINGLE_SQL} AS sh FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / least(len(a.sh), len(b.sh)), 6) AS containment
+    FROM s a JOIN s b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(a.sh) >= 1 AND len(b.sh) >= 1
+      AND len(list_intersect(a.sh, b.sh))::DOUBLE
+          / least(len(a.sh), len(b.sh)) >= 0.8
+    """,
+    tags=("dedup",),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT pairs: |A∩B| / min(|A|, |B|) ≥ 0.8 within
+    (lang, source) blocks — the asymmetric cousin of Jaccard that catches
+    doc-IN-doc duplication (quote farms, boilerplate wrappers, truncated
+    re-crawls), which symmetric Jaccard scores low when the sizes differ.
+    Same blocked-equi-join shape as ``dedup_ngram_jaccard`` (pair space
+    Σ|block|², the deliberately-confined exact kernel); at 100 TB the
+    candidate step swaps to the banded-LSH generator and this expression
+    becomes the verify."""
+    d = spread(load(spark, sf_dir, "documents"))
+    s = d.select("doc_id", "lang", "source", shingles(F.col("text")).alias("sh"))
+    a = s.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("src_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    b = s.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("src_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    cont = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.least(
+        F.size("sh_a"), F.size("sh_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("src_a") == F.col("src_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .filter((F.size("sh_a") >= 1) & (F.size("sh_b") >= 1) & (cont >= 0.8))
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+    )
+
+
 def shingle_hashes(sh: Column) -> Column:
     """Base-hash each shingle into [0, 2^31). Materialize this ONCE as its
     own column before building signatures: Catalyst does no common-subexpr
