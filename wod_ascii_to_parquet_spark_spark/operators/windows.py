@@ -264,3 +264,27 @@ def window_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice").over(cum), 2).alias("running_spend"),
         F.round(F.sum("o_totalprice").over(ma), 2).alias("roll3_sum"),
     )
+
+
+@register(
+    "window_percentile_position",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           round(percent_rank() OVER ({_BYCUST}), 6) AS pct_rank,
+           round(cume_dist() OVER ({_BYCUST}), 6) AS cume
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_percentile_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist — relative rank positions, the remaining
+    two ANSI window rank functions; both over the same (partitionBy,
+    orderBy) so Catalyst emits ONE Window operator (single shuffle+sort).
+    Ratios of integer ranks — cross-engine exact before rounding."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _orders(spark, sf_dir).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
