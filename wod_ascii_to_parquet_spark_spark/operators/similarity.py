@@ -525,3 +525,191 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("qid", "vec_id", F.round(F.col("__raw"), 6).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): m=8 subspaces × 8 dims, k=16 centroids each.
+# Codebooks are deterministic medoid seeds (subvectors of vec_id 0..15) —
+# the same discipline that makes the IVF tier fully DuckDB-oracled. All
+# distances use the dot-product identity  ‖a−b‖² = a·a − 2a·b + b·b  so
+# both engines evaluate the exact same float expression shapes.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8
+_PQ_SUBDIM = 8
+_PQ_K = 16
+
+_L2_SQL = (
+    "(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+    " + list_dot_product({b}, {b}))"
+)
+
+
+def _pq_dist_union_sql() -> str:
+    """Per (vector, subspace, centroid) squared L2 — one SELECT per
+    subspace (static slice bounds, like the Spark side's unrolled loop)."""
+    parts = []
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_SUBDIM + 1, (s + 1) * _PQ_SUBDIM
+        a, b = f"e.emb[{lo}:{hi}]", f"x.cemb[{lo}:{hi}]"
+        parts.append(
+            f"SELECT e.vec_id, {s} AS s, x.cent,"
+            f" {_L2_SQL.format(a=a, b=b)} AS dist"
+            f" FROM e CROSS JOIN seeds x"
+        )
+    return "\n        UNION ALL\n        ".join(parts)
+
+
+_PQ_BASE_SQL = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    seeds AS (SELECT vec_id AS cent, emb AS cemb FROM e WHERE vec_id < {_PQ_K}),
+    d AS (
+        {{dist_union}}
+    ),
+    picked AS (
+        SELECT vec_id, s, cent FROM (
+            SELECT vec_id, s, cent, row_number() OVER (
+                PARTITION BY vec_id, s ORDER BY dist, cent) AS rn
+            FROM d
+        ) WHERE rn = 1
+    )
+"""
+
+
+def _pq_encode_sql() -> str:
+    return (
+        _PQ_BASE_SQL.format(dist_union=_pq_dist_union_sql())
+        + """
+    SELECT vec_id, string_agg(cent::VARCHAR, ',' ORDER BY s) AS codes_csv
+    FROM picked GROUP BY vec_id
+    """
+    )
+
+
+def _pq_adc_sql() -> str:
+    # Fixed-order sum over subspaces (CASE-pivot): a plain sum() aggregates
+    # the 8 per-subspace doubles in nondeterministic order, and fp addition
+    # order must match Spark's static s=0..7 chain exactly.
+    pivot = " + ".join(
+        f"max(CASE WHEN qd.s = {s} THEN qd.dist END)" for s in range(_PQ_M)
+    )
+    return (
+        _PQ_BASE_SQL.format(dist_union=_pq_dist_union_sql())
+        + f"""
+    , qd AS (SELECT s, cent, dist FROM d WHERE vec_id = 0)
+    SELECT vec_id, round(adc, 6) AS adc_dist FROM (
+        SELECT p.vec_id, {pivot} AS adc
+        FROM picked p JOIN qd ON qd.s = p.s AND qd.cent = p.cent
+        WHERE p.vec_id <> 0
+        GROUP BY p.vec_id
+    ) ORDER BY adc, vec_id LIMIT 10
+    """
+    )
+
+
+def _pq_codebook(e: DataFrame) -> DataFrame:
+    """One broadcastable row: ``__seeds`` = array of struct(cell, cemb)
+    sorted by cell — the k=16 medoid codebook shared by every subspace
+    (subvector slicing happens in the per-row expressions, so one
+    broadcast serves all m subspaces)."""
+    return (
+        e.filter(F.col("vec_id") < _PQ_K)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
+            ).alias("s")
+        )
+        .agg(F.sort_array(F.collect_list("s")).alias("__seeds"))
+    )
+
+
+def _l2(a, b):
+    return _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
+
+
+def _pq_code(s: int, vec) -> "F.Column":
+    """Argmin centroid id for subspace ``s`` of ``vec`` against the
+    broadcast ``__seeds`` — static slice bounds (the m=8 loop is unrolled
+    in Python), strictly-less fold so the lowest centroid wins ties,
+    ``coalesce`` keeps the code key non-nullable (the IVF round-5
+    lesson)."""
+    lo = s * _PQ_SUBDIM + 1
+    sub = F.slice(vec, lo, _PQ_SUBDIM)
+    scored = F.transform(
+        F.col("__seeds"),
+        lambda c: F.struct(
+            _l2(sub, F.slice(c["cemb"], lo, _PQ_SUBDIM)).alias("dist"),
+            c["cell"].alias("cent"),
+        ),
+    )
+    init = F.struct(
+        F.lit(float("inf")).alias("dist"), F.lit(-1).cast("long").alias("cent")
+    )
+    best = F.aggregate(
+        scored,
+        init,
+        lambda acc, x: F.when(x["dist"] < acc["dist"], x).otherwise(acc),
+        lambda acc: acc["cent"],
+    )
+    return F.coalesce(best, F.lit(-1))
+
+
+@register("vector_pq_encode", _pq_encode_sql(), tags=("similarity", "vector"))
+def vector_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: each 64-dim vector → 8 centroid ids
+    (one per 8-dim subspace, k=16 medoid codebooks) — 8 bytes per vector,
+    the storage tier below ``vector_quantize_int8`` (64× smaller than
+    float64) and the code layout ADC search scans. MAP-ONLY: one broadcast
+    codebook row, argmin folds per subspace, no shuffle; codes emitted as
+    a comma-joined string (driver-hashable, the r3 array lesson). Fully
+    DuckDB-oracled via deterministic medoid codebooks + the dot-product
+    L2 identity evaluated in identical shapes by both engines."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cb = _pq_codebook(e)
+    codes = [
+        _pq_code(s, F.col("emb")).cast("string") for s in range(_PQ_M)
+    ]
+    return e.crossJoin(F.broadcast(cb)).select(
+        "vec_id", F.concat_ws(",", *codes).alias("codes_csv")
+    )
+
+
+@register("similarity_pq_adc", _pq_adc_sql(), tags=("similarity",))
+def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-10 for query vec_id=0: the query
+    precomputes a (subspace × centroid) distance table against the
+    broadcast codebook, every corpus vector's approximate distance is the
+    fixed-order sum of 8 table lookups at its codes — O(k·dim) per row for
+    the table + O(m) lookups, never a full float dot product per pair.
+    This is the FAISS IVFADC scan shape; at 100 TB the codes column is
+    what streams, not the vectors. Top-10 via TakeOrdered (no corpus
+    shuffle). Oracle mirrors the lookup sum in the same fixed subspace
+    order (fp addition order matters)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cb = _pq_codebook(e)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qemb"))
+    def _qtab(lo: int):
+        qsub = F.slice(F.col("qemb"), lo, _PQ_SUBDIM)
+        return F.transform(
+            F.col("__seeds"),
+            lambda c: _l2(qsub, F.slice(c["cemb"], lo, _PQ_SUBDIM)),
+        )
+
+    adc = None
+    for s in range(_PQ_M):
+        qtab = _qtab(s * _PQ_SUBDIM + 1)
+        term = F.element_at(qtab, (_pq_code(s, F.col("emb")) + 1).cast("int"))
+        adc = term if adc is None else adc + term
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(cb))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", adc.alias("__adc"))
+        .orderBy(F.asc("__adc"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round(F.col("__adc"), 6).alias("adc_dist"))
+    )
