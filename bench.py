@@ -43,6 +43,7 @@ HEADLINERS = [
     "similarity_knn_join",
     "similarity_ann_ivf",          # oracled IVF ANN (round 2)
     "similarity_ann_ivf_join",     # large-batch ANN join tier (round 5)
+    "similarity_pq_adc",           # PQ code search, FAISS ADC shape (round 5)
     "join_asof_bucketed",          # equi-join-only as-of plan (round 2)
     "curation_pack_sequences",     # sharded context-window packing (round 2)
     "curation_decontaminate",      # 13-gram eval-overlap filter (round 5)

@@ -177,3 +177,28 @@ def test_convert_schedules_largest_files_first(spark, tmp_path, monkeypatch):
     )
     assert len(seen) >= 3
     assert seen == sorted(seen, reverse=True)
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The corpus side of decontamination must meet the (tiny) eval gram
+    set via a broadcast hash join — never a shuffle of the corpus grams on
+    their own volume."""
+    plan = plan_of(spark, "curation_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pq_encode_is_map_only(spark):
+    """PQ encoding is one map pass against the broadcast codebook: no
+    Window, no hash exchange (the one SinglePartition exchange is the
+    16-row codebook fold)."""
+    plan = plan_of(spark, "vector_pq_encode")
+    assert "Window" not in plan, plan
+    assert "hashpartitioning(" not in plan, plan
+
+
+def test_pq_adc_takes_ordered_topk(spark):
+    """ADC search ends in TakeOrderedAndProject — global top-k without a
+    full corpus sort — and stays Window-free."""
+    plan = plan_of(spark, "similarity_pq_adc")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan

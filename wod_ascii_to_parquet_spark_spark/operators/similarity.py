@@ -546,14 +546,20 @@ _L2_SQL = (
 
 
 def _pq_dist_union_sql() -> str:
-    """Per (vector, subspace, centroid) squared L2 — one SELECT per
-    subspace (static slice bounds, like the Spark side's unrolled loop)."""
+    """Per (vector, subspace, centroid): the SELECTION metric ``dsel`` =
+    ‖c‖² − 2a·c (the per-vector-constant ‖a‖² term cannot change the
+    argmin, and dropping it is a third of the arithmetic — the engine
+    precomputes ‖c‖² in the codebook) and the full squared L2 ``dist``
+    (ADC sums true distances). One SELECT per subspace — static slice
+    bounds, like the Spark side's unrolled loop."""
     parts = []
     for s in range(_PQ_M):
         lo, hi = s * _PQ_SUBDIM + 1, (s + 1) * _PQ_SUBDIM
         a, b = f"e.emb[{lo}:{hi}]", f"x.cemb[{lo}:{hi}]"
+        dsel = f"(list_dot_product({b}, {b}) - 2 * list_dot_product({a}, {b}))"
         parts.append(
             f"SELECT e.vec_id, {s} AS s, x.cent,"
+            f" {dsel} AS dsel,"
             f" {_L2_SQL.format(a=a, b=b)} AS dist"
             f" FROM e CROSS JOIN seeds x"
         )
@@ -569,7 +575,7 @@ _PQ_BASE_SQL = f"""
     picked AS (
         SELECT vec_id, s, cent FROM (
             SELECT vec_id, s, cent, row_number() OVER (
-                PARTITION BY vec_id, s ORDER BY dist, cent) AS rn
+                PARTITION BY vec_id, s ORDER BY dsel, cent) AS rn
             FROM d
         ) WHERE rn = 1
     )
@@ -608,19 +614,37 @@ def _pq_adc_sql() -> str:
 
 
 def _pq_codebook(e: DataFrame) -> DataFrame:
-    """One broadcastable row: ``__seeds`` = array of struct(cell, cemb)
-    sorted by cell — the k=16 medoid codebook shared by every subspace
-    (subvector slicing happens in the per-row expressions, so one
-    broadcast serves all m subspaces)."""
-    return (
+    """One broadcastable row: ``__seeds`` = array of struct(cell, cemb, bb)
+    sorted by cell — the k=16 medoid codebook shared by every subspace,
+    with each centroid's per-subspace squared norms ``bb`` precomputed so
+    the per-row selection metric is a single dim-8 dot product per
+    (subspace, centroid)."""
+    arr = (
         e.filter(F.col("vec_id") < _PQ_K)
         .select(
             F.struct(
                 F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
             ).alias("s")
         )
-        .agg(F.sort_array(F.collect_list("s")).alias("__seeds"))
+        .agg(F.sort_array(F.collect_list("s")).alias("__raw"))
     )
+    with_bb = F.transform(
+        F.col("__raw"),
+        lambda c: F.struct(
+            c["cell"].alias("cell"),
+            c["cemb"].alias("cemb"),
+            F.array(
+                *[
+                    _dot(
+                        F.slice(c["cemb"], s * _PQ_SUBDIM + 1, _PQ_SUBDIM),
+                        F.slice(c["cemb"], s * _PQ_SUBDIM + 1, _PQ_SUBDIM),
+                    )
+                    for s in range(_PQ_M)
+                ]
+            ).alias("bb"),
+        ),
+    )
+    return arr.select(with_bb.alias("__seeds"))
 
 
 def _l2(a, b):
@@ -632,13 +656,18 @@ def _pq_code(s: int, vec) -> "F.Column":
     broadcast ``__seeds`` — static slice bounds (the m=8 loop is unrolled
     in Python), strictly-less fold so the lowest centroid wins ties,
     ``coalesce`` keeps the code key non-nullable (the IVF round-5
-    lesson)."""
+    lesson). Selection metric is ``‖c‖² − 2a·c`` (precomputed ``bb`` +
+    one dim-8 dot): the per-row-constant ``‖a‖²`` cannot change the
+    argmin, and the oracle ranks by the identical ``dsel`` expression."""
     lo = s * _PQ_SUBDIM + 1
     sub = F.slice(vec, lo, _PQ_SUBDIM)
     scored = F.transform(
         F.col("__seeds"),
         lambda c: F.struct(
-            _l2(sub, F.slice(c["cemb"], lo, _PQ_SUBDIM)).alias("dist"),
+            (
+                F.element_at(c["bb"], s + 1)
+                - 2 * _dot(sub, F.slice(c["cemb"], lo, _PQ_SUBDIM))
+            ).alias("dist"),
             c["cell"].alias("cent"),
         ),
     )
@@ -692,6 +721,10 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cb = _pq_codebook(e)
     q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qemb"))
+
+    # The (subspace × centroid) query distance table is PER-QUERY state:
+    # compute it ONCE on the one-row broadcast side (codebook × query),
+    # not per corpus row. Full L2 here — these are the values ADC sums.
     def _qtab(lo: int):
         qsub = F.slice(F.col("qemb"), lo, _PQ_SUBDIM)
         return F.transform(
@@ -699,15 +732,20 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda c: _l2(qsub, F.slice(c["cemb"], lo, _PQ_SUBDIM)),
         )
 
+    adc_side = cb.crossJoin(q).select(
+        "__seeds",
+        F.array(
+            *[_qtab(s * _PQ_SUBDIM + 1) for s in range(_PQ_M)]
+        ).alias("__qtabs"),
+    )
     adc = None
     for s in range(_PQ_M):
-        qtab = _qtab(s * _PQ_SUBDIM + 1)
+        qtab = F.element_at(F.col("__qtabs"), s + 1)
         term = F.element_at(qtab, (_pq_code(s, F.col("emb")) + 1).cast("int"))
         adc = term if adc is None else adc + term
     return (
         e.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(cb))
-        .crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(adc_side))
         .select("vec_id", adc.alias("__adc"))
         .orderBy(F.asc("__adc"), F.asc("vec_id"))
         .limit(10)
