@@ -1,0 +1,137 @@
+"""GeoParquet footer attach: crash safety + path-form handling.
+
+The e2e suite (test_convert_e2e.py) covers the local happy path through a
+real convert; here the REMOTE branch (FsClient byte API) is exercised
+against an in-memory fake fs, including the crash intermediate states the
+recovery pre-pass must heal, and `_local_path`'s URI spellings (Hadoop's
+``Path.toString`` emits the single-slash ``file:/...`` form).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from wod_ascii_to_parquet_spark_spark.plans.geo_metadata import (
+    _REMOTE_TMP_SUFFIX,
+    _local_path,
+    attach_geo_footer,
+)
+
+OUT = "s3a://bucket/data/out.parquet"  # any non-local scheme
+
+
+class FakeFs:
+    """Dict-backed stand-in for FsClient's byte/listing API."""
+
+    def __init__(self, files: dict[str, bytes]):
+        self.files = dict(files)
+
+    def file_sizes(self, path: str, recursive: bool = True) -> dict[str, int]:
+        return {
+            p: len(b) for p, b in self.files.items() if p.startswith(path)
+        }
+
+    def read_bytes(self, path: str, limit=None) -> bytes:
+        return self.files[path]
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        self.files[path] = data
+
+    def delete(self, path: str) -> bool:
+        return self.files.pop(path, None) is not None
+
+    def rename(self, src: str, dst: str) -> bool:
+        self.files[dst] = self.files.pop(src)
+        return True
+
+
+def _parquet_bytes() -> bytes:
+    sink = pa.BufferOutputStream()
+    pq.write_table(pa.table({"a": [1, 2, 3]}), sink)
+    return sink.getvalue().to_pybytes()
+
+
+def _geo_of(blob: bytes) -> dict:
+    md = pq.read_schema(pa.BufferReader(blob)).metadata
+    assert md and b"geo" in md
+    return json.loads(md[b"geo"])
+
+
+def test_remote_attach_rewrites_all_files():
+    fs = FakeFs(
+        {
+            f"{OUT}/geohash3=abc/part-0.parquet": _parquet_bytes(),
+            f"{OUT}/geohash3=def/part-0.parquet": _parquet_bytes(),
+            f"{OUT}/_SUCCESS": b"",
+        }
+    )
+    assert attach_geo_footer(fs, OUT) == 2
+    for p, blob in fs.files.items():
+        assert not p.endswith(_REMOTE_TMP_SUFFIX)
+        if p.endswith(".parquet"):
+            assert _geo_of(blob)["version"] == "1.1.0"
+
+
+def test_remote_attach_promotes_orphan_temp():
+    """Crash between delete(base) and rename(tmp, base): the finished temp
+    object exists without its base — the pre-pass must promote it, then the
+    normal rewrite proceeds."""
+    base = f"{OUT}/geohash3=abc/part-0.parquet"
+    fs = FakeFs({base + _REMOTE_TMP_SUFFIX: _parquet_bytes()})
+    assert attach_geo_footer(fs, OUT) == 1
+    assert set(fs.files) == {base}
+    assert _geo_of(fs.files[base])["primary_column"] == "geometry"
+
+
+def test_remote_attach_drops_torn_temp():
+    """Crash mid-write of the temp object (base still live): the torn temp
+    must be dropped, never promoted, and the intact base rewritten."""
+    base = f"{OUT}/geohash3=abc/part-0.parquet"
+    fs = FakeFs(
+        {
+            base: _parquet_bytes(),
+            base + _REMOTE_TMP_SUFFIX: b"torn-partial-garbage",
+        }
+    )
+    assert attach_geo_footer(fs, OUT) == 1
+    assert set(fs.files) == {base}
+    assert _geo_of(fs.files[base])["version"] == "1.1.0"
+
+
+def test_remote_attach_is_idempotent():
+    """Re-running the attach (the convert_file heal path) on already-
+    footered files succeeds and keeps exactly one geo key."""
+    base = f"{OUT}/geohash3=abc/part-0.parquet"
+    fs = FakeFs({base: _parquet_bytes()})
+    assert attach_geo_footer(fs, OUT) == 1
+    first = fs.files[base]
+    assert attach_geo_footer(fs, OUT) == 1
+    assert _geo_of(fs.files[base]) == _geo_of(first)
+
+
+def test_remote_attach_zero_files_warns(caplog):
+    fs = FakeFs({})
+    with caplog.at_level("WARNING"):
+        assert attach_geo_footer(fs, OUT) == 0
+    assert any("no .parquet files" in r.message for r in caplog.records)
+
+
+@pytest.mark.parametrize(
+    ("uri", "expected"),
+    [
+        ("/tmp/out", "/tmp/out"),
+        ("relative/dir", "relative/dir"),
+        ("file:///tmp/out", "/tmp/out"),
+        ("file:/tmp/out", "/tmp/out"),  # Hadoop Path.toString form
+        ("file://localhost/tmp/out", "/tmp/out"),
+        ("file://remotehost/tmp/out", None),
+        ("s3a://bucket/key", None),
+        ("hdfs://nn:8020/data", None),
+    ],
+)
+def test_local_path_forms(uri, expected):
+    assert _local_path(uri) == expected

@@ -135,8 +135,11 @@ def attach_geo_footer(fs, out_dir: str, max_workers: int = 16, spark=None) -> in
     2. Driver thread pool on OS paths (local, no session handed in).
     3. FsClient byte API (remote schemes — works anywhere Hadoop sees).
 
-    Local writes go to a temp file + ``os.replace`` so a crash mid-rewrite
-    never leaves a torn data file."""
+    Crash safety on every path: local writes go to a temp file +
+    ``os.replace``; remote writes go to a sibling temp object that is
+    renamed into place, with a recovery pre-pass that promotes or drops
+    leftover temps — so a crash at any point never leaves a torn data
+    file and re-running the attach always heals."""
     from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow as pa
@@ -203,26 +206,70 @@ def attach_geo_footer(fs, out_dir: str, max_workers: int = 16, spark=None) -> in
             _drop_stale_crc(path)
 
     else:
-        paths = sorted(
-            p for p in fs.file_sizes(out_dir) if p.endswith(".parquet")
-        )
+        # Recovery pre-pass: a prior attach that crashed between the
+        # delete and the rename leaves the finished temp object without
+        # its base file — promote it; a temp WITH a live base is torn or
+        # stale — drop it. After this pass every listed .parquet file is
+        # a complete data file, so re-running the attach (the convert_file
+        # heal path) is safe on any crash point.
+        listing = fs.file_sizes(out_dir)
+        for p in sorted(listing):
+            if p.endswith(_REMOTE_TMP_SUFFIX):
+                base = p[: -len(_REMOTE_TMP_SUFFIX)]
+                if base in listing:
+                    fs.delete(p)
+                else:
+                    fs.rename(p, base)
+                    listing[base] = listing.pop(p)
+        paths = sorted(p for p in listing if p.endswith(".parquet"))
 
         def one(path: str) -> None:
             table = pq.read_table(pa.BufferReader(fs.read_bytes(path)))
             sink = pa.BufferOutputStream()
             rewrite(table, sink)
-            fs.write_bytes(path, sink.getvalue().to_pybytes())
+            # Never rewrite the data file in place: a crash mid-write
+            # would tear it and the heal re-run would then fail reading
+            # it. Write a sibling temp object, drop the original, rename
+            # the temp into place; every intermediate state is healed by
+            # the pre-pass above.
+            tmp = path + _REMOTE_TMP_SUFFIX
+            fs.write_bytes(tmp, sink.getvalue().to_pybytes())
+            fs.delete(path)
+            fs.rename(tmp, path)
 
     if paths:
         with ThreadPoolExecutor(max_workers=max_workers) as pool:
             list(pool.map(one, paths))
+    else:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "attach_geo_footer: no .parquet files under %s — nothing "
+            "rewritten (dataset publishes without GeoParquet footers)",
+            out_dir,
+        )
     return len(paths)
 
 
+#: Suffix for the crash-safe sibling object used on remote schemes. Not
+#: ``.parquet``-suffixed, so a leftover temp never shows up as data.
+_REMOTE_TMP_SUFFIX = "._geo_tmp"
+
+
 def _local_path(path: str) -> str | None:
-    """OS path for ``path`` if it is on the local filesystem, else None."""
-    if path.startswith("file://"):
-        return path[len("file://"):]
+    """OS path for ``path`` if it is on the local filesystem, else None.
+
+    Handles both URI spellings Hadoop produces: ``file:///tmp/out`` AND
+    the single-slash ``file:/tmp/out`` form (``Path.toString`` emits the
+    latter; treating it as a relative OS path made ``os.walk`` find
+    nothing and the footer pass silently rewrite 0 files)."""
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(path)
+    if parts.scheme == "file":
+        if parts.netloc not in ("", "localhost"):
+            return None  # remote file://host/ form — go through Hadoop
+        return parts.path
     return None if "://" in path else path
 
 
