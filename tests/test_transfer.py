@@ -19,16 +19,48 @@ from wod_ascii_to_parquet_spark_spark.sources.transfer import (
 )
 
 PAYLOAD = os.urandom(256 * 1024) + b"tail-marker"
+PAYLOAD2 = os.urandom(128 * 1024) + b"second-version"
+SHORT_PAYLOAD = os.urandom(1024) + b"shrunk-version"
 
 
 class _Handler(http.server.BaseHTTPRequestHandler):
-    """Range-aware handler with a controllable mid-stream failure."""
+    """Range/If-Range/HEAD-aware handler with controllable failure modes:
+    mid-stream connection drops, object swap between attempts (changed
+    remote), overstated Content-Length (forces a short-body retry with a
+    complete ``.part``), and If-Range-oblivious servers."""
 
     fail_first_n = 0  # class-level: drop connection on the first N requests
     seen = 0
+    payload = PAYLOAD
+    etag: str | None = '"v1"'
+    swap_after_fail: tuple[bytes, str | None] | None = None
+    ignore_if_range = False  # server that never implements If-Range
+    overstate_first_length = 0  # extra bytes claimed on request #1
+    range_headers: list[tuple[str | None, str | None]] = []
+
+    @classmethod
+    def reset(cls):
+        cls.fail_first_n = 0
+        cls.seen = 0
+        cls.payload = PAYLOAD
+        cls.etag = '"v1"'
+        cls.swap_after_fail = None
+        cls.ignore_if_range = False
+        cls.overstate_first_length = 0
+        cls.range_headers = []
 
     def log_message(self, *a):  # noqa: D102 - silence
         pass
+
+    def _send_common(self, status: int, length: int):
+        self.send_response(status)
+        self.send_header("Content-Length", str(length))
+        if type(self).etag:
+            self.send_header("ETag", type(self).etag)
+        self.end_headers()
+
+    def do_HEAD(self):  # noqa: N802 - stdlib naming
+        self._send_common(200, len(type(self).payload))
 
     def do_GET(self):  # noqa: N802 - stdlib naming
         cls = type(self)
@@ -37,29 +69,40 @@ class _Handler(http.server.BaseHTTPRequestHandler):
             self.send_error(404)
             return
         rng = self.headers.get("Range")
+        if_range = self.headers.get("If-Range")
+        cls.range_headers.append((rng, if_range))
         start = 0
         if rng and rng.startswith("bytes="):
             start = int(rng.split("=")[1].rstrip("-"))
-        body = PAYLOAD[start:]
+        if (
+            start
+            and not cls.ignore_if_range
+            and if_range is not None
+            and if_range != cls.etag
+        ):
+            start = 0  # validator mismatch → serve the full current body
+        if start >= len(cls.payload):
+            self._send_common(416, 0)
+            return
+        body = cls.payload[start:]
+        claimed = len(body) + (
+            cls.overstate_first_length if cls.seen == 1 else 0
+        )
+        self._send_common(206 if start else 200, claimed)
         if cls.fail_first_n and cls.seen <= cls.fail_first_n:
             # send half the remaining body, then drop the connection
-            self.send_response(206 if start else 200)
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
             self.wfile.write(body[: max(1, len(body) // 2)])
             self.wfile.flush()
             self.connection.close()
+            if cls.swap_after_fail is not None:
+                cls.payload, cls.etag = cls.swap_after_fail
             return
-        self.send_response(206 if start else 200)
-        self.send_header("Content-Length", str(len(body)))
-        self.end_headers()
         self.wfile.write(body)
 
 
 @pytest.fixture()
 def server():
-    _Handler.fail_first_n = 0
-    _Handler.seen = 0
+    _Handler.reset()
     srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -82,6 +125,61 @@ def test_download_resumes_after_midstream_failure(server, tmp_path):
     assert code == 200
     assert open(dest, "rb").read() == PAYLOAD  # resumed bytes align exactly
     assert _Handler.seen >= 2  # first attempt failed mid-stream
+
+
+def test_resume_sends_if_range_validator(server, tmp_path):
+    """Every resume request must carry the first response's ETag as
+    If-Range, so a changed object can never be spliced silently."""
+    _Handler.fail_first_n = 1
+    dest = str(tmp_path / "file.bin")
+    assert http_download(f"{server}/file.bin", dest) == 200
+    resumes = [(r, v) for r, v in _Handler.range_headers if r]
+    assert resumes and all(v == '"v1"' for _, v in resumes)
+
+
+def test_changed_object_restarts_not_splices(server, tmp_path):
+    """Object replaced between attempts (new ETag): the If-Range mismatch
+    makes the server answer 200 full-body, and the client must restart —
+    the result is exactly the NEW object, never a v1/v2 splice."""
+    _Handler.fail_first_n = 1
+    _Handler.swap_after_fail = (PAYLOAD2, '"v2"')
+    dest = str(tmp_path / "file.bin")
+    assert http_download(f"{server}/file.bin", dest) == 200
+    assert open(dest, "rb").read() == PAYLOAD2
+
+
+def test_no_validator_disables_resume(server, tmp_path):
+    """A server offering no ETag/Last-Modified cannot prove the object is
+    unchanged — retries must restart from zero (no Range header ever)."""
+    _Handler.etag = None
+    _Handler.fail_first_n = 1
+    dest = str(tmp_path / "file.bin")
+    assert http_download(f"{server}/file.bin", dest) == 200
+    assert open(dest, "rb").read() == PAYLOAD
+    assert all(rng is None for rng, _ in _Handler.range_headers)
+
+
+def test_416_publishes_only_verified_complete_part(server, tmp_path):
+    """Overstated Content-Length forces a short-body retry while the .part
+    already holds the complete object; the resume hits 416 and the part is
+    published only after its size matches a HEAD Content-Length."""
+    _Handler.overstate_first_length = 10
+    dest = str(tmp_path / "file.bin")
+    assert http_download(f"{server}/file.bin", dest) == 200
+    assert open(dest, "rb").read() == PAYLOAD
+    assert not os.path.exists(dest + ".part")
+
+
+def test_416_with_shrunken_object_restarts(server, tmp_path):
+    """Remote object shrank below the resume offset behind an If-Range-
+    oblivious server: the 416 handler must NOT publish the oversized .part
+    (HEAD length mismatch) — it restarts and lands the new object."""
+    _Handler.fail_first_n = 1
+    _Handler.swap_after_fail = (SHORT_PAYLOAD, '"v1"')  # same ETag kept
+    _Handler.ignore_if_range = True
+    dest = str(tmp_path / "file.bin")
+    assert http_download(f"{server}/file.bin", dest) == 200
+    assert open(dest, "rb").read() == SHORT_PAYLOAD
 
 
 def test_download_404_reports_code_and_writes_nothing(server, tmp_path):

@@ -58,6 +58,16 @@ def http_download(
     failure retries up to ``retries`` times, resuming from the partial
     offset with a ``Range`` header when the server honors it (206) and
     restarting from zero otherwise.
+
+    Resume is validator-gated: the first response's ``ETag`` (or
+    ``Last-Modified``) is captured and sent back as ``If-Range`` on every
+    resume, so a remote object that changed between attempts yields a full
+    200 body (restart) instead of splicing mismatched byte ranges; when
+    the server offers no validator, resume is disabled and retries restart
+    from zero. A 416 ("range not satisfiable") publishes the ``.part``
+    only after its size matches a fresh HEAD ``Content-Length`` — a
+    shrunken remote object restarts instead of publishing truncated or
+    oversized content.
     """
     parent = os.path.dirname(dest)
     if parent:
@@ -68,22 +78,35 @@ def http_download(
         os.remove(part)
 
     last_exc: Exception | None = None
+    validator: str | None = None  # ETag/Last-Modified of the stream in .part
     for attempt in range(retries + 1):
         if attempt:
             time.sleep(backoff * (2 ** (attempt - 1)))
         offset = os.path.getsize(part) if os.path.exists(part) else 0
+        if offset and validator is None:
+            # No validator → a spliced resume could not be detected;
+            # restarting from zero is the only safe continuation.
+            os.remove(part)
+            offset = 0
         req = urllib.request.Request(url)
         if offset:
             req.add_header("Range", f"bytes={offset}-")
+            req.add_header("If-Range", validator)
         try:
             with urllib.request.urlopen(req, timeout=timeout, context=ctx) as resp:
                 status = resp.status
                 if status == 206 and offset:
                     mode = "ab"  # server resumed where we stopped
                 elif 200 <= status < 300:
-                    mode, offset = "wb", 0  # full body (server ignored Range)
+                    # Full body: fresh download (or If-Range mismatch —
+                    # the object changed, so the partial bytes are stale).
+                    mode, offset = "wb", 0
                 else:  # pragma: no cover - urllib raises for most non-2xx
                     return status
+                if mode == "wb":
+                    validator = resp.headers.get("ETag") or resp.headers.get(
+                        "Last-Modified"
+                    )
                 expected = resp.headers.get("Content-Length")
                 written = 0
                 with open(part, mode) as out:
@@ -104,10 +127,21 @@ def http_download(
         except urllib.error.HTTPError as e:
             # Definite server answer: report it like the reference does
             # (it prints the code and writes nothing). 416 after a
-            # completed .part means "nothing left to resume".
+            # completed .part can mean "nothing left to resume" — but only
+            # a size check against the live object proves the .part IS the
+            # complete body rather than a remnant of a changed/shrunken
+            # object; on mismatch restart from zero.
             if e.code == 416 and os.path.exists(part):
-                os.replace(part, dest)
-                return 200
+                remote_len = _head_content_length(url, timeout, ctx)
+                if remote_len is not None and remote_len == os.path.getsize(
+                    part
+                ):
+                    os.replace(part, dest)
+                    return 200
+                os.remove(part)
+                validator = None
+                last_exc = e
+                continue  # restart from zero on the next attempt
             if os.path.exists(part):
                 os.remove(part)
             return e.code
@@ -118,6 +152,18 @@ def http_download(
     raise RuntimeError(
         f"download failed after {retries + 1} attempts: {url}"
     ) from last_exc
+
+
+def _head_content_length(url: str, timeout: float, ctx) -> int | None:
+    """``Content-Length`` from a HEAD request, or None when the request
+    fails or the header is absent (callers treat None as unverifiable)."""
+    req = urllib.request.Request(url, method="HEAD")
+    try:
+        with urllib.request.urlopen(req, timeout=timeout, context=ctx) as resp:
+            cl = resp.headers.get("Content-Length")
+            return None if cl is None else int(cl)
+    except Exception:
+        return None
 
 
 def upload_dir(spark, source_dir: str, dest_url: str) -> list[str]:
