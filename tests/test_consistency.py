@@ -373,6 +373,32 @@ def test_pq_adc_recall_vs_exact_l2(spark):
     assert recall >= 0.2, f"PQ ADC recall {recall} vs exact L2"
 
 
+def test_pq_codebook_rejects_sparse_seed_ids(spark):
+    """The ADC distance-table lookup is positional (element_at at code+1),
+    valid only when the codebook is the contiguous cells 0..k-1. A corpus
+    missing a seed id must fail fast at the codebook build instead of
+    silently reading another centroid's distance."""
+    import pytest as _pytest
+
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from wod_ascii_to_parquet_spark_spark.operators.similarity import (
+        _pq_codebook,
+    )
+
+    e = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(20) if i != 3],
+        "vec_id long, emb array<double>",
+    )
+    with _pytest.raises(SparkRuntimeException, match="contiguous"):
+        _pq_codebook(e).collect()
+    # sanity: the dense id set builds fine
+    dense = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(20)],
+        "vec_id long, emb array<double>",
+    )
+    assert len(_pq_codebook(dense).collect()[0]["__seeds"]) == 16
+
+
 def test_curation_properties(spark):
     """Packing: offsets stay under the budget and bins are contiguous per
     shard. Sampling: at most 5 per stratum, deterministic across runs."""

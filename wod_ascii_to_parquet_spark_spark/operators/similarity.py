@@ -618,7 +618,16 @@ def _pq_codebook(e: DataFrame) -> DataFrame:
     sorted by cell — the k=16 medoid codebook shared by every subspace,
     with each centroid's per-subspace squared norms ``bb`` precomputed so
     the per-row selection metric is a single dim-8 dot product per
-    (subspace, centroid)."""
+    (subspace, centroid).
+
+    INVARIANT (asserted here, relied on by the ADC lookup): the codebook
+    is exactly the contiguous ids ``0..k-1``, so array position == cell
+    id and ``element_at(qtab, code+1)`` is a valid distance-table lookup.
+    A corpus missing any seed id would otherwise silently shift every
+    position and read another centroid's distance; instead the query
+    fails fast at the one-row codebook build (``assert_true`` is part of
+    the ``__seeds`` expression itself, so it cannot be pruned and costs
+    one k-element scan total, not per corpus row)."""
     arr = (
         e.filter(F.col("vec_id") < _PQ_K)
         .select(
@@ -644,7 +653,25 @@ def _pq_codebook(e: DataFrame) -> DataFrame:
             ).alias("bb"),
         ),
     )
-    return arr.select(with_bb.alias("__seeds"))
+    contiguous = (F.size(F.col("__raw")) == _PQ_K) & F.forall(
+        F.zip_with(
+            F.col("__raw"),
+            F.sequence(F.lit(0).cast("long"), F.lit(_PQ_K - 1).cast("long")),
+            lambda c, i: c["cell"] == i,
+        ),
+        lambda ok: ok,
+    )
+    checked = F.when(
+        F.assert_true(
+            contiguous,
+            F.lit(
+                f"PQ codebook must be the contiguous cells 0..{_PQ_K - 1}: "
+                "positional ADC lookups are invalid on a sparse id set"
+            ),
+        ).isNull(),
+        with_bb,
+    )
+    return arr.select(checked.alias("__seeds"))
 
 
 def _l2(a, b):
@@ -741,6 +768,8 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc = None
     for s in range(_PQ_M):
         qtab = F.element_at(F.col("__qtabs"), s + 1)
+        # position == centroid id: guaranteed by _pq_codebook's
+        # contiguity assertion (a sparse seed set fails the build).
         term = F.element_at(qtab, (_pq_code(s, F.col("emb")) + 1).cast("int"))
         adc = term if adc is None else adc + term
     return (
