@@ -373,6 +373,37 @@ def test_pq_adc_recall_vs_exact_l2(spark):
     assert recall >= 0.2, f"PQ ADC recall {recall} vs exact L2"
 
 
+def test_ivfadc_recall_vs_exact_l2(spark):
+    """IVFADC (coarse cells + PQ codes, no exact re-rank) must stay a
+    meaningful approximation: per-query top-3 against the exact-L2 top-10
+    (numpy brute force). Measured mean recall 0.30 at these deliberately
+    coarse parameters (16 cells, nprobe=4, k=16 codebooks); gate at half."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pydict()
+    ids = np.array(t["vec_id"])
+    embs = np.array([list(e) for e in t["embedding"]], dtype=np.float64)
+
+    rows = QUERIES["similarity_ann_ivf_adc"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 30  # 10 queries × top-3
+    assert all(r.adc_dist >= 0 for r in rows)
+    got: dict[int, set] = {}
+    for r in rows:
+        got.setdefault(r.qid, set()).add(r.vec_id)
+    recalls = []
+    for qid in range(10):
+        qv = embs[ids == qid][0]
+        d = ((embs - qv) ** 2).sum(axis=1)
+        mask = ids != qid
+        exact10 = set(
+            ids[mask][np.argsort(d[mask], kind="stable")][:10].tolist()
+        )
+        recalls.append(len(got[qid] & exact10) / 3)
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.15, f"IVFADC mean recall {mean} vs exact L2"
+
+
 def test_pq_codebook_rejects_sparse_seed_ids(spark):
     """The ADC distance-table lookup is positional (element_at at code+1),
     valid only when the codebook is the contiguous cells 0..k-1. A corpus

@@ -152,6 +152,24 @@ def test_ivf_query_plan_reuses_quantizer_and_no_double_argmax(spark):
     assert "REPARTITION_BY_COL" not in plan, plan[:4000]
 
 
+def test_ivfadc_corpus_never_shuffles_on_cell(spark):
+    """similarity_ann_ivf_adc plan invariants: the corpus index build is
+    map-only against broadcast codebooks (no cell shuffle — probing is a
+    BROADCAST equi-join), every crossJoin is broadcast-bounded, and the
+    only hash exchange is the final per-query top-k window on qid."""
+    from wod_ascii_to_parquet_spark_spark.registry import load_all_operators
+
+    q = load_all_operators()["similarity_ann_ivf_adc"]
+    df = q.fn(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan, plan[:4000]
+    assert "REPARTITION_BY_COL" not in plan, plan[:4000]
+    assert "hashpartitioning(cell" not in plan, plan[:4000]
+    assert "hashpartitioning(qid" in plan, plan[:4000]  # the top-k window
+
+
 def test_convert_schedules_largest_files_first(spark, tmp_path, monkeypatch):
     """The thread pool must receive tasks largest-first (LPT): the biggest
     file starting last is what stretches the makespan."""

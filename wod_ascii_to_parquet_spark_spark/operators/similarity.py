@@ -15,6 +15,11 @@ Four tiers, mirroring how ANN is actually deployed over a 100 TB corpus:
   exact re-rank inside the probed cells. The quantizer uses deterministic
   medoid seeds (raw data vectors), so dot products are bit-exact across
   engines and the whole index is DuckDB-oracled.
+- ``vector_pq_encode`` / ``similarity_pq_adc`` — product quantization:
+  8-byte codes per vector, asymmetric-distance (table-lookup) search.
+- ``similarity_ann_ivf_adc`` — IVFADC, the two combined (FAISS deployment
+  shape): cells bound which candidates are scored, codes bound the bytes
+  per candidate — the only tier whose memory math works at 100 TB.
 
 All vector math is Catalyst ``zip_with``/``aggregate`` over array<double> —
 JVM-side, codegen'd, no Python in the row path.
@@ -779,4 +784,143 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("__adc"), F.asc("vec_id"))
         .limit(10)
         .select("vec_id", F.round(F.col("__adc"), 6).alias("adc_dist"))
+    )
+
+
+def _ivf_adc_sql() -> str:
+    """DuckDB mirror of IVFADC: the PQ CTEs (codebook distances + picked
+    codes) stacked with the IVF assign/probe CTEs — ``seeds`` doubles as
+    both the PQ codebook and the IVF quantizer (identical medoids), the
+    ADC sum is the same fixed s=0..7 CASE-pivot order as the Spark chain
+    (fp addition order matters)."""
+    scaled_a = _IVF_SCALED.format(a="e.emb", b="x.cemb")
+    scaled_q = _IVF_SCALED.format(a="q.emb", b="x.cemb")
+    pivot = " + ".join(
+        f"max(CASE WHEN qd.s = {s} THEN qd.dist END)" for s in range(_PQ_M)
+    )
+    return (
+        _PQ_BASE_SQL.format(dist_union=_pq_dist_union_sql())
+        + f"""
+    , assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, x.cent AS cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {scaled_a} DESC, x.cent
+                   ) AS rn
+            FROM e CROSS JOIN seeds x
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT qid, cell FROM (
+            SELECT q.vec_id AS qid, x.cent AS cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {scaled_q} DESC, x.cent
+                   ) AS rn
+            FROM e q CROSS JOIN seeds x
+            WHERE q.vec_id < 10
+        ) WHERE rn <= 4
+    ),
+    qd AS (SELECT vec_id AS qid, s, cent, dist FROM d WHERE vec_id < 10)
+    SELECT qid, vec_id, round(adc, 6) AS adc_dist FROM (
+        SELECT qid, vec_id, adc,
+               row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+        FROM (
+            SELECT p.qid, a.vec_id, {pivot} AS adc
+            FROM probes p
+            JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.qid
+            JOIN picked pk ON pk.vec_id = a.vec_id
+            JOIN qd ON qd.qid = p.qid AND qd.s = pk.s AND qd.cent = pk.cent
+            GROUP BY p.qid, a.vec_id
+        )
+    ) WHERE rn <= 3
+    """
+    )
+
+
+@register("similarity_ann_ivf_adc", _ivf_adc_sql(), tags=("similarity",))
+def similarity_ann_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the full FAISS-deployment shape (Jégou et al., TPAMI'11)
+    and the tier that actually runs at 100 TB: the IVF coarse quantizer
+    bounds WHICH candidates are scored (nprobe/ncells of the corpus), and
+    PQ codes bound the BYTES touched per candidate (8 bytes, never the
+    512-byte float vector). Top-3 per query for 10 queries, 16 cells,
+    nprobe=4.
+
+    Plan shape: one map-only corpus pass builds the persisted index
+    ``(vec_id, cell, codes)`` — IVF argmax + 8 PQ argmin folds against two
+    broadcast one-row codebooks, after which the raw embeddings are never
+    read again; probing is a broadcast equi-join on cell; ranking reads
+    the per-query distance tables (10 × 8 × 16 doubles, broadcast) at the
+    candidates' code positions. No shuffle of the corpus at any point;
+    the only Exchange is the final per-query top-k window over ~nprobe/
+    ncells × |corpus| candidate rows.
+
+    vs ``similarity_ann_ivf``: that tier re-ranks candidates with exact
+    cosine over full vectors (right when the probed slice still fits the
+    I/O budget); this one never de-references the vector — the 100 TB
+    memory math (100 TB of floats → 1.6 TB of codes) only works here.
+    Production refinement not modeled: FAISS encodes the RESIDUAL
+    (emb − centroid) for tighter cells; raw-vector PQ keeps every distance
+    bit-exact across engines, which is what makes this tier fully
+    DuckDB-oracled. Recall vs exact L2 asserted in tests/test_consistency.py."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    seeds = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
+    )
+    seed_arr = _seed_array(seeds)
+    cb = _pq_codebook(e)
+    # The persisted index: (vec_id, cell, codes) — map-only, one pass.
+    encoded = (
+        _ivf_assign(e, seed_arr)
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "vec_id",
+            "cell",
+            F.array(
+                *[
+                    _pq_code(s, F.col("emb")).cast("int")
+                    for s in range(_PQ_M)
+                ]
+            ).alias("codes"),
+        )
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    probes = _ivf_probes(q, seed_arr, nprobe=4).select("qid", "cell")
+
+    def _qtab(lo: int):
+        qsub = F.slice(F.col("qemb"), lo, _PQ_SUBDIM)
+        return F.transform(
+            F.col("__seeds"),
+            lambda c: _l2(qsub, F.slice(c["cemb"], lo, _PQ_SUBDIM)),
+        )
+
+    qtabs = q.crossJoin(F.broadcast(cb)).select(
+        "qid",
+        F.array(
+            *[_qtab(s * _PQ_SUBDIM + 1) for s in range(_PQ_M)]
+        ).alias("__qtabs"),
+    )
+    adc = None
+    for s in range(_PQ_M):
+        qtab = F.element_at(F.col("__qtabs"), s + 1)
+        # position == centroid id — _pq_codebook asserts contiguity
+        term = F.element_at(qtab, F.element_at(F.col("codes"), s + 1) + 1)
+        adc = term if adc is None else adc + term
+    w = W.partitionBy("qid").orderBy(F.asc("__adc"), F.asc("vec_id"))
+    return (
+        encoded.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(qtabs), "qid")
+        .select("qid", "vec_id", adc.alias("__adc"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id", F.round(F.col("__adc"), 6).alias("adc_dist"))
     )
