@@ -455,3 +455,32 @@ def test_curation_properties(spark):
     assert per_stratum and max(per_stratum.values()) <= 5
     again = QUERIES["curation_stratified_sample"].fn(spark, SF_DIR).collect()
     assert {tuple(r) for r in sample} == {tuple(r) for r in again}
+
+
+def test_domain_mix_hits_target_and_never_upsamples(spark):
+    """The resampled corpus must realize the target permille mixture to
+    within floor rounding (quota_d = floor(w_d × total)), never exceed any
+    domain's available count, and be deterministic across runs."""
+    import duckdb
+
+    from wod_ascii_to_parquet_spark_spark.operators.curation import (
+        _MIX_PERMILLE,
+    )
+
+    rows = QUERIES["curation_domain_mix"].fn(spark, SF_DIR).collect()
+    got = {}
+    for r in rows:
+        got[r.domain] = got.get(r.domain, 0) + 1
+    avail = dict(
+        duckdb.sql(
+            f"SELECT lang, count(*) FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet') GROUP BY lang"
+        ).fetchall()
+    )
+    weights = dict(_MIX_PERMILLE)
+    total = min(avail[d] * 1000 // w for d, w in weights.items())
+    for d, w in weights.items():
+        assert got[d] == w * total // 1000, (d, got)
+        assert got[d] <= avail[d], (d, got, avail)
+    again = QUERIES["curation_domain_mix"].fn(spark, SF_DIR).collect()
+    assert {tuple(r) for r in rows} == {tuple(r) for r in again}

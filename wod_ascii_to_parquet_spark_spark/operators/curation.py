@@ -1,16 +1,19 @@
 """Training-data curation operators (LLM-pipeline extension, first-class).
 
-The three moves a pretraining-data pipeline makes after dedup/quality:
+The moves a pretraining-data pipeline makes after dedup/quality:
 
 - ``curation_pack_sequences``   — pack documents into fixed token-budget
   bins (context-window packing) via a sharded running sum;
 - ``curation_stratified_sample`` — deterministic per-stratum subsample with
   a multiplicative-hash pseudo-random order (reproducible across engines
   AND runs — no engine RNG);
+- ``curation_domain_mix``       — resample to a target domain mixture
+  (integer-permille weights, exact quotas, no upsampling);
 - ``curation_repetition_score`` — repeated-3-gram fraction per document,
-  the cheap repetition/boilerplate detector used for quality filtering.
+  the cheap repetition/boilerplate detector used for quality filtering;
+- ``curation_decontaminate``    — 13-gram eval-benchmark overlap filter.
 
-All three are fully DuckDB-oracled: every pseudo-random choice is integer
+All are fully DuckDB-oracled: every pseudo-random choice is integer
 arithmetic (no ``rand()``), every score is a ratio of counts.
 
 Scale notes (100 TB):
@@ -179,6 +182,85 @@ def curation_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1.0) - n_distinct.cast("double") / total.cast("double"), 6
             ).alias("repetition"),
         )
+    )
+
+
+#: Target training mixture in integer permille (summing to 1000): integer
+#: weights keep every quota computation exact in both engines — no binary-
+#: fraction drift from literals like 0.15.
+_MIX_PERMILLE = (("en", 400), ("de", 150), ("es", 150), ("fr", 150), ("zh", 150))
+
+
+def _domain_mix_sql() -> str:
+    values = ", ".join(f"('{k}', {v})" for k, v in _MIX_PERMILLE)
+    return f"""
+    WITH w AS (SELECT * FROM (VALUES {values}) AS t(domain, wm)),
+    c AS (SELECT lang AS domain, count(*) AS c FROM documents GROUP BY lang),
+    cw AS (SELECT c.domain, c.c, w.wm FROM c JOIN w USING (domain)),
+    t AS (SELECT min(CAST(floor(c * 1000.0 / wm) AS BIGINT)) AS total FROM cw),
+    q AS (
+        SELECT domain, CAST(floor(wm * total / 1000.0) AS BIGINT) AS quota
+        FROM cw, t
+    ),
+    r AS (
+        SELECT lang AS domain, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY (doc_id * {_KNUTH}) % {_MOD}, doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT domain, doc_id FROM r JOIN q USING (domain) WHERE rn <= quota
+    """
+
+
+@register("curation_domain_mix", _domain_mix_sql(), tags=("curation",))
+def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the corpus to a TARGET domain mixture (the DoReMi/Pile-style
+    "domain weights" step every pretraining pipeline runs): given integer-
+    permille weights per domain (here ``lang``: en 40%, de/es/fr/zh 15%),
+    keep the largest corpus that matches the mixture exactly WITHOUT
+    upsampling — total = min over domains of floor(count/weight), quota_d =
+    floor(weight_d × total) — selecting each domain's quota deterministically
+    by Knuth-hash order (zero engine RNG, same sample from Spark, DuckDB, or
+    any re-run).
+
+    Scale shape: the per-domain counts and quotas are a tiny aggregate
+    (|domains| rows) broadcast back; the only corpus-sized work is one
+    window per domain for the quota cut. Domains are few by construction,
+    so that window IS skewed — at 100 TB replace the exact-quota window
+    with the windowless hash-threshold filter (keep iff
+    ``hash(doc_id) % M < quota/count × M``, map-only, quota hit within
+    ±O(√n) per domain) or pre-salt the window key; the exact-quota form
+    here is the verification oracle for that optimization."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("domain")
+    )
+    wm = F.lit(None).cast("int")
+    for k, v in reversed(_MIX_PERMILLE):
+        wm = F.when(F.col("domain") == k, F.lit(v)).otherwise(wm)
+    cw = (
+        d.groupBy("domain")
+        .agg(F.count("*").alias("c"))
+        .withColumn("wm", wm)
+        .filter(F.col("wm").isNotNull())
+    )
+    total = cw.agg(
+        F.min(F.floor(F.col("c") * 1000.0 / F.col("wm"))).alias("total")
+    )
+    quotas = cw.crossJoin(F.broadcast(total)).select(
+        "domain",
+        F.floor(F.col("wm") * F.col("total") / 1000.0).alias("quota"),
+    )
+    from pyspark.sql import Window as W
+
+    h = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_MOD)
+    w = W.partitionBy("domain").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(quotas), "domain")
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("domain", "doc_id")
     )
 
 
