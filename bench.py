@@ -44,6 +44,8 @@ HEADLINERS = [
     "similarity_ann_ivf",          # oracled IVF ANN (round 2)
     "similarity_ann_ivf_join",     # large-batch ANN join tier (round 5)
     "similarity_pq_adc",           # PQ code search, FAISS ADC shape (round 5)
+    "similarity_ann_ivf_adc",      # IVFADC: cells + codes combined (round 6)
+    "curation_domain_mix",         # target-mixture resampling (round 6)
     "join_asof_bucketed",          # equi-join-only as-of plan (round 2)
     "curation_pack_sequences",     # sharded context-window packing (round 2)
     "curation_decontaminate",      # 13-gram eval-overlap filter (round 5)

@@ -484,3 +484,23 @@ def test_domain_mix_hits_target_and_never_upsamples(spark):
         assert got[d] <= avail[d], (d, got, avail)
     again = QUERIES["curation_domain_mix"].fn(spark, SF_DIR).collect()
     assert {tuple(r) for r in rows} == {tuple(r) for r in again}
+
+
+def test_domain_mix_threshold_tracks_exact_quotas(spark):
+    """The windowless hash-threshold arm must realize each domain's quota
+    within the hash-uniformity tolerance of the exact-quota window arm
+    (±3·√quota covers >99.7% under the binomial bound), stay within the
+    available counts, and be deterministic."""
+    exact = QUERIES["curation_domain_mix"].fn(spark, SF_DIR).collect()
+    approx = QUERIES["curation_domain_mix_threshold"].fn(spark, SF_DIR).collect()
+    eq, aq = {}, {}
+    for r in exact:
+        eq[r.domain] = eq.get(r.domain, 0) + 1
+    for r in approx:
+        aq[r.domain] = aq.get(r.domain, 0) + 1
+    assert set(eq) == set(aq)
+    for d, quota in eq.items():
+        tol = max(3, int(3 * quota**0.5))
+        assert abs(aq[d] - quota) <= tol, (d, aq[d], quota)
+    again = QUERIES["curation_domain_mix_threshold"].fn(spark, SF_DIR).collect()
+    assert {tuple(r) for r in approx} == {tuple(r) for r in again}

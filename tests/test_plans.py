@@ -170,6 +170,22 @@ def test_ivfadc_corpus_never_shuffles_on_cell(spark):
     assert "hashpartitioning(qid" in plan, plan[:4000]  # the top-k window
 
 
+def test_domain_mix_threshold_is_windowless(spark):
+    """curation_domain_mix_threshold is the map-only 100 TB form: no
+    Window anywhere, the threshold table reaches the corpus via a
+    BROADCAST join, and the corpus is never hash-shuffled on the domain
+    key (the only exchanges aggregate the tiny counts table)."""
+    from wod_ascii_to_parquet_spark_spark.registry import load_all_operators
+
+    q = load_all_operators()["curation_domain_mix_threshold"]
+    df = q.fn(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" not in plan, plan[:4000]
+    assert "BroadcastHashJoin" in plan, plan[:4000]
+
+
 def test_convert_schedules_largest_files_first(spark, tmp_path, monkeypatch):
     """The thread pool must receive tasks largest-first (LPT): the biggest
     file starting last is what stretches the makespan."""

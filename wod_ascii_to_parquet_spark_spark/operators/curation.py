@@ -264,6 +264,74 @@ def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _domain_mix_threshold_sql() -> str:
+    values = ", ".join(f"('{k}', {v})" for k, v in _MIX_PERMILLE)
+    return f"""
+    WITH w AS (SELECT * FROM (VALUES {values}) AS t(domain, wm)),
+    c AS (SELECT lang AS domain, count(*) AS c FROM documents GROUP BY lang),
+    cw AS (SELECT c.domain, c.c, w.wm FROM c JOIN w USING (domain)),
+    t AS (SELECT min(CAST(floor(c * 1000.0 / wm) AS BIGINT)) AS total FROM cw),
+    q AS (
+        SELECT domain, c,
+               CAST(floor(wm * total / 1000.0) AS BIGINT) AS quota
+        FROM cw, t
+    ),
+    thr AS (SELECT domain, quota * {_MOD} // c AS threshold FROM q)
+    SELECT d.lang AS domain, d.doc_id
+    FROM documents d JOIN thr ON thr.domain = d.lang
+    WHERE (d.doc_id * {_KNUTH}) % {_MOD} < thr.threshold
+    """
+
+
+@register(
+    "curation_domain_mix_threshold",
+    _domain_mix_threshold_sql(),
+    tags=("curation",),
+)
+def curation_domain_mix_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``curation_domain_mix``: WINDOWLESS mixture
+    resampling. Instead of ranking every document inside its domain (a
+    per-domain window — inherently skewed when domains are few and huge),
+    keep a document iff its Knuth hash falls below the domain's threshold
+    ``quota × 2³² ÷ count`` — a map-only filter against a broadcast
+    |domains|-row threshold table. The realized quota lands within
+    ±O(√n) of the target (hash uniformity), which is what a real pipeline
+    accepts in exchange for deleting the corpus-wide shuffle; the
+    exact-quota window arm is this operator's verification oracle (their
+    agreement is tested, and both are independently DuckDB-oracled —
+    every threshold is integer arithmetic, zero engine RNG).
+
+    Plan shape (asserted in tests/test_plans.py): one tiny counts
+    aggregate → broadcast join → filter; NO Window, no corpus shuffle."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("domain")
+    )
+    wm = F.lit(None).cast("int")
+    for k, v in reversed(_MIX_PERMILLE):
+        wm = F.when(F.col("domain") == k, F.lit(v)).otherwise(wm)
+    cw = (
+        d.groupBy("domain")
+        .agg(F.count("*").alias("c"))
+        .withColumn("wm", wm)
+        .filter(F.col("wm").isNotNull())
+    )
+    total = cw.agg(
+        F.min(F.floor(F.col("c") * 1000.0 / F.col("wm"))).alias("total")
+    )
+    thresholds = cw.crossJoin(F.broadcast(total)).select(
+        "domain",
+        F.expr(
+            f"floor(wm * total / 1000.0) * {_MOD} DIV c"
+        ).alias("threshold"),
+    )
+    h = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_MOD)
+    return (
+        d.join(F.broadcast(thresholds), "domain")
+        .filter(h < F.col("threshold"))
+        .select("domain", "doc_id")
+    )
+
+
 #: Benchmark-decontamination n-gram length — 13 is the published standard
 #: (GPT-3 appendix C / Llama 2: flag train docs sharing any 13-gram with an
 #: eval benchmark). The synthetic stand-in for the benchmark suite is the
