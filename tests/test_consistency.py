@@ -404,6 +404,34 @@ def test_ivfadc_recall_vs_exact_l2(spark):
     assert mean >= 0.15, f"IVFADC mean recall {mean} vs exact L2"
 
 
+def test_embedding_ann_dedup_subset_of_brute_force(spark):
+    """IVF-cell-blocked near-dup pairs: every reported pair must be a TRUE
+    ≥0.4-cosine pair (precision 1.0 — blocking can only lose pairs, never
+    invent them), with a recall floor vs the unblocked N² brute force.
+    The testdata holds no real near-dups (max pair cosine < 0.6), so the
+    measured 0.19 recall on borderline-0.4 pairs at 16 coarse cells is the
+    honest coarse-quantizer number; gate at half."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pydict()
+    ids = np.array(t["vec_id"])
+    embs = np.array([list(e) for e in t["embedding"]], dtype=np.float64)
+    n = embs / np.linalg.norm(embs, axis=1, keepdims=True)
+    S = n @ n.T
+    brute = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[i] < ids[j] and S[i, j] >= 0.4
+    }
+
+    rows = QUERIES["dedup_embedding_ann"].fn(spark, SF_DIR).collect()
+    got = {(r.vec_a, r.vec_b) for r in rows}
+    assert got <= brute, got - brute  # precision 1.0
+    assert len(got) / max(1, len(brute)) >= 0.1, (len(got), len(brute))
+
+
 def test_pq_codebook_rejects_sparse_seed_ids(spark):
     """The ADC distance-table lookup is positional (element_at at code+1),
     valid only when the codebook is the contiguous cells 0..k-1. A corpus

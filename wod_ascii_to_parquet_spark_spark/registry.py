@@ -179,10 +179,10 @@ def _driver_history() -> tuple[frozenset[str], frozenset[str], frozenset[str]]:
 #: would spend sample slots re-confirming known greens ahead of the
 #: never-sampled tail.
 VERIFY_FIRST = (
-    # r05: IVF scoring switched to the scaled metric (impl + oracle SQL
-    # changed together) — re-check even though r04 was green.
-    "similarity_ann_ivf",
-    "similarity_ann_ivf_join",
+    # r06: the PQ codebook build gained an embedded contiguity assertion
+    # (shared by both queries) — re-check the greens whose plan changed.
+    "vector_pq_encode",
+    "similarity_pq_adc",
 )
 
 
