@@ -40,8 +40,16 @@ def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
 def merge_into_delta(
     spark: SparkSession, target_path: str, updates: DataFrame, key: str
 ) -> None:
-    """Native MERGE INTO (Delta). Unavailable here — use
-    ``operators.sql_surface.merge_upsert`` for the format-agnostic
-    anti-join + union emulation."""
+    """Native MERGE INTO (Delta): upsert ``updates`` into the Delta table
+    at ``target_path`` on ``key``. Requires the Delta jars (probe below);
+    without them use ``operators.sql_surface.merge_upsert`` — the
+    format-agnostic anti-join + union emulation with identical semantics
+    (that arm is the one exercised by tests/oracle in this environment)."""
     _probe(spark, "org.apache.spark.sql.delta.DeltaLog", "Delta Lake")
-    raise NotImplementedError  # pragma: no cover
+    updates.createOrReplaceTempView("__merge_updates")  # pragma: no cover
+    spark.sql(  # pragma: no cover
+        f"MERGE INTO delta.`{target_path}` AS t "
+        f"USING __merge_updates AS u ON t.{key} = u.{key} "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
