@@ -246,6 +246,39 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_linear_regression",
+    """
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           regr_count(l_extendedprice, l_quantity) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI linear-regression aggregates (regr_slope/intercept/r2/count):
+    price-vs-quantity fit per return flag — single-pass mergeable moments,
+    the same two-phase hash shape as every other aggregate (no sorted
+    state, scale-safe)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+                "slope"
+            ),
+            F.round(
+                F.regr_intercept("l_extendedprice", "l_quantity"), 2
+            ).alias("intercept"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+            F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+        )
+    )
+
+
 @register("agg_approx_percentile", None, tags=("agg", "rows-only"))
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch percentiles (`percentile_approx`, mergeable KLL-like state) —

@@ -296,6 +296,55 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "set_intersect_all",
+    """
+    SELECT o_orderstatus FROM orders
+    INTERSECT ALL
+    SELECT o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+    """,
+    tags=("setop",),
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag (multiset) intersection: INTERSECT ALL semantics — each value
+    survives min(count_left, count_right) times (vs the set semantics of
+    ``set_intersect``). Same two-phase hash shape as EXCEPT ALL."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.select("o_orderstatus").intersectAll(
+        orders.filter(F.col("o_orderkey") % 2 == 0).select("o_orderstatus")
+    )
+
+
+@register(
+    "sort_nulls_ordering",
+    """
+    SELECT o_orderkey, v FROM (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS v
+        FROM orders
+    ) ORDER BY v DESC NULLS FIRST, o_orderkey LIMIT 3000
+    """,
+    tags=("sort",),
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit null placement in ORDER BY — a cross-engine semantics pin:
+    Spark's default puts NULLs FIRST on ascending (last on descending),
+    DuckDB's default is the opposite (NULLS LAST ascending), so any query
+    relying on the default silently reorders between engines. The LIMIT
+    straddles the null/non-null boundary, so the surviving ROW SET (which
+    the order-insensitive driver hash does see) proves the placement, not
+    just the ordering."""
+    o = load(spark, sf_dir, "orders")
+    v = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("o_totalprice")
+    )
+    return (
+        o.select("o_orderkey", v.alias("v"))
+        .orderBy(F.col("v").desc_nulls_first(), F.col("o_orderkey").asc())
+        .limit(3000)
+    )
+
+
 # --- §2.8 exact dedup (fuzzy families live in operators/dedup.py) ---------
 
 
