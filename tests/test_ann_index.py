@@ -1,0 +1,84 @@
+"""Persisted IVFADC index: the stored build/probe split must return exactly
+what the live DuckDB-oracled one-shot query returns, and the bucketed index
+side of a cell equi-join must be Exchange-free."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+    build_ann_index,
+    probe_ann_index,
+)
+from wod_ascii_to_parquet_spark_spark.registry import load, load_all_operators
+
+from .conftest import SF_DIR
+
+TABLE = "test_ann_idx"
+
+
+@pytest.fixture(scope="module")
+def ann_index(spark):
+    build_ann_index(spark, SF_DIR, table=TABLE, n_buckets=8)
+    yield TABLE
+    spark.sql(f"DROP TABLE IF EXISTS {TABLE}")
+    spark.sql(f"DROP TABLE IF EXISTS {TABLE}__codebooks")
+
+
+def _queries(spark):
+    e = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    return e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+
+
+def test_persisted_probe_matches_live_oracled_query(spark, ann_index):
+    """probe(stored index) must equal the live similarity_ann_ivf_adc —
+    the persisted path inherits the oracle's guarantee only through exact
+    agreement with the query the oracle checks."""
+    live = (
+        load_all_operators()["similarity_ann_ivf_adc"]
+        .fn(spark, SF_DIR)
+        .collect()
+    )
+    stored = probe_ann_index(
+        spark, _queries(spark), table=ann_index, nprobe=4, k=3
+    ).collect()
+    assert {tuple(r) for r in stored} == {tuple(r) for r in live}
+    assert len(stored) == len(live)
+
+
+def test_index_schema_and_size(spark, ann_index):
+    """The stored index is (vec_id, cell, codes[8]) — 8 small ints of
+    payload per vector — plus a one-row codebook sidecar table."""
+    idx = spark.table(ann_index)
+    assert set(idx.columns) == {"vec_id", "cell", "codes"}
+    n_corpus = load(spark, SF_DIR, "embeddings").count()
+    assert idx.count() == n_corpus
+    assert idx.filter(F.size("codes") != 8).count() == 0
+    books = spark.table(f"{ann_index}__codebooks")
+    assert books.count() == 1
+    assert set(books.columns) == {"__seeds", "__pq_seeds"}
+
+
+def test_index_side_of_cell_join_is_exchange_free(spark, ann_index):
+    """The large-query-batch tier joins cell-assigned queries against the
+    index on cell; bucketing must leave the INDEX side shuffle-free (only
+    the query side exchanges) — the paid-once build shuffle discipline of
+    plans/bucketing.py applied to ANN serving."""
+    q = _queries(spark).withColumn("cell", F.col("qid") % 8)
+    joined = spark.table(ann_index).hint("merge").join(q, "cell")
+    plan = joined._sc._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    assert "Bucketed: true" in plan, plan[:4000]
+    assert "SelectedBucketsCount" in plan, plan[:4000]
+    # exactly one Exchange operator in the whole plan: the ad-hoc query
+    # side (the bucketed index side sorts within buckets, never shuffles)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:4000]
