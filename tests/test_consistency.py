@@ -404,6 +404,58 @@ def test_ivfadc_recall_vs_exact_l2(spark):
     assert mean >= 0.15, f"IVFADC mean recall {mean} vs exact L2"
 
 
+def test_kmeans_lloyd_matches_numpy_reference(spark):
+    """Distributed Lloyd's k-means vs a numpy reference run with the SAME
+    medoid init, argmin metric (‖c‖² − 2a·c, first-min tie-break) and
+    mean updates: assignments must agree on ≥99% of vectors after 3
+    rounds (fp summation-order drift can flip only near-equidistant
+    points), and WCSS must be monotone non-increasing across rounds."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from wod_ascii_to_parquet_spark_spark.operators.corpus import kmeans_lloyd
+    from wod_ascii_to_parquet_spark_spark.registry import load
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pydict()
+    ids = np.array(t["vec_id"])
+    order = np.argsort(ids)
+    ids = ids[order]
+    X = np.array([list(e) for e in t["embedding"]], dtype=np.float64)[order]
+
+    def np_lloyd(n_iter):
+        C = X[ids < 16].copy()
+        cells = np.arange(16)
+        for _ in range(n_iter):
+            d = (C**2).sum(axis=1)[None, :] - 2 * (X @ C.T)
+            a = cells[np.argmin(d, axis=1)]  # argmin → first (lowest cell)
+            keep = np.array([c for c in cells if (a == c).any()])
+            C = np.stack([X[a == c].mean(axis=0) for c in keep])
+            cells = keep
+        return a
+
+    e = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    wcss_prev = None
+    for it in (1, 2, 3):
+        assign, cents = kmeans_lloyd(e, k=16, n_iter=it)
+        got = {r.vec_id: r.cell for r in assign.collect()}
+        cmap = {r.cell: np.array(r.cemb) for r in cents.collect()}
+        wcss = sum(
+            ((X[i] - cmap[got[int(v)]]) ** 2).sum()
+            for i, v in enumerate(ids)
+            if got[int(v)] in cmap
+        )
+        if wcss_prev is not None:
+            assert wcss <= wcss_prev * (1 + 1e-9), (it, wcss, wcss_prev)
+        wcss_prev = wcss
+    ref = np_lloyd(3)
+    agree = sum(1 for i, v in enumerate(ids) if got[int(v)] == ref[i])
+    assert agree / len(ids) >= 0.99, agree / len(ids)
+
+
 def test_embedding_ann_dedup_subset_of_brute_force(spark):
     """IVF-cell-blocked near-dup pairs: every reported pair must be a TRUE
     ≥0.4-cosine pair (precision 1.0 — blocking can only lose pairs, never

@@ -279,3 +279,98 @@ def vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("v"), 6).alias("centroid_val"))
         .select("label", (F.col("pos") - 1).cast("int").alias("pos"), "centroid_val")
     )
+
+
+# --- distributed Lloyd's k-means (library; tested vs numpy) ---------------
+
+
+def _centroid_row(cents: DataFrame) -> DataFrame:
+    """Fold (cell, cemb) centroids into ONE broadcastable row ``__cents``:
+    array of struct(cell, cemb, bb) sorted by cell, with ``bb`` = ‖c‖²
+    precomputed — the same one-row-quantizer discipline as the IVF/PQ
+    codebooks (operators/similarity.py)."""
+    arr = cents.select(F.struct("cell", "cemb").alias("s")).agg(
+        F.sort_array(F.collect_list("s")).alias("__raw")
+    )
+    with_bb = F.transform(
+        F.col("__raw"),
+        lambda s: F.struct(
+            s["cell"].alias("cell"),
+            s["cemb"].alias("cemb"),
+            F.aggregate(
+                F.transform(s["cemb"], lambda x: x * x),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("bb"),
+        ),
+    )
+    return arr.select(with_bb.alias("__cents"))
+
+
+def _kmeans_assign(e: DataFrame, cent_row: DataFrame) -> DataFrame:
+    """MAP-ONLY L2 assignment: argmin over the broadcast centroid row via
+    the selection metric ``‖c‖² − 2a·c`` (the per-row ‖a‖² constant cannot
+    change the argmin); strictly-less fold → lowest cell wins ties; no
+    Window, no shuffle."""
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            (c["bb"] - 2 * dot(F.col("emb"), c["cemb"])).alias("dist"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    init = F.struct(
+        F.lit(float("inf")).alias("dist"),
+        F.lit(-1).cast("long").alias("cell"),
+    )
+    best = F.aggregate(
+        scored,
+        init,
+        lambda acc, x: F.when(x["dist"] < acc["dist"], x).otherwise(acc),
+        lambda acc: acc["cell"],
+    )
+    return e.crossJoin(F.broadcast(cent_row)).select(
+        "vec_id", "emb", F.coalesce(best, F.lit(-1)).alias("cell")
+    )
+
+
+def kmeans_lloyd(
+    e: DataFrame, k: int = 16, n_iter: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed Lloyd's k-means over ``(vec_id, emb: array<double>)``;
+    returns ``(assignments (vec_id, cell), centroids (cell, cemb))`` after
+    ``n_iter`` rounds from deterministic medoid init (vec_id < k).
+
+    The iterative-algorithm pattern alongside connected components
+    (operators/dedup.py): per round one MAP-ONLY assignment against the
+    broadcast one-row centroid fold + one explode→two-phase-agg centroid
+    update (shuffle carries (cell, pos, partial sums) — k×dim cells, not
+    the corpus), with ``localCheckpoint`` truncating the growing lineage
+    exactly like the CC loop. Rounds are a fixed budget (k-means converges
+    in practice long before lineage would matter); empty clusters keep no
+    row and simply drop out of the fold, the standard Lloyd behavior.
+    Verified against a numpy reference implementation in
+    tests/test_consistency.py (assignment agreement + monotone WCSS)."""
+    cents = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
+    )
+    assign = None
+    for _ in range(n_iter):
+        assign = _kmeans_assign(e, _centroid_row(cents))
+        cents = (
+            assign.select("cell", F.posexplode("emb"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("col").alias("v"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"],
+                ).alias("cemb")
+            )
+            .localCheckpoint()
+        )
+    return assign.select("vec_id", "cell"), cents
