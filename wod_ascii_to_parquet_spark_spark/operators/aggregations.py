@@ -339,3 +339,43 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("O", "qty_O")
         .withColumnRenamed("F", "qty_F")
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    """
+    SELECT l_returnflag, l_quantity AS mode_qty, n FROM (
+        SELECT l_returnflag, l_quantity, count(*) AS n,
+               row_number() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY count(*) DESC, l_quantity
+               ) AS rn
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    ) WHERE rn = 1
+    """,
+    tags=("agg",),
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group with a DETERMINISTIC tie-break
+    (lowest value wins) — the built-in ``mode()`` leaves ties
+    engine-/partition-order-specific, so cross-engine pipelines need this
+    count + row_number formulation. Two-phase count aggregation, then a
+    groups-sized window (|groups × distinct values| rows, not the fact
+    table)."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.desc("n"), F.asc("l_quantity")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag", F.col("l_quantity").alias("mode_qty"), "n"
+        )
+    )

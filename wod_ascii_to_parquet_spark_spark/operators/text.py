@@ -298,3 +298,52 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_phones"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
+
+
+@register(
+    "join_fuzzy_blocked",
+    """
+    WITH n AS (
+        SELECT c_custkey, c_name,
+               substring(c_name, 1, length(c_name) - 1) AS blk
+        FROM customer
+    )
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           levenshtein(a.c_name, b.c_name) AS edit_dist
+    FROM n a JOIN n b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    tags=("text", "dedup", "join"),
+)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string JOIN at scale shape: candidate pairs come from an
+    EQUI-join on a blocking key (here the name minus its last character;
+    real pipelines use length-bucket + phonetic/prefix keys), then the
+    O(len²) levenshtein verify runs only inside blocks — the string
+    counterpart of the LSH-band / IVF-cell discipline. Contrast
+    ``text_edit_distance``, which brute-forces a bounded 30-name block:
+    this one processes the FULL table and still touches Σ|block|² pairs,
+    never N². Pairs straddling a block boundary are the (tunable) recall
+    loss, exactly as with every other blocked dedup arm."""
+    n = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.expr("substring(c_name, 1, length(c_name) - 1)").alias("blk"),
+    )
+    a = n.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        "blk",
+    )
+    b = n.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        "blk",
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(dist <= 2)
+        .select("key_a", "key_b", dist.alias("edit_dist"))
+    )
