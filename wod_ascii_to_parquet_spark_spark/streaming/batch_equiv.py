@@ -303,3 +303,84 @@ def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+_ENRICH_SQL = """
+    SELECT to_timestamp(floor(epoch(e.ts) / 600) * 600)::TIMESTAMP AS window_start,
+           c.c_mktsegment AS segment,
+           count(*) AS n,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+"""
+
+
+@register("stream_static_enrich", _ENRICH_SQL, tags=("streaming",))
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment — the most common production streaming
+    pattern: every event joins a (broadcast) static dimension, then a
+    windowed aggregate per enriched key. Stream-static joins are
+    STATELESS (each micro-batch joins the current static snapshot, no
+    join state store), so the batch formulation is exactly the streaming
+    result — the tightest stream/batch equivalence in this family; the
+    live arm below replays it through a real streaming query against the
+    same oracle. At 100 TB the dimension rides the broadcast (or a
+    Delta/parquet snapshot re-read per trigger for slowly-changing dims);
+    the stream side never shuffles before the windowed agg."""
+    e = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        e.join(F.broadcast(c), F.col("c_custkey") == F.col("user_id"))
+        .groupBy(F.window("ts", "10 minutes"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("c_mktsegment").alias("segment"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register("stream_static_enrich_live", _ENRICH_SQL, tags=("streaming",))
+def stream_static_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The enrichment pipeline through a REAL streaming query: readStream
+    over the events parquet → broadcast join with the STATIC customer
+    DataFrame → watermark → windowed agg → memory sink (complete mode) →
+    ``processAllAvailable``. Shares the batch arm's oracle — the driver
+    itself checks that a live stream-static join equals its batch
+    formulation."""
+    from .jobs import read_event_stream
+
+    name = "stream_static_enrich_live_sink"
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stream = (
+        read_event_stream(spark, sf_dir, path_glob="events.parquet")
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("user_id"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("c_mktsegment").alias("segment"),
+            "n",
+            "sum_value",
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
