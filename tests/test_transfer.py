@@ -206,6 +206,67 @@ def test_cli_download(server, tmp_path, capsys):
     assert open(dest, "rb").read() == PAYLOAD
 
 
+class _IndexHandler(http.server.BaseHTTPRequestHandler):
+    """Minimal autoindex tree mirroring the NCEI YEARLY layout."""
+
+    TREE = {
+        "/YEARLY/": ["XBT/", "CTD/", "SUR/", "robots.txt"],
+        "/YEARLY/XBT/": ["OBS/", "STD/"],
+        "/YEARLY/XBT/OBS/": ["XBTO1967.gz", "XBTO1968.gz", "XBTO1967.gz"],
+        "/YEARLY/XBT/STD/": ["XBTS1967.gz"],  # non-OBS: excluded
+        "/YEARLY/CTD/": ["OBS/"],
+        "/YEARLY/CTD/OBS/": ["CTDO1971.gz", "README.txt"],
+        "/YEARLY/SUR/": ["OBS/"],
+        "/YEARLY/SUR/OBS/": ["SURF_ALL.gz"],
+    }
+
+    def log_message(self, *a):  # noqa: D102 - silence
+        pass
+
+    def do_GET(self):  # noqa: N802 - stdlib naming
+        entries = self.TREE.get(self.path)
+        if entries is None:
+            self.send_error(404)
+            return
+        links = "".join(
+            f'<a href="{e}">{e}</a>\n' for e in entries
+        ) + '<a href="../">Parent</a><a href="?C=N;O=D">sort</a>'
+        body = f"<html><body>{links}</body></html>".encode()
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture()
+def index_server():
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _IndexHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/YEARLY/"
+    srv.shutdown()
+
+
+def test_build_list_crawls_obs_tree(index_server, tmp_path):
+    """build-list mirror: only */OBS/*.gz survive, SUR maps to ALL,SUR,
+    duplicates collapse in first-seen order, non-OBS levels and non-.gz
+    files are excluded (build-list.sh:16-32 semantics)."""
+    from wod_ascii_to_parquet_spark_spark.sources.transfer import build_list
+
+    out = str(tmp_path / "list.txt")
+    lines = build_list(index_server, out_file=out)
+    assert lines == ["1967,XBT", "1968,XBT", "1971,CTD", "ALL,SUR"]
+    assert open(out).read().splitlines() == lines
+
+
+def test_cli_build_list(index_server, tmp_path, capsys):
+    out = str(tmp_path / "list.txt")
+    rc = main(["build-list", "-url", index_server, "-o", out])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == "4"
+    assert len(open(out).read().splitlines()) == 4
+
+
 def test_upload_dir_preserves_layout(spark, tmp_path):
     src = tmp_path / "src"
     (src / "a" / "b").mkdir(parents=True)

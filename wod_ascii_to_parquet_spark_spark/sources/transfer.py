@@ -166,6 +166,69 @@ def _head_content_length(url: str, timeout: float, ctx) -> int | None:
         return None
 
 
+def build_list(
+    base_url: str,
+    out_file: str | None = None,
+    timeout: float = 30.0,
+    insecure: bool = False,
+    max_pages: int = 10_000,
+) -> list[str]:
+    """Mirror of ``wod-ascii-to-parquet-build-list.sh:16-32``: crawl an
+    HTTP autoindex tree under ``base_url`` (the NCEI ``YEARLY/`` listing),
+    keep every ``*/OBS/*.gz`` object, and emit deduplicated
+    ``year,dataset`` work lines in first-seen order (the script's
+    ``awk '!seen[$0]++'``). ``SURF_ALL.gz`` under ``SUR/`` maps to
+    ``ALL,SUR`` exactly like the script's special case; other names parse
+    as ``<DS>O<YYYY>.gz``.
+
+    The reference shells out to recursive wget and scrapes its log; here
+    a bounded breadth-first walk follows only relative child links under
+    the base (no parent/absolute/query links), so the crawl cannot escape
+    the tree. ``max_pages`` is a hard stop against pathological indexes."""
+    import re
+    from collections import deque
+
+    ctx = ssl._create_unverified_context() if insecure else None
+    base = base_url if base_url.endswith("/") else base_url + "/"
+    seen_lines: set[str] = set()
+    result: list[str] = []
+    queue = deque([base])
+    visited: set[str] = set()
+    pages = 0
+    while queue and pages < max_pages:
+        url = queue.popleft()
+        if url in visited:
+            continue
+        visited.add(url)
+        pages += 1
+        req = urllib.request.Request(url)
+        with urllib.request.urlopen(req, timeout=timeout, context=ctx) as resp:
+            html = resp.read().decode("utf-8", "replace")
+        for href in re.findall(r'href="([^"]+)"', html):
+            # autoindex child links are relative; skip sort params,
+            # parent dirs, absolute paths and foreign hosts
+            if href.startswith(("?", "/", "../")) or "://" in href:
+                continue
+            full = url + href
+            if href.endswith("/"):
+                queue.append(full)
+            elif href.endswith(".gz") and "/OBS/" in full:
+                if "/SUR/" in full:
+                    line = "ALL,SUR"
+                else:
+                    m = re.fullmatch(r"([A-Z]{3})O(\d{4})\.gz", href)
+                    if not m:
+                        continue
+                    line = f"{m.group(2)},{m.group(1)}"
+                if line not in seen_lines:
+                    seen_lines.add(line)
+                    result.append(line)
+    if out_file is not None:
+        with open(out_file, "w") as fh:
+            fh.write("".join(line + "\n" for line in result))
+    return result
+
+
 def upload_dir(spark, source_dir: str, dest_url: str) -> list[str]:
     """Upload every file under ``source_dir`` to ``dest_url`` preserving
     the relative layout (``OsPoolS3Uploader.java:74-83``); returns the
@@ -215,11 +278,23 @@ def main(argv: list[str] | None = None) -> int:
     up = sub.add_parser("s3-upload", help="Upload a directory to a bucket")
     up.add_argument("-b", "--bucket-path", required=True, dest="bucket_path")
     up.add_argument("-d", "--dir", required=True, dest="dir")
+    bl = sub.add_parser(
+        "build-list", help="Crawl a YEARLY index into a year,dataset list"
+    )
+    bl.add_argument("-url", "--url", required=True)
+    bl.add_argument("-o", "--output-file", required=True, dest="output_file")
+    bl.add_argument("--insecure", action="store_true")
     args = p.parse_args(argv)
     if args.cmd == "http-download":
         code = http_download(args.url, args.output_file, insecure=args.insecure)
         print(code)  # the reference prints the status code too
         return 0 if 200 <= code < 300 else 1
+    if args.cmd == "build-list":
+        lines = build_list(
+            args.url, out_file=args.output_file, insecure=args.insecure
+        )
+        print(len(lines))
+        return 0
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.master("local[1]").getOrCreate()
