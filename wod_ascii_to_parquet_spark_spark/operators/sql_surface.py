@@ -470,3 +470,45 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sample(fraction=0.1, seed=42)
         .select("o_orderkey", "o_custkey")
     )
+
+
+@register(
+    "recursive_cte_hierarchy",
+    """
+    WITH RECURSIVE h(part, root, depth) AS (
+        SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey < 10
+        UNION ALL
+        SELECT c.p_partkey, h.root, h.depth + 1
+        FROM part c JOIN h ON h.part = c.p_partkey // 10
+        WHERE c.p_partkey >= 10
+    )
+    SELECT part, root, CAST(depth AS INT) AS depth FROM h
+    """,
+    tags=("subquery",),
+)
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI recursive CTE (Spark 4's WITH RECURSIVE): walk the implicit
+    part hierarchy parent(p) = p div 10 from the ten roots down, emitting
+    every part's root and depth — the bill-of-materials / org-chart shape
+    that needed an iterative driver loop (the connected-components
+    pattern) before recursive CTEs landed in the engine.
+
+    Execution: each recursion level is one join of the frontier against
+    the part scan — the same per-round shuffle shape as the hand-rolled
+    loop in ``dedup_cluster_assign``, but planned and iterated entirely
+    inside the engine (bounded by spark.sql.cteRecursionLevelLimit; depth
+    here is 4). The oracle runs the identical statement in DuckDB
+    (integer division spelled ``//`` there, ``DIV`` here)."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("__part_rc")
+    return spark.sql(
+        """
+        WITH RECURSIVE h(part, root, depth) AS (
+            SELECT p_partkey, p_partkey, 0 FROM __part_rc WHERE p_partkey < 10
+            UNION ALL
+            SELECT c.p_partkey, h.root, h.depth + 1
+            FROM __part_rc c JOIN h ON h.part = c.p_partkey DIV 10
+            WHERE c.p_partkey >= 10
+        )
+        SELECT part, root, CAST(depth AS INT) AS depth FROM h
+        """
+    )
