@@ -1,6 +1,8 @@
 """Persisted IVFADC index: the stored build/probe split must return exactly
-what the live DuckDB-oracled one-shot query returns, and the bucketed index
-side of a cell equi-join must be Exchange-free."""
+what the live DuckDB-oracled one-shot query returns, fail fast on a torn
+index/codebook pair, serve externally-numbered query batches without the
+self-exclusion trap, and keep the bucketed index side of a cell equi-join
+Exchange-free."""
 
 from __future__ import annotations
 
@@ -23,8 +25,9 @@ TABLE = "test_ann_idx"
 def ann_index(spark):
     build_ann_index(spark, SF_DIR, table=TABLE, n_buckets=8)
     yield TABLE
-    spark.sql(f"DROP TABLE IF EXISTS {TABLE}")
-    spark.sql(f"DROP TABLE IF EXISTS {TABLE}__codebooks")
+    for t in (TABLE, f"{TABLE}__codebooks", "test_ann_idx2",
+              "test_ann_idx2__codebooks"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def _queries(spark):
@@ -39,30 +42,89 @@ def _queries(spark):
 def test_persisted_probe_matches_live_oracled_query(spark, ann_index):
     """probe(stored index) must equal the live similarity_ann_ivf_adc —
     the persisted path inherits the oracle's guarantee only through exact
-    agreement with the query the oracle checks."""
+    agreement with the query the oracle checks (queries are corpus
+    vectors here, so self-exclusion is on, matching the live query)."""
     live = (
         load_all_operators()["similarity_ann_ivf_adc"]
         .fn(spark, SF_DIR)
         .collect()
     )
     stored = probe_ann_index(
-        spark, _queries(spark), table=ann_index, nprobe=4, k=3
+        spark, _queries(spark), table=ann_index, nprobe=4, k=3,
+        exclude_self=True,
     ).collect()
     assert {tuple(r) for r in stored} == {tuple(r) for r in live}
     assert len(stored) == len(live)
 
 
+def test_external_query_numbering_keeps_all_candidates(spark, ann_index):
+    """External batches have their own qid numbering: with the default
+    exclude_self=False, renumbering the queries must not change which
+    neighbors are returned (the old unconditional vec_id != qid filter
+    silently dropped one legitimate candidate per colliding qid)."""
+    base = {
+        (r.qid, r.vec_id)
+        for r in probe_ann_index(
+            spark, _queries(spark), table=ann_index, k=3
+        ).collect()
+    }
+    shifted = _queries(spark).select(
+        (F.col("qid") + 100000).alias("qid"), "qemb"
+    )
+    got = {
+        (r.qid - 100000, r.vec_id)
+        for r in probe_ann_index(
+            spark, shifted, table=ann_index, k=3
+        ).collect()
+    }
+    assert got == base
+    # and each corpus-vector query's own vector survives as a candidate
+    assert all((q, q) in base for q in range(10))
+
+
 def test_index_schema_and_size(spark, ann_index):
-    """The stored index is (vec_id, cell, codes[8]) — 8 small ints of
-    payload per vector — plus a one-row codebook sidecar table."""
+    """The stored index is (vec_id, cell, codes[8], build_id) — 8 small
+    ints of payload per vector — plus a one-row codebook sidecar table
+    stamped with the same build_id."""
     idx = spark.table(ann_index)
-    assert set(idx.columns) == {"vec_id", "cell", "codes"}
+    assert set(idx.columns) == {"vec_id", "cell", "codes", "build_id"}
     n_corpus = load(spark, SF_DIR, "embeddings").count()
     assert idx.count() == n_corpus
     assert idx.filter(F.size("codes") != 8).count() == 0
     books = spark.table(f"{ann_index}__codebooks")
     assert books.count() == 1
-    assert set(books.columns) == {"__seeds", "__pq_seeds"}
+    assert set(books.columns) == {"__seeds", "__pq_seeds", "build_id"}
+    assert (
+        books.first()["build_id"] == idx.select("build_id").first()["build_id"]
+    )
+
+
+def test_probe_rejects_torn_index_codebook_pair(spark, ann_index):
+    """A crash between the codebook and index writes leaves a mismatched
+    pair; the probe must fail fast instead of ranking codes against a
+    stale codebook."""
+    build_ann_index(spark, SF_DIR, table="test_ann_idx2", n_buckets=8)
+    # splice index A with codebooks B (different build ids)
+    spark.table("test_ann_idx2__codebooks").write.mode(
+        "overwrite"
+    ).saveAsTable(f"{ann_index}__codebooks_torn")
+    try:
+        spark.sql(
+            f"ALTER TABLE {ann_index}__codebooks RENAME TO "
+            f"{ann_index}__codebooks_orig"
+        )
+        spark.sql(
+            f"ALTER TABLE {ann_index}__codebooks_torn RENAME TO "
+            f"{ann_index}__codebooks"
+        )
+        with pytest.raises(RuntimeError, match="different builds"):
+            probe_ann_index(spark, _queries(spark), table=ann_index)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ann_index}__codebooks")
+        spark.sql(
+            f"ALTER TABLE {ann_index}__codebooks_orig RENAME TO "
+            f"{ann_index}__codebooks"
+        )
 
 
 def test_index_side_of_cell_join_is_exchange_free(spark, ann_index):

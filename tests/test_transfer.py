@@ -182,6 +182,20 @@ def test_416_with_shrunken_object_restarts(server, tmp_path):
     assert open(dest, "rb").read() == SHORT_PAYLOAD
 
 
+def test_416_mismatch_on_final_attempt_returns_code(server, tmp_path):
+    """A 416 size-mismatch with no retries left is still a DEFINITE server
+    answer: return the code (no file), never raise through the CLI."""
+    _Handler.fail_first_n = 1
+    _Handler.swap_after_fail = (SHORT_PAYLOAD, '"v1"')
+    _Handler.ignore_if_range = True
+    dest = str(tmp_path / "file.bin")
+    # retries=1: attempt 0 fails mid-stream, attempt 1 hits 416-mismatch
+    code = http_download(f"{server}/file.bin", dest, retries=1, backoff=0.01)
+    assert code == 416
+    assert not os.path.exists(dest)
+    assert not os.path.exists(dest + ".part")
+
+
 def test_download_404_reports_code_and_writes_nothing(server, tmp_path):
     dest = str(tmp_path / "file.bin")
     code = http_download(f"{server}/missing", dest)

@@ -288,7 +288,15 @@ def _centroid_row(cents: DataFrame) -> DataFrame:
     """Fold (cell, cemb) centroids into ONE broadcastable row ``__cents``:
     array of struct(cell, cemb, bb) sorted by cell, with ``bb`` = ‖c‖²
     precomputed — the same one-row-quantizer discipline as the IVF/PQ
-    codebooks (operators/similarity.py)."""
+    codebooks (operators/similarity.py).
+
+    Deliberately parallel to ``similarity._seed_array``/``_ivf_assign``
+    rather than shared: k-means centroids are COMPUTED arrays (cell ids
+    from groupBy, L2 metric) while the similarity fold carries raw medoid
+    rows under the cosine-scaled metric and the oracle-visible plan
+    lessons (non-nullable key, strictly-monotone fold) documented there.
+    Any plan-shape fix landing in similarity.py should be mirrored
+    here — both sites carry this pointer."""
     arr = cents.select(F.struct("cell", "cemb").alias("s")).agg(
         F.sort_array(F.collect_list("s")).alias("__raw")
     )
@@ -354,6 +362,8 @@ def kmeans_lloyd(
     row and simply drop out of the fold, the standard Lloyd behavior.
     Verified against a numpy reference implementation in
     tests/test_consistency.py (assignment agreement + monotone WCSS)."""
+    if n_iter < 1:
+        raise ValueError(f"kmeans_lloyd needs n_iter >= 1, got {n_iter}")
     cents = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
     )

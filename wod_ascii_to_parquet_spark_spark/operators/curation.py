@@ -193,10 +193,15 @@ _MIX_PERMILLE = (("en", 400), ("de", 150), ("es", 150), ("fr", 150), ("zh", 150)
 
 def _domain_mix_sql() -> str:
     values = ", ".join(f"('{k}', {v})" for k, v in _MIX_PERMILLE)
+    # LEFT join from the WEIGHTS side: a configured domain absent from the
+    # corpus contributes count 0 → total 0 → empty result (the mixture is
+    # unsatisfiable without upsampling). An inner join would silently drop
+    # the domain from the min() and ship a WRONG mixture of the rest.
     return f"""
     WITH w AS (SELECT * FROM (VALUES {values}) AS t(domain, wm)),
-    c AS (SELECT lang AS domain, count(*) AS c FROM documents GROUP BY lang),
-    cw AS (SELECT c.domain, c.c, w.wm FROM c JOIN w USING (domain)),
+    cnt AS (SELECT lang AS domain, count(*) AS c FROM documents GROUP BY lang),
+    cw AS (SELECT w.domain, coalesce(cnt.c, 0) AS c, w.wm
+           FROM w LEFT JOIN cnt USING (domain)),
     t AS (SELECT min(CAST(floor(c * 1000.0 / wm) AS BIGINT)) AS total FROM cw),
     q AS (
         SELECT domain, CAST(floor(wm * total / 1000.0) AS BIGINT) AS quota
@@ -223,7 +228,9 @@ def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsampling — total = min over domains of floor(count/weight), quota_d =
     floor(weight_d × total) — selecting each domain's quota deterministically
     by Knuth-hash order (zero engine RNG, same sample from Spark, DuckDB, or
-    any re-run).
+    any re-run). A configured domain with ZERO corpus documents makes the
+    mixture unsatisfiable — the result is explicitly empty (total = 0),
+    never a silently re-normalized mixture of the remaining domains.
 
     Scale shape: the per-domain counts and quotas are a tiny aggregate
     (|domains| rows) broadcast back; the only corpus-sized work is one
@@ -236,15 +243,7 @@ def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.col("lang").alias("domain")
     )
-    wm = F.lit(None).cast("int")
-    for k, v in reversed(_MIX_PERMILLE):
-        wm = F.when(F.col("domain") == k, F.lit(v)).otherwise(wm)
-    cw = (
-        d.groupBy("domain")
-        .agg(F.count("*").alias("c"))
-        .withColumn("wm", wm)
-        .filter(F.col("wm").isNotNull())
-    )
+    cw = _mix_counts(spark, d)
     total = cw.agg(
         F.min(F.floor(F.col("c") * 1000.0 / F.col("wm"))).alias("total")
     )
@@ -264,19 +263,46 @@ def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mix_counts(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """(domain, c, wm) driven from the WEIGHTS side (left join + coalesce
+    0), so a configured domain absent from the corpus keeps its row with
+    count 0 — making the mixture explicitly unsatisfiable (total = 0)
+    instead of silently re-normalizing over the surviving domains."""
+    weights = spark.createDataFrame(
+        list(_MIX_PERMILLE), "domain string, wm int"
+    )
+    counts = d.groupBy("domain").agg(F.count("*").alias("c"))
+    return weights.join(counts, "domain", "left").select(
+        "domain", F.coalesce(F.col("c"), F.lit(0)).alias("c"), "wm"
+    )
+
+
 def _domain_mix_threshold_sql() -> str:
     values = ", ".join(f"('{k}', {v})" for k, v in _MIX_PERMILLE)
+    # threshold in DOUBLE: quota/c ∈ [0,1], then × 2³² — an integer
+    # quota*2³² wraps BIGINT once quota > 2³¹ (≈2.1e9 docs — real at the
+    # scale this arm exists for); both engines run the identical IEEE
+    # double expression, so the result stays bit-equal cross-engine.
+    # CASE guards the empty-domain row (c = 0 → threshold 0, keep none).
     return f"""
     WITH w AS (SELECT * FROM (VALUES {values}) AS t(domain, wm)),
-    c AS (SELECT lang AS domain, count(*) AS c FROM documents GROUP BY lang),
-    cw AS (SELECT c.domain, c.c, w.wm FROM c JOIN w USING (domain)),
+    cnt AS (SELECT lang AS domain, count(*) AS c FROM documents GROUP BY lang),
+    cw AS (SELECT w.domain, coalesce(cnt.c, 0) AS c, w.wm
+           FROM w LEFT JOIN cnt USING (domain)),
     t AS (SELECT min(CAST(floor(c * 1000.0 / wm) AS BIGINT)) AS total FROM cw),
     q AS (
         SELECT domain, c,
                CAST(floor(wm * total / 1000.0) AS BIGINT) AS quota
         FROM cw, t
     ),
-    thr AS (SELECT domain, quota * {_MOD} // c AS threshold FROM q)
+    thr AS (
+        SELECT domain,
+               CASE WHEN c = 0 THEN 0
+                    ELSE CAST(floor(quota / CAST(c AS DOUBLE)
+                                    * {float(_MOD)}) AS BIGINT)
+               END AS threshold
+        FROM q
+    )
     SELECT d.lang AS domain, d.doc_id
     FROM documents d JOIN thr ON thr.domain = d.lang
     WHERE (d.doc_id * {_KNUTH}) % {_MOD} < thr.threshold
@@ -306,23 +332,24 @@ def curation_domain_mix_threshold(spark: SparkSession, sf_dir: str) -> DataFrame
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.col("lang").alias("domain")
     )
-    wm = F.lit(None).cast("int")
-    for k, v in reversed(_MIX_PERMILLE):
-        wm = F.when(F.col("domain") == k, F.lit(v)).otherwise(wm)
-    cw = (
-        d.groupBy("domain")
-        .agg(F.count("*").alias("c"))
-        .withColumn("wm", wm)
-        .filter(F.col("wm").isNotNull())
-    )
+    cw = _mix_counts(spark, d)
     total = cw.agg(
         F.min(F.floor(F.col("c") * 1000.0 / F.col("wm"))).alias("total")
     )
+    # threshold via double division (quota/c ≤ 1, then × 2³²): an integer
+    # quota*2³² wraps BIGINT past quota = 2³¹ — real at 100 TB. Identical
+    # IEEE expression in the oracle keeps it bit-equal cross-engine.
     thresholds = cw.crossJoin(F.broadcast(total)).select(
         "domain",
-        F.expr(
-            f"floor(wm * total / 1000.0) * {_MOD} DIV c"
-        ).alias("threshold"),
+        F.when(F.col("c") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.floor(
+                F.floor(F.col("wm") * F.col("total") / 1000.0)
+                / F.col("c").cast("double")
+                * F.lit(float(_MOD))
+            )
+        )
+        .alias("threshold"),
     )
     h = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_MOD)
     return (

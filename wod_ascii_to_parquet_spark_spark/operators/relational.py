@@ -322,7 +322,7 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey,
                CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS v
         FROM orders
-    ) ORDER BY v DESC NULLS FIRST, o_orderkey LIMIT 3000
+    ) ORDER BY v DESC NULLS FIRST, o_orderkey LIMIT 300
     """,
     tags=("sort",),
 )
@@ -330,10 +330,13 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit null placement in ORDER BY — a cross-engine semantics pin:
     Spark's default puts NULLs FIRST on ascending (last on descending),
     DuckDB's default is the opposite (NULLS LAST ascending), so any query
-    relying on the default silently reorders between engines. The LIMIT
-    straddles the null/non-null boundary, so the surviving ROW SET (which
-    the order-insensitive driver hash does see) proves the placement, not
-    just the ordering."""
+    relying on the default silently reorders between engines. LIMIT 300
+    stays below the null count at EVERY test SF (~1/7 of orders: ~214 at
+    sf0.001, ~2,143 at sf0.01), so an engine placing nulls last would
+    return a disjoint, non-null row set — the order-insensitive driver
+    hash sees the placement through the surviving ROWS, not the order. A
+    limit above the table size would make the pin vacuous (every row
+    survives either way)."""
     o = load(spark, sf_dir, "orders")
     v = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
         F.col("o_totalprice")
@@ -341,7 +344,7 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.select("o_orderkey", v.alias("v"))
         .orderBy(F.col("v").desc_nulls_first(), F.col("o_orderkey").asc())
-        .limit(3000)
+        .limit(300)
     )
 
 

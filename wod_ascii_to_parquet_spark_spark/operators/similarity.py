@@ -171,7 +171,9 @@ def _seed_array(seeds: DataFrame) -> DataFrame:
     product per cell. Build this ONCE per query and pass the same DataFrame
     to both ``_ivf_assign`` and ``_ivf_probes`` — identical subtrees, so the
     16-row fold is built and broadcast a single time (ReuseExchange,
-    asserted in tests/test_plans.py)."""
+    asserted in tests/test_plans.py). ``corpus._centroid_row`` mirrors
+    this fold for k-means (L2 metric, computed centroids) — plan-shape
+    fixes here should be mirrored there."""
     arr = seeds.select(F.struct("cell", "cemb").alias("s")).agg(
         F.sort_array(F.collect_list("s")).alias("__raw")
     )
@@ -899,6 +901,68 @@ def _ivf_adc_sql() -> str:
     )
 
 
+def _pq_codes_col() -> "F.Column":
+    """``array<int>`` of the m=8 PQ codes for ``F.col('emb')`` against the
+    broadcast ``__seeds`` codebook — the stored-index payload. Shared by
+    the one-shot IVFADC query and ``plans/ann_index.py`` so the code
+    layout can never drift between the oracled query and the persisted
+    path."""
+    return F.array(
+        *[_pq_code(s, F.col("emb")).cast("int") for s in range(_PQ_M)]
+    )
+
+
+def _pq_qtabs_col() -> "F.Column":
+    """Per-query distance tables (m=8 × k=16 doubles) for ``F.col('qemb')``
+    against the broadcast ``__seeds`` codebook."""
+
+    def _qtab(lo: int):
+        qsub = F.slice(F.col("qemb"), lo, _PQ_SUBDIM)
+        return F.transform(
+            F.col("__seeds"),
+            lambda c: _l2(qsub, F.slice(c["cemb"], lo, _PQ_SUBDIM)),
+        )
+
+    return F.array(*[_qtab(s * _PQ_SUBDIM + 1) for s in range(_PQ_M)])
+
+
+def _adc_topk(
+    index_df: DataFrame,
+    probes: DataFrame,
+    qtabs: DataFrame,
+    k: int,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ADC ranking block shared by the oracled one-shot query and the
+    persisted-index probe: candidates = index ⋈ broadcast probes on cell,
+    distance = the FIXED s=0..7 table-lookup sum (fp addition order is
+    load-bearing for the DuckDB oracle — do not reorder), top-``k`` per
+    query by (adc, vec_id). ``exclude_self`` drops index rows whose
+    vec_id equals the qid — correct ONLY when the queries are corpus
+    vectors (self-match removal); external query batches must pass False
+    or a legitimate neighbor that happens to share the numbering is
+    silently lost."""
+    from pyspark.sql import Window as W
+
+    adc = None
+    for s in range(_PQ_M):
+        qtab = F.element_at(F.col("__qtabs"), s + 1)
+        # position == centroid id — _pq_codebook asserts contiguity
+        term = F.element_at(qtab, F.element_at(F.col("codes"), s + 1) + 1)
+        adc = term if adc is None else adc + term
+    cand = index_df.join(F.broadcast(probes), "cell")
+    if exclude_self:
+        cand = cand.filter(F.col("vec_id") != F.col("qid"))
+    w = W.partitionBy("qid").orderBy(F.asc("__adc"), F.asc("vec_id"))
+    return (
+        cand.join(F.broadcast(qtabs), "qid")
+        .select("qid", "vec_id", adc.alias("__adc"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", F.round(F.col("__adc"), 6).alias("adc_dist"))
+    )
+
+
 @register("similarity_ann_ivf_adc", _ivf_adc_sql(), tags=("similarity",))
 def similarity_ann_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC — the full FAISS-deployment shape (Jégou et al., TPAMI'11)
@@ -931,8 +995,6 @@ def similarity_ann_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled Python-side) + codegen compile of the resulting plan;
     per-row execution is 8 dim-8 dots + 1 dim-64 argmax. The constant
     amortizes to zero at any real corpus size."""
-    from pyspark.sql import Window as W
-
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -945,48 +1007,14 @@ def similarity_ann_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded = (
         _ivf_assign(e, seed_arr)
         .crossJoin(F.broadcast(cb))
-        .select(
-            "vec_id",
-            "cell",
-            F.array(
-                *[
-                    _pq_code(s, F.col("emb")).cast("int")
-                    for s in range(_PQ_M)
-                ]
-            ).alias("codes"),
-        )
+        .select("vec_id", "cell", _pq_codes_col().alias("codes"))
     )
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
     )
     probes = _ivf_probes(q, seed_arr, nprobe=4).select("qid", "cell")
-
-    def _qtab(lo: int):
-        qsub = F.slice(F.col("qemb"), lo, _PQ_SUBDIM)
-        return F.transform(
-            F.col("__seeds"),
-            lambda c: _l2(qsub, F.slice(c["cemb"], lo, _PQ_SUBDIM)),
-        )
-
     qtabs = q.crossJoin(F.broadcast(cb)).select(
-        "qid",
-        F.array(
-            *[_qtab(s * _PQ_SUBDIM + 1) for s in range(_PQ_M)]
-        ).alias("__qtabs"),
+        "qid", _pq_qtabs_col().alias("__qtabs")
     )
-    adc = None
-    for s in range(_PQ_M):
-        qtab = F.element_at(F.col("__qtabs"), s + 1)
-        # position == centroid id — _pq_codebook asserts contiguity
-        term = F.element_at(qtab, F.element_at(F.col("codes"), s + 1) + 1)
-        adc = term if adc is None else adc + term
-    w = W.partitionBy("qid").orderBy(F.asc("__adc"), F.asc("vec_id"))
-    return (
-        encoded.join(F.broadcast(probes), "cell")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .join(F.broadcast(qtabs), "qid")
-        .select("qid", "vec_id", adc.alias("__adc"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("qid", "vec_id", F.round(F.col("__adc"), 6).alias("adc_dist"))
-    )
+    # queries ARE corpus vectors here → exclude the self-match
+    return _adc_topk(encoded, probes, qtabs, k=3, exclude_self=True)

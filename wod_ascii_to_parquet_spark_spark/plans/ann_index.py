@@ -19,31 +19,37 @@ index. This module is that split:
   codebook row, broadcast probe join for small batches. Returns exactly
   what the live one-shot query returns (equality asserted in
   tests/test_ann_index.py — the persisted path must not drift from the
-  DuckDB-oracled one).
+  DuckDB-oracled one; the expression-level pieces are SHARED with the
+  live query via ``_pq_codes_col``/``_pq_qtabs_col``/``_adc_topk``, so
+  drift is structurally impossible).
 
 The codebooks (IVF quantizer + PQ codebook, both one broadcast row) are
 stored alongside the codes so probes never touch the embeddings table.
+Index and codebooks are two tables (two non-atomic writes), so both carry
+a shared ``build_id``; the probe fails fast on a mismatched pair (a crash
+between the writes) instead of silently ranking codes against a stale
+codebook.
 """
 
 from __future__ import annotations
+
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import (
-    _PQ_M,
-    _PQ_SUBDIM,
+    _adc_topk,
     _ivf_assign,
     _ivf_probes,
-    _l2,
-    _pq_code,
     _pq_codebook,
+    _pq_codes_col,
+    _pq_qtabs_col,
     _seed_array,
 )
 from ..registry import load
 
 INDEX_TABLE = "ann_ivfadc_index"
-CODEBOOK_TABLE = "ann_ivfadc_codebooks"
 
 
 def build_ann_index(
@@ -51,10 +57,15 @@ def build_ann_index(
     sf_dir: str,
     table: str = INDEX_TABLE,
     n_buckets: int = 8,
-) -> None:
-    """One map-only corpus pass → ``(vec_id, cell, codes)`` persisted as a
-    parquet table bucketed+sorted by ``cell``, plus the two codebook rows
-    (IVF quantizer seeds, PQ codebook) in a one-row sidecar table."""
+) -> str:
+    """One map-only corpus pass → ``(vec_id, cell, codes, build_id)``
+    persisted as a parquet table bucketed+sorted by ``cell``, plus the two
+    codebook rows (IVF quantizer seeds, PQ codebook) in a one-row
+    ``<table>__codebooks`` sidecar table. Returns the ``build_id`` stamped
+    into both tables — the pair-consistency token ``probe_ann_index``
+    checks (the two writes are not atomic together; the id turns a crash
+    window into a fast failure instead of silently wrong neighbors)."""
+    build_id = uuid.uuid4().hex
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -69,10 +80,20 @@ def build_ann_index(
         .select(
             "vec_id",
             "cell",
-            F.array(
-                *[_pq_code(s, F.col("emb")).cast("int") for s in range(_PQ_M)]
-            ).alias("codes"),
+            _pq_codes_col().alias("codes"),
+            F.lit(build_id).alias("build_id"),
         )
+    )
+    # Codebooks FIRST: a crash before the index write leaves the old
+    # index + new codebooks — caught by the build_id check, same as the
+    # reverse order, but the index (the big table) is then never the
+    # stale half of a torn pair.
+    (
+        seed_arr.crossJoin(cb.withColumnRenamed("__seeds", "__pq_seeds"))
+        .withColumn("build_id", F.lit(build_id))
+        .write.format("parquet")
+        .mode("overwrite")
+        .saveAsTable(f"{table}__codebooks")
     )
     (
         encoded.write.bucketBy(n_buckets, "cell")
@@ -81,14 +102,7 @@ def build_ann_index(
         .mode("overwrite")
         .saveAsTable(table)
     )
-    # Codebooks: one row carrying both broadcast arrays — tiny, rewritten
-    # atomically with the index so probes always see a matching pair.
-    (
-        seed_arr.crossJoin(cb.withColumnRenamed("__seeds", "__pq_seeds"))
-        .write.format("parquet")
-        .mode("overwrite")
-        .saveAsTable(f"{table}__codebooks")
-    )
+    return build_id
 
 
 def probe_ann_index(
@@ -97,48 +111,47 @@ def probe_ann_index(
     table: str = INDEX_TABLE,
     nprobe: int = 4,
     k: int = 3,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """ADC top-``k`` per query against the persisted index: per-query
     distance tables against the stored PQ codebook (broadcast), probes via
     the stored IVF quantizer, candidates from the index table — the corpus
     embeddings are never read. ``queries`` must have columns
-    ``(qid, qemb: array<double>)``."""
-    from pyspark.sql import Window as W
+    ``(qid, qemb: array<double>)``.
 
+    ``exclude_self`` defaults to False: external query batches have their
+    own qid numbering, and dropping index rows with ``vec_id == qid``
+    would silently discard a legitimate neighbor. Pass True only when the
+    queries ARE corpus vectors (self-match removal — what the one-shot
+    ``similarity_ann_ivf_adc`` does)."""
     books = spark.table(f"{table}__codebooks")
+    index = spark.table(table)
+    # fail fast on a torn index/codebook pair (crash between the writes)
+    pair = (
+        index.select("build_id")
+        .limit(1)
+        .crossJoin(books.select(F.col("build_id").alias("cb_build_id")))
+        .first()
+    )
+    if pair is not None and pair["build_id"] != pair["cb_build_id"]:
+        raise RuntimeError(
+            f"ANN index '{table}' and its codebooks are from different "
+            f"builds ({pair['build_id']} vs {pair['cb_build_id']}); "
+            "re-run build_ann_index"
+        )
     ivf_row = books.select("__seeds")
     pq_row = books.select(F.col("__pq_seeds").alias("__seeds"))
 
     probes = _ivf_probes(
         queries.select("qid", "qemb"), ivf_row, nprobe=nprobe
     ).select("qid", "cell")
-
-    def _qtab(lo: int):
-        qsub = F.slice(F.col("qemb"), lo, _PQ_SUBDIM)
-        return F.transform(
-            F.col("__seeds"),
-            lambda c: _l2(qsub, F.slice(c["cemb"], lo, _PQ_SUBDIM)),
-        )
-
     qtabs = queries.crossJoin(F.broadcast(pq_row)).select(
-        "qid",
-        F.array(
-            *[_qtab(s * _PQ_SUBDIM + 1) for s in range(_PQ_M)]
-        ).alias("__qtabs"),
+        "qid", _pq_qtabs_col().alias("__qtabs")
     )
-    adc = None
-    for s in range(_PQ_M):
-        qtab = F.element_at(F.col("__qtabs"), s + 1)
-        term = F.element_at(qtab, F.element_at(F.col("codes"), s + 1) + 1)
-        adc = term if adc is None else adc + term
-    w = W.partitionBy("qid").orderBy(F.asc("__adc"), F.asc("vec_id"))
-    return (
-        spark.table(table)
-        .join(F.broadcast(probes), "cell")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .join(F.broadcast(qtabs), "qid")
-        .select("qid", "vec_id", adc.alias("__adc"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("qid", "vec_id", F.round(F.col("__adc"), 6).alias("adc_dist"))
+    return _adc_topk(
+        index.select("vec_id", "cell", "codes"),
+        probes,
+        qtabs,
+        k=k,
+        exclude_self=exclude_self,
     )

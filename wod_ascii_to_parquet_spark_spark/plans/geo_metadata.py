@@ -139,7 +139,16 @@ def attach_geo_footer(fs, out_dir: str, max_workers: int = 16, spark=None) -> in
     ``os.replace``; remote writes go to a sibling temp object that is
     renamed into place, with a recovery pre-pass that promotes or drops
     leftover temps — so a crash at any point never leaves a torn data
-    file and re-running the attach always heals."""
+    file and re-running the attach always heals.
+
+    Remote-branch cost note: crash-safety makes it 3 gateway-serialized
+    py4j calls per file (write temp / delete / rename) instead of 1 —
+    the thread pool cannot parallelize the single py4j gateway, so for
+    LARGE remote file counts this path should be replaced by the same
+    Spark-job shape as the local branch, with executors resolving the
+    filesystem via ``pyarrow.fs.FileSystem.from_uri`` (no py4j on
+    executors); kept driver-side here because no remote scheme exists in
+    this environment to validate that path against."""
     from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow as pa

@@ -141,7 +141,11 @@ def http_download(
                 os.remove(part)
                 validator = None
                 last_exc = e
-                continue  # restart from zero on the next attempt
+                if attempt < retries:
+                    continue  # restart from zero on the next attempt
+                # retries exhausted on a DEFINITE server answer: keep the
+                # "non-2xx → return the code" contract (no file written)
+                return e.code
             if os.path.exists(part):
                 os.remove(part)
             return e.code
