@@ -384,3 +384,30 @@ def stream_static_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "stream_custom_stateful",
+    """
+    SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming",),
+)
+def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (``applyInPandasWithState`` — the
+    escape hatch for state machines the built-in windows/dedup cannot
+    express) run through a REAL streaming query, FULLY ORACLED: the
+    single-file source processes in exactly one micro-batch (no trigger
+    cap), so update mode emits exactly one row per user carrying the
+    final state — which must equal the batch per-user aggregate. A
+    multi-batch replay would emit intermediate updates too; the one-batch
+    construction is what makes the state machine's END state a closed-form
+    SQL fact (the per-batch update path itself is exercised with
+    maxFilesPerTrigger=1 in tests/test_streaming.py)."""
+    from .jobs import read_event_stream, run_to_memory, stateful_user_totals
+
+    ev = read_event_stream(spark, sf_dir, path_glob="events.parquet")
+    return run_to_memory(
+        stateful_user_totals(ev), "stream_custom_stateful_sink", "update"
+    )
