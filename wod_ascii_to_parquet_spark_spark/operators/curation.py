@@ -413,3 +413,54 @@ def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("g").alias("n_contaminated"))
     )
+
+
+_QSCORE_SQL = (
+    "round(len(list_filter(string_split(text, ' '), "
+    "t -> list_contains(['the','a','of','and','to'], t)))::DOUBLE "
+    "/ len(string_split(text, ' ')), 6)"
+)
+
+
+@register(
+    "curation_quality_gate",
+    f"""
+    SELECT lang, doc_id, score FROM (
+        SELECT lang, doc_id, {_QSCORE_SQL} AS score,
+               percent_rank() OVER (
+                   PARTITION BY lang ORDER BY {_QSCORE_SQL}, doc_id
+               ) AS pr
+        FROM documents
+    ) WHERE pr >= 0.2
+    """,
+    tags=("curation", "text"),
+)
+def curation_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile quality gate: drop the bottom 20% of documents per
+    language by quality score (stopword ratio — the cheap fluency proxy
+    from ``text_quality``). Absolute thresholds are wrong across
+    languages and crawls; real pipelines gate on the per-stratum score
+    DISTRIBUTION, which is exactly a percent_rank window per language.
+    Deterministic: the rank orders by (rounded score, doc_id), so ties
+    cut identically in both engines. At 100 TB the exact window becomes
+    a two-pass approx-quantile cutoff (percentile_approx per stratum,
+    broadcast the thresholds, map-only filter) — the same
+    exact-as-oracle / approx-at-scale pairing as the domain-mix arms."""
+    from pyspark.sql import Window as W
+
+    from .text import STOPWORDS, _nhits
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    score = F.round(
+        _nhits(toks, STOPWORDS["en"]).cast("double")
+        / F.size(toks).cast("double"),
+        6,
+    )
+    w = W.partitionBy("lang").orderBy(F.col("score").asc(), F.col("doc_id").asc())
+    return (
+        d.select("lang", "doc_id", score.alias("score"))
+        .withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.2)
+        .select("lang", "doc_id", "score")
+    )

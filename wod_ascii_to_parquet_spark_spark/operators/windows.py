@@ -288,3 +288,65 @@ def window_percentile_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "window_gaps_islands",
+    """
+    WITH g AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                      OR ts > lag(ts) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id)
+                           + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sess_no
+        FROM g
+    )
+    SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+           count(*) AS n_events, min(ts) AS sess_start, max(ts) AS sess_end
+    FROM s GROUP BY user_id, sess_no
+    """,
+    tags=("window",),
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization in batch: lag detects a >30-minute
+    gap, a running sum of gap flags numbers the sessions, then one
+    aggregate per (user, session). The classic two-window SQL pattern —
+    same semantics as ``session_window`` but expressible in any engine,
+    and the formulation used to BACKFILL history for a streaming session
+    pipeline. Tie-broken by event_id so equal timestamps order
+    identically in both engines; the gap is pure interval arithmetic
+    (``prev + INTERVAL 30 MINUTE < ts``), valid on ntz timestamps with
+    full microsecond precision — no epoch truncation. One shuffle on
+    user_id shared by both windows and the final aggregate."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w_ord)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTE")),
+        1,
+    ).otherwise(0)
+    sess_no = F.sum("new_sess").over(
+        w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        e.select("user_id", "event_id", "ts", new_sess.alias("new_sess"))
+        .withColumn("sess_no", sess_no)
+        .groupBy("user_id", "sess_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("sess_start"),
+            F.max("ts").alias("sess_end"),
+        )
+    )
