@@ -237,3 +237,47 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("int").alias("k_value"),
         F.when(parsed.isNotNull(), 1).otherwise(0).alias("is_valid"),
     )
+
+
+@register(
+    "map_funcs2",
+    """
+    SELECT l_orderkey, l_linenumber, key, round(val, 2) AS value FROM (
+        SELECT l_orderkey, l_linenumber, u.key AS key, u.val AS val
+        FROM lineitem, UNNEST([
+            {'key': 'price', 'val': l_extendedprice + 0.0},
+            {'key': 'qty',   'val': l_quantity + l_quantity * 2},
+            {'key': 'tax',   'val': 0.0 + l_tax}
+        ]) AS t(u)
+    ) WHERE val > 5
+    """,
+    tags=("scalar",),
+)
+def map_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map HIGHER-ORDER functions — the surface ``map_funcs`` (create/
+    keys/element_at) doesn't reach: ``map_zip_with`` merges two maps with
+    per-key logic (missing keys coalesce to 0), ``map_filter`` prunes
+    entries by value, ``transform_values`` rewrites in place; the result
+    explodes to (key, value) rows. The oracle has no map-lambda surface,
+    so it enumerates the same three key slots as struct literals and
+    applies the identical filter/round chain — same values, engine-
+    neutral shape. All JVM-side Catalyst lambdas, map-only."""
+    li = load(spark, sf_dir, "lineitem")
+    m1 = F.create_map(
+        F.lit("price"), F.col("l_extendedprice"),
+        F.lit("qty"), F.col("l_quantity"),
+    )
+    m2 = F.create_map(
+        F.lit("qty"), F.col("l_quantity") * 2,
+        F.lit("tax"), F.col("l_tax"),
+    )
+    zipped = F.map_zip_with(
+        m1,
+        m2,
+        lambda k, a, b: F.coalesce(a, F.lit(0.0)) + F.coalesce(b, F.lit(0.0)),
+    )
+    filtered = F.map_filter(zipped, lambda k, v: v > 5.0)
+    rounded = F.transform_values(filtered, lambda k, v: F.round(v, 2))
+    return li.select(
+        "l_orderkey", "l_linenumber", F.explode(rounded).alias("key", "value")
+    )
