@@ -281,3 +281,33 @@ def map_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey", "l_linenumber", F.explode(rounded).alias("key", "value")
     )
+
+
+@register(
+    "variant_funcs",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+           CAST(NULL AS INT) AS missing_val,
+           'OBJECT<k: BIGINT>' AS vschema
+    FROM events
+    """,
+    tags=("scalar",),
+)
+def variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT — the open-format semi-structured type that
+    replaces string-JSON hot paths (binary-encoded, ~8× faster repeated
+    path access than get_json_object re-parsing): ``parse_json`` ingests,
+    ``variant_get`` extracts typed paths, ``try_variant_get`` yields null
+    on absent paths instead of erroring, ``schema_of_variant`` reports
+    the inferred shape. The oracle reads the same answers off DuckDB's
+    JSON functions (the inferred schema is a constant on this fixture —
+    every props row is ``{"k": <int>}``)."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_value"),
+        F.try_variant_get(v, "$.missing", "int").alias("missing_val"),
+        F.schema_of_variant(v).alias("vschema"),
+    )
