@@ -512,3 +512,31 @@ def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT part, root, CAST(depth AS INT) AS depth FROM h
         """
     )
+
+
+@register(
+    "subquery_correlated_scalar",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem l1
+    WHERE l_quantity = (SELECT min(l_quantity) FROM lineitem l2
+                        WHERE l2.l_orderkey = l1.l_orderkey)
+    """,
+    tags=("subquery",),
+)
+def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED scalar aggregate subquery (the Q2/Q17 pattern): each
+    outer row compares against an aggregate over its own group. Catalyst
+    de-correlates it into an aggregate + join on the correlation key —
+    i.e. the rewrite a user would hand-write (groupBy + min + equi-join)
+    happens inside the optimizer; at scale the de-correlated plan is one
+    extra fact-keyed aggregation, never a per-row subquery execution."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("__li_cs")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM __li_cs l1
+        WHERE l_quantity = (SELECT min(l_quantity) FROM __li_cs l2
+                            WHERE l2.l_orderkey = l1.l_orderkey)
+        """
+    )

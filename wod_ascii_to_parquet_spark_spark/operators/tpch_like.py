@@ -236,3 +236,77 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey AND o.o_orderstatus <> 'F'
+        GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+    tags=("tpch",),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: distribution of order counts per customer — the
+    double-aggregation pattern whose left join must PRESERVE zero-order
+    customers (an inner join silently loses the c_count=0 bucket, the
+    classic Q13 bug). The join filter rides in the JOIN condition, not a
+    WHERE (which would also turn the outer join inner). First aggregate
+    is per-customer (fact-sized shuffle), second is over the tiny
+    (count → customers) histogram."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    return (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "q22_sales_opportunity",
+    """
+    SELECT c_mktsegment, count(*) AS n_custs,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000.0)
+    GROUP BY c_mktsegment
+    """,
+    tags=("tpch",),
+)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: above-average-balance customers with no HIGH-VALUE
+    order (every synthetic customer has ordered, so the gate is priced to
+    discriminate), per segment — an uncorrelated scalar subquery
+    (evaluated once, broadcast into the scan filter) composed with a NOT
+    EXISTS anti-join, then a small aggregate. The anti-join build side is
+    just the distinct custkeys of qualifying orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000.0
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("a"))
+        .first()["a"]
+    )
+    return (
+        c.filter(F.col("c_acctbal") > avg_bal)
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
