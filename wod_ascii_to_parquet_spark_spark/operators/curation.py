@@ -464,3 +464,49 @@ def curation_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pr") >= 0.2)
         .select("lang", "doc_id", "score")
     )
+
+
+N_SHUFFLE_SHARDS = 8
+
+
+@register(
+    "curation_global_shuffle",
+    f"""
+    SELECT doc_id, shard,
+           row_number() OVER (
+               PARTITION BY shard ORDER BY h, doc_id
+           ) - 1 AS pos
+    FROM (
+        SELECT doc_id,
+               (doc_id * {_KNUTH}) % {_MOD} AS h,
+               ((doc_id * {_KNUTH}) % {_MOD}) % {N_SHUFFLE_SHARDS} AS shard
+        FROM documents
+    )
+    """,
+    tags=("curation",),
+)
+def curation_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GLOBAL shuffle into training shards — the step every
+    pipeline runs before packing: documents land in doc_id (≈ crawl)
+    order, and training wants decorrelated reads, so each document gets a
+    shard (hash mod N) and a position (hash order within the shard). Zero
+    engine RNG: the same Knuth multiplicative hash as the samplers, so
+    the epoch-0 data order is reproducible from the constant alone. Scale
+    shape: one hash shuffle on shard + per-shard sort — shards are the
+    parallel unit (writers, loaders), and re-sharding for a different N
+    is the same map-only hash. Feed the output order into
+    ``curation_pack_sequences`` for shuffled context-window packing."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_MOD)
+    w = W.partitionBy("shard").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return (
+        d.select(
+            "doc_id",
+            h.alias("h"),
+            (h % F.lit(N_SHUFFLE_SHARDS)).alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .select("doc_id", "shard", "pos")
+    )
