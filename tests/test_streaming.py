@@ -224,3 +224,54 @@ def test_stream_stream_interval_join(spark, tmp_path):
         for r in interval_join(batch_side(views_dir), batch_side(buys_dir)).collect()
     }
     assert batch == streamed
+
+
+def test_foreach_batch_upsert_last_writer_wins(spark, tmp_path):
+    """foreachBatch CDC apply: two one-file micro-batches upsert into a
+    parquet target; keys present in both batches must carry the LATER
+    batch's values, and the crash-recovery pre-pass must restore a target
+    renamed aside mid-swap."""
+    from wod_ascii_to_parquet_spark_spark.streaming.jobs import (
+        run_foreach_batch_upsert,
+    )
+
+    indir = str(tmp_path / "in")
+    os.makedirs(indir)
+    target = str(tmp_path / "target")
+    f1 = os.path.join(indir, "b1.parquet")
+    f2 = os.path.join(indir, "b2.parquet")
+    pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}).to_parquet(f1)
+    pd.DataFrame({"k": [2, 3], "v": ["c", "d"]}).to_parquet(f2)
+    now = time.time()
+    os.utime(f1, (now - 120, now - 120))  # discovery order: f1 then f2
+    os.utime(f2, (now - 60, now - 60))
+
+    stream = (
+        spark.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    run_foreach_batch_upsert(
+        stream, target, str(tmp_path / "ckpt"), key="k"
+    )
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a", 2: "c", 3: "d"}
+
+    # crash simulation: target renamed aside (mid-swap state), then a new
+    # batch arrives — the pre-pass must restore __old before upserting
+    os.rename(target, target + "__old")
+    f3 = os.path.join(indir, "b3.parquet")
+    pd.DataFrame({"k": [1, 4], "v": ["z", "e"]}).to_parquet(f3)
+    os.utime(f3, (now, now))
+    stream2 = (
+        spark.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    run_foreach_batch_upsert(
+        stream2, target, str(tmp_path / "ckpt"), key="k"
+    )
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got == {1: "z", 2: "c", 3: "d", 4: "e"}
+    assert not os.path.exists(target + "__old")
+    assert not os.path.exists(target + "__new")

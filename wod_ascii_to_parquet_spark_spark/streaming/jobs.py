@@ -213,3 +213,54 @@ def run_to_files(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def run_foreach_batch_upsert(
+    stream_df: DataFrame, target_dir: str, checkpoint_dir: str, key: str
+):
+    """Streaming CDC apply — the standard ``foreachBatch`` deployment:
+    each micro-batch UPSERTS into a parquet target (anti-join the target
+    on the batch's keys ∪ the batch — the ``merge_upsert`` emulation;
+    with Delta on the classpath the body becomes one MERGE INTO).
+
+    Exactly-once composition: the checkpoint makes batch ids stable, and
+    the upsert is idempotent per batch (same keys → same rows), so a
+    replayed batch converges. The target swap is crash-safe without a
+    table format: write ``__new`` → rename target aside to ``__old`` →
+    promote ``__new`` → drop ``__old``, with a recovery pre-pass that
+    restores ``__old`` if a crash left no live target — every
+    intermediate state heals on the next batch."""
+    from ..sources.filesystem import FsClient
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        fs = FsClient(sp)
+        new, old = target_dir + "__new", target_dir + "__old"
+        # recovery pre-pass (see docstring): restore or discard leftovers
+        if not fs.exists(target_dir) and fs.exists(old):
+            fs.rename(old, target_dir)
+        elif fs.exists(target_dir) and fs.exists(old):
+            fs.delete(old)
+        if fs.exists(target_dir):
+            target = sp.read.parquet(target_dir)
+            unchanged = target.join(
+                batch_df.select(key).distinct(), key, "left_anti"
+            )
+            result = unchanged.unionByName(batch_df)
+        else:
+            result = batch_df
+        result.write.mode("overwrite").parquet(new)
+        if fs.exists(target_dir):
+            fs.rename(target_dir, old)
+        fs.rename(new, target_dir)
+        fs.delete(old)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
