@@ -73,3 +73,28 @@ def test_partition_pruning(spark, orders, tmp_path):
 def test_lakehouse_gate_raises_cleanly(spark, tmp_path):
     with pytest.raises(LakehouseUnavailable, match="Delta Lake"):
         read_delta(spark, str(tmp_path))
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    """Schema evolution across parquet batches — the 100 TB lake reality:
+    later writers add columns. ``mergeSchema`` must unify the footers
+    (old rows read the new column as NULL); the narrow single-footer
+    default is what makes the option necessary."""
+    out = str(tmp_path / "evolving")
+    spark.range(3).select(
+        F.col("id"), (F.col("id") * 10).alias("a")
+    ).write.parquet(out)
+    spark.range(3, 6).select(
+        F.col("id"), (F.col("id") * 10).alias("a"), F.lit("new").alias("b")
+    ).write.mode("append").parquet(out)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"id", "a", "b"}
+    rows = {r.id: (r.a, r.b) for r in merged.collect()}
+    assert rows[0] == (0, None)  # old batch: evolved column reads NULL
+    assert rows[5] == (50, "new")
+    assert merged.filter(F.col("b").isNull()).count() == 3
+
+    # the evolved column also survives a filtered scan with pushdown
+    got = merged.filter(F.col("b") == "new").select("id").collect()
+    assert sorted(r.id for r in got) == [3, 4, 5]
