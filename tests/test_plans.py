@@ -186,6 +186,37 @@ def test_domain_mix_threshold_is_windowless(spark):
     assert "BroadcastHashJoin" in plan, plan[:4000]
 
 
+def test_no_unbounded_cartesian_in_any_registered_plan(spark):
+    """Global plan lint over the ENTIRE registry: no query may plan a
+    CartesianProduct — every cross-shaped join must be broadcast-bounded
+    (BroadcastNestedLoopJoin over a one-row/dim-sized side) or keyed.
+    This is the scale contract's catch-all: a future query that
+    accidentally crosses two fact-sized inputs fails here at sf0.001
+    instead of at 100 TB. Side-effecting / streaming-run queries are
+    excluded (they execute rather than plan); ~1 min for ~160 plans."""
+    from wod_ascii_to_parquet_spark_spark.registry import load_all_operators
+
+    EXECUTING = {
+        "wod_convert_pipeline",
+        "stream_tumbling_live",
+        "stream_late_drop",
+        "stream_static_enrich_live",
+        "stream_custom_stateful",
+        "sample_deterministic",
+    }
+    offenders = []
+    for name, q in load_all_operators().items():
+        if name in EXECUTING or name.startswith(("wod", "source")):
+            continue
+        df = q.fn(spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
 def test_convert_schedules_largest_files_first(spark, tmp_path, monkeypatch):
     """The thread pool must receive tasks largest-first (LPT): the biggest
     file starting last is what stretches the makespan."""
