@@ -221,6 +221,7 @@ def load_all_operators() -> dict[str, QueryDef]:
         sql_surface,
         text,
         tpch_like,
+        tpch_like2,
         windows,
         wod,
     )
