@@ -510,3 +510,50 @@ def curation_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w) - 1)
         .select("doc_id", "shard", "pos")
     )
+
+
+@register(
+    "rag_chunk_documents",
+    """
+    SELECT doc_id, chunk_id,
+           CAST(len(c) AS BIGINT) AS n_tok,
+           array_to_string(c, ' ') AS chunk_text
+    FROM (
+        SELECT doc_id, s AS chunk_id, list_slice(t, s, s + 31) AS c
+        FROM (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 8, 1), 24)) AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        )
+    )
+    """,
+    tags=("curation", "rag"),
+)
+def rag_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: split every document into overlapping 32-token
+    windows with stride 24 (8-token overlap) — the retrieval-index
+    preprocessing step (each chunk then gets embedded and lands in the ANN
+    index, `similarity_ann_ivf`'s input shape). Start offsets are
+    ``sequence(1, max(n_tok-8, 1), 24)``: the final window is dropped only
+    when it would contribute fewer than 8 unseen tokens; short documents
+    yield one whole-document chunk.
+
+    Scale shape: map-only — tokenize, explode the start-offset sequence,
+    slice. No shuffle at all (the explode is in-partition), so chunking
+    100 TB is embarrassingly parallel and pipelines straight into the
+    embedding UDF without landing intermediates."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - F.lit(8), F.lit(1)), F.lit(24)
+    )
+    chunk = F.slice(F.col("t"), F.col("chunk_id"), 32)
+    return (
+        d.select("doc_id", toks.alias("t"), F.explode(starts).alias("chunk_id"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.size(chunk).cast("bigint").alias("n_tok"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )

@@ -211,9 +211,11 @@ def load_all_operators() -> dict[str, QueryDef]:
         corpus,
         curation,
         dedup,
+        graph,
         joins,
         multimodal,
         pipeline_ops,
+        profiling,
         relational,
         scalar_funcs,
         scalar_funcs2,
