@@ -902,3 +902,80 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(sim >= 0.4)
         .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
     )
+
+
+@register(
+    "dedup_segments_c4",
+    """
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           string_agg(seg_text, ' ' ORDER BY s) AS clean_text
+    FROM (
+        SELECT doc_id, s, seg_text,
+               row_number() OVER (PARTITION BY seg_text
+                                  ORDER BY doc_id, s) AS rn
+        FROM (
+            SELECT doc_id, s,
+                   array_to_string(list_slice(t, s, s + 15), ' ') AS seg_text
+            FROM (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, len(t), 16)) AS s
+                FROM (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents)
+            )
+        )
+    )
+    WHERE rn = 1
+    GROUP BY doc_id
+    """,
+    tags=("dedup", "curation"),
+)
+def dedup_segments_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style segment-level dedup WITH document reconstruction: every
+    document is cut into non-overlapping 16-token segments, each distinct
+    segment text is kept only at its first corpus occurrence (min doc_id,
+    then min offset — C4 keeps one occurrence of every three-sentence
+    span), and surviving segments are stitched back into a cleaned
+    document. Documents whose every segment was seen earlier vanish.
+
+    Scale shape: two shuffles, both inherent — (1) hash on segment text
+    for the global first-occurrence window (Spark partitions the window
+    by the segment string's hash; a 64-bit ``xxhash64(seg)`` key would cut
+    shuffle bytes if segments were long), (2) hash on doc_id to reassemble
+    surviving segments in offset order. No similarity math — this is the
+    exact-substring tier of the dedup ladder, between ``dedup_exact``
+    (whole-doc) and ``dedup_minhash_lsh`` (near-dup)."""
+    from pyspark.sql import Window as W
+
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    segs = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size(toks), F.lit(16))
+        ).alias("s"),
+        toks.alias("t"),
+    ).select(
+        "doc_id",
+        "s",
+        F.array_join(F.slice(F.col("t"), F.col("s"), 16), " ").alias("seg_text"),
+    )
+    first = (
+        segs.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("seg_text").orderBy("doc_id", "s")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return first.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "seg_text"))),
+                lambda x: x["seg_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
