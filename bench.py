@@ -51,6 +51,12 @@ HEADLINERS = [
     "curation_decontaminate",      # 13-gram eval-overlap filter (round 5)
     "text_quality",
     "json_funcs",
+    "q5_local_supplier",           # Q5 proper: local-supplier 6-way join (round 6)
+    "q21_waiting_supplier",        # exists + not-exists fact self-joins (round 6)
+    "graph_pagerank",              # 3-iteration fixed-point PageRank (round 6)
+    "dedup_segments_c4",           # segment dedup + doc reconstruction (round 6)
+    "join_range_bucketed",         # interval join via time buckets (round 6)
+    "rag_chunk_documents",         # map-only overlapping chunking (round 6)
 ]
 
 

@@ -50,8 +50,7 @@ _PR_ITER_SQL = """
 _PR_ORACLE = (
     """
     WITH pairs AS (
-        SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS s,
-                        'C' || CAST(o_custkey AS VARCHAR) AS c
+        SELECT DISTINCT 2 * l_suppkey AS s, 2 * o_custkey + 1 AS c
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
     edges AS (
@@ -90,25 +89,39 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .select(
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+            (F.col("l_suppkey") * 2).alias("s"),
+            (F.col("o_custkey") * 2 + 1).alias("c"),
         )
         .distinct()
     )
     edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
     )
-    nodes = edges.select(F.col("src").alias("id")).distinct()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    n = nodes.agg(F.count(F.lit(1)).alias("n"))
+    # Degree rides the edge list (joined once, outside the loop), so each
+    # iteration is exactly one join + one aggregate. This is the ONE
+    # materialization: the static graph is checkpointed so iterations
+    # don't re-run the lineitem⋈orders distinct (same discipline as
+    # dedup_cluster_assign); keeping it to a single compact all-BIGINT
+    # dataset bounds driver/storage memory across repeated invocations.
+    ew = edges.join(deg, "src").localCheckpoint()
+    nodes = ew.select(F.col("src").alias("id")).distinct()
+    # N is a single scalar — one driver action on the checkpointed graph
+    # (same budget as dedup_cluster_assign's convergence probe). floor of
+    # a double division, matching the oracle's floor(1e12 / n) exactly.
+    import math
 
-    ranks = nodes.join(F.broadcast(n)).select(
-        "id", F.floor(F.lit(_SCALE) / F.col("n")).alias("r")
-    )
+    n_val = nodes.count()
+    base = math.floor(_SCALE / n_val)
+    teleport = math.floor(_TELEPORT / n_val)
+
+    ranks = nodes.select("id", F.lit(base).cast("bigint").alias("r"))
     for _ in range(3):
+        # Symmetric edges ⇒ every node occurs as a dst, so the aggregate
+        # covers all nodes and the oracle's LEFT JOIN/COALESCE reattach is
+        # a no-op here — contributions ARE the next rank vector.
         contrib = (
-            edges.join(ranks, F.col("src") == F.col("id"))
-            .join(deg, "src")
+            ew.join(ranks, F.col("src") == F.col("id"))
             .groupBy("dst")
             .agg(
                 F.sum(
@@ -116,16 +129,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("m")
             )
         )
-        ranks = (
-            nodes.join(F.broadcast(n))
-            .join(contrib, F.col("id") == F.col("dst"), "left")
-            .select(
-                "id",
-                (
-                    F.floor(F.lit(_TELEPORT) / F.col("n"))
-                    + F.floor(F.lit(0.85) * F.coalesce(F.col("m"), F.lit(0)))
-                ).alias("r"),
-            )
+        ranks = contrib.select(
+            F.col("dst").alias("id"),
+            (
+                F.lit(teleport) + F.floor(F.lit(0.85) * F.col("m"))
+            ).cast("bigint").alias("r"),
         )
     return (
         ranks.select("id", F.col("r").alias("rank_fp"))
