@@ -267,3 +267,52 @@ def test_pq_adc_takes_ordered_topk(spark):
     plan = plan_of(spark, "similarity_pq_adc")
     assert "TakeOrderedAndProject" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_q6_all_predicates_pushed(spark):
+    """Q6 is pure scan-filter-agg: date range, discount band, and quantity
+    cap must all reach the parquet reader as pushed filters, with only the
+    4 referenced columns in ReadSchema."""
+    plan = plan_of(spark, "q6_revenue_forecast")
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: ")[1].splitlines()[0]
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_returnflag" not in read_schema
+    assert "Exchange hashpartitioning" not in plan  # only the 1-row combine
+
+
+def test_join_range_bucketed_is_equi_join(spark):
+    """The interval join must plan as a hash-partitioned equi-join on
+    (user, bucket) — never a nested-loop/cartesian over per-user pairs."""
+    plan = plan_of(spark, "join_range_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan  # AQE may broadcast at toy SF; keys are still equi
+    )
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark):
+    plan = plan_of(spark, "q16_supplier_count")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_rag_chunking_is_shuffle_free(spark):
+    """Chunking must be map-only: tokenize → explode → slice with no
+    Exchange besides the spread() round-robin of the single toy input
+    split (RoundRobinPartitioning, not a hash shuffle)."""
+    plan = plan_of(spark, "rag_chunk_documents")
+    assert "explode(sequence" in plan
+    assert "hashpartitioning" not in plan
+    assert "RoundRobinPartitioning" in plan  # the only Exchange is spread()
+
+
+def test_profile_columns_single_scan(spark):
+    """The profile runs as ONE scan: exactly one parquet FileScan of
+    orders feeding an expand-based multi-distinct aggregate."""
+    plan = plan_of(spark, "profile_columns")
+    assert plan.count("Location: InMemoryFileIndex") == 1  # exactly one scan
+    assert "Expand" in plan
