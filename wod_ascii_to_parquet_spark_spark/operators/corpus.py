@@ -384,3 +384,44 @@ def kmeans_lloyd(
             .localCheckpoint()
         )
     return assign.select("vec_id", "cell"), cents
+
+
+@register(
+    "corpus_heavy_hitters",
+    """
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM tok),
+    cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token)
+    SELECT token, CAST(c AS BIGINT) AS c
+    FROM cnt CROSS JOIN tot
+    WHERE c * 200 > n
+    ORDER BY c DESC, token
+    """,
+    tags=("corpus",),
+)
+def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-threshold heavy hitters: tokens whose frequency exceeds
+    0.5% of ALL token occurrences — the frequent-items primitive behind
+    stopword induction and boilerplate detection (vs `corpus_ngram_topk`,
+    which is fixed-k). The threshold is the exact integer predicate
+    ``200·c > N`` so both engines agree at the boundary.
+
+    Scale shape: map-side combine above the explode (partial counts per
+    task), one hash shuffle on token, and the corpus total as a 1-row
+    broadcast. The sketch alternative at extreme cardinality is
+    Misra–Gries/SpaceSaving per partition + merge — same mergeable-state
+    pattern as `agg_approx_count_distinct`; with support ≥ 0.5% the exact
+    two-phase count is already cheap because partial aggregation bounds
+    per-task state at the vocabulary actually seen."""
+    d = spread(load(spark, sf_dir, "documents"))
+    tok = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cnt.join(F.broadcast(tot))
+        .filter(F.col("c") * 200 > F.col("n"))
+        .select("token", "c")
+        .orderBy(F.desc("c"), "token")
+    )

@@ -350,3 +350,88 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("sess_end"),
         )
     )
+
+
+@register(
+    "events_funnel_stages",
+    """
+    WITH w1 AS (
+        SELECT user_id, ts, event_type,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1
+        FROM events
+    ), w2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+                            AND ts <= t1 + INTERVAL 24 HOUR THEN ts END)
+                      OVER (PARTITION BY user_id) AS t2
+        FROM w1
+    ), w3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+                            AND ts <= t2 + INTERVAL 24 HOUR THEN ts END)
+                      OVER (PARTITION BY user_id) AS t3
+        FROM w2
+    )
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END)
+                AS BIGINT) AS n_viewed,
+           CAST(count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END)
+                AS BIGINT) AS n_clicked,
+           CAST(count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END)
+                AS BIGINT) AS n_purchased
+    FROM w3
+    """,
+    tags=("window", "events"),
+)
+def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel (view → click → purchase): each stage's timestamp
+    is the earliest qualifying event AFTER the previous stage and within
+    a 24 h stage deadline — the order-sensitive product-analytics query,
+    NOT three independent existence checks. Expressed as a chain of min-over-user windows where
+    each window's predicate references the previous window's result.
+
+    Scale shape: all three Window operators share one partitioning
+    (user_id), so the chain costs a single hash shuffle; the final stage
+    counts are a 1-row global aggregate. A per-user ``applyInPandas``
+    state machine would express longer/regex-like funnels; for fixed
+    3-step funnels the window chain stays fully JVM-side."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = W.partitionBy("user_id")
+    staged = (
+        e.withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t1"))
+                    & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2"))
+                    & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 24 HOURS")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    return staged.agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count_distinct(
+            F.when(F.col("t1").isNotNull(), F.col("user_id"))
+        ).alias("n_viewed"),
+        F.count_distinct(
+            F.when(F.col("t2").isNotNull(), F.col("user_id"))
+        ).alias("n_clicked"),
+        F.count_distinct(
+            F.when(F.col("t3").isNotNull(), F.col("user_id"))
+        ).alias("n_purchased"),
+    )
