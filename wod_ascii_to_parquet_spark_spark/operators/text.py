@@ -347,3 +347,46 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 2)
         .select("key_a", "key_b", dist.alias("edit_dist"))
     )
+
+
+@register(
+    "udtf_ngram_expand",
+    """
+    SELECT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS gram
+    FROM (
+        SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    )
+    """,
+    tags=("udtf", "text"),
+)
+def udtf_ngram_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Python UDTF (Spark 4 ``@udtf``) invoked via LATERAL join —
+    the table-function API surface itself, distinct from the
+    ``mapInPandas`` decoder (`udtf_parse_casts`): one input row yields
+    n−2 output rows of word 3-grams, planned as ``Generate`` over a
+    ``BatchEvalPythonUDTF`` node.
+
+    Scale note: a row-at-a-time Python UDTF is the SLOW path — it exists
+    here as API parity (and for logic that is genuinely per-row
+    generative); the same expansion in the hot path is the pure-Catalyst
+    explode in ``corpus_ngram_topk``/`rag_chunk_documents`, and the
+    oracle below is exactly that formulation — so the UDTF is verified
+    against the JVM-side equivalent."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, gram: string")
+    class NGrams:
+        def eval(self, doc_id, text):  # noqa: ANN001 — UDTF protocol
+            toks = text.split(" ")
+            for i in range(len(toks) - 2):
+                yield doc_id, " ".join(toks[i : i + 3])
+
+    spark.udtf.register("wg_ngram_udtf", NGrams)
+    spread(load(spark, sf_dir, "documents")).createOrReplaceTempView(
+        "wg_udtf_docs"
+    )
+    return spark.sql(
+        "SELECT g.doc_id, g.gram"
+        " FROM wg_udtf_docs t, LATERAL wg_ngram_udtf(t.doc_id, t.text) g"
+    )
