@@ -557,3 +557,177 @@ def rag_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+# --- end-to-end curation pipeline (round 6) -------------------------------
+#: quality gate: too short, or >2% repeated 3-grams (boilerplate).
+QUAL_MIN_TOK = 20
+QUAL_REP_X50 = 50  # (n3 - distinct3) * 50 > n3  ⇔  rep_frac > 2%
+
+
+def pipeline_flag_frame(d: DataFrame) -> DataFrame:
+    """One row per document with the four independent curation flags:
+
+    - ``qf`` quality fail (short doc OR repeated-3-gram boilerplate),
+    - ``ed`` exact duplicate (not the first occurrence of its text),
+    - ``nd`` near duplicate (appears as the LATER side of a verified
+      MinHash-LSH pair, md5 base hash — keep-earliest greedy),
+    - ``cd`` contaminated (training doc sharing a 13-gram with the eval
+      docs 0..EVAL_DOCS-1).
+
+    Flags are computed independently over the full corpus (each measures
+    its stage's true positive set; the kept set requires all four clear).
+    Scale shape: quality is map-only; exact-dup is one window over
+    md5(text); near-dup is the banded-LSH pipeline (band-key shuffle
+    only); contamination is explode → broadcast-semi-join. The flag sets
+    joined back are drop-lists (≪ corpus) and ride broadcasts."""
+    from pyspark.sql import Window as W
+
+    from .dedup import (
+        _lsh_verified_pairs,
+        minhash_signature,
+        shingle_hashes_md5,
+        shingles,
+    )
+
+    toks = F.split(F.col("text"), " ")
+    sh = shingles(F.col("text"))
+    base = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        F.size(toks).alias("ntok"),
+        F.size(sh).alias("n3"),
+        F.size(F.array_distinct(sh)).alias("d3"),
+    )
+    qf = (F.col("ntok") < QUAL_MIN_TOK) | (
+        (F.col("n3") - F.col("d3")) * QUAL_REP_X50 > F.col("n3")
+    )
+    w_exact = W.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+
+    s = (
+        d.select("doc_id", shingles(F.col("text")).alias("sh"))
+        .withColumn("hashes", shingle_hashes_md5(F.col("sh")))
+        .withColumn("sig", minhash_signature(F.col("hashes")))
+        .drop("hashes")
+        .repartition(F.col("doc_id"))  # shuffle barrier (see dedup.py)
+    )
+    near = (
+        _lsh_verified_pairs(s)
+        .select(F.col("doc_b").alias("nd_id"))
+        .distinct()
+    )
+
+    t = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (DECON_N - 1)),
+        lambda i: F.md5(F.array_join(F.slice(t, i, DECON_N), " ")),
+    )
+    g = d.filter(F.size(t) >= DECON_N).select(
+        "doc_id", F.explode(grams).alias("g")
+    )
+    ev = g.filter(F.col("doc_id") < EVAL_DOCS).select("g").distinct()
+    contam = (
+        g.filter(F.col("doc_id") >= EVAL_DOCS)
+        .join(F.broadcast(ev), "g")
+        .select(F.col("doc_id").alias("cd_id"))
+        .distinct()
+    )
+
+    return (
+        base.withColumn("qf", qf.cast("int"))
+        .withColumn("ed", (F.row_number().over(w_exact) > 1).cast("int"))
+        .join(F.broadcast(near), F.col("doc_id") == F.col("nd_id"), "left")
+        .withColumn("nd", F.col("nd_id").isNotNull().cast("int"))
+        .drop("nd_id")
+        .join(F.broadcast(contam), F.col("doc_id") == F.col("cd_id"), "left")
+        .withColumn("cd", F.col("cd_id").isNotNull().cast("int"))
+        .drop("cd_id")
+    )
+
+
+KEPT_COND_SQL = f"doc_id >= {EVAL_DOCS} AND qf = 0 AND ed = 0 AND nd = 0 AND cd = 0"
+
+
+def _pipeline_stats_sql() -> str:
+    from .dedup import _md5_lsh_sql
+
+    return "WITH " + _md5_lsh_sql(
+        f"""
+    , near AS (SELECT DISTINCT doc_b AS doc_id FROM verified WHERE jac >= 0.5),
+    base AS (SELECT doc_id, len(string_split(text, ' ')) AS ntok
+             FROM documents),
+    q AS (
+        SELECT b.doc_id, b.ntok,
+               CASE WHEN b.ntok < {QUAL_MIN_TOK}
+                      OR (len(s0.sh) - len(list_distinct(s0.sh)))
+                         * {QUAL_REP_X50} > len(s0.sh)
+                    THEN 1 ELSE 0 END AS qf
+        FROM base b JOIN s0 ON s0.doc_id = b.doc_id
+    ),
+    ex AS (
+        SELECT doc_id,
+               CASE WHEN row_number() OVER (PARTITION BY md5(text)
+                                            ORDER BY doc_id) > 1
+                    THEN 1 ELSE 0 END AS ed
+        FROM documents
+    ),
+    toks13 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams13 AS (
+        SELECT doc_id, md5(array_to_string(t[i:i+{DECON_N - 1}], ' ')) AS g
+        FROM toks13, unnest(range(1, len(t) - {DECON_N - 2})) AS r(i)
+        WHERE len(t) >= {DECON_N}
+    ),
+    ev13 AS (SELECT DISTINCT g FROM grams13 WHERE doc_id < {EVAL_DOCS}),
+    contam AS (SELECT DISTINCT doc_id FROM grams13 JOIN ev13 USING (g)
+               WHERE doc_id >= {EVAL_DOCS}),
+    flags AS (
+        SELECT q.doc_id, q.ntok, q.qf, ex.ed,
+               CASE WHEN near.doc_id IS NOT NULL THEN 1 ELSE 0 END AS nd,
+               CASE WHEN contam.doc_id IS NOT NULL THEN 1 ELSE 0 END AS cd
+        FROM q JOIN ex ON q.doc_id = ex.doc_id
+        LEFT JOIN near ON near.doc_id = q.doc_id
+        LEFT JOIN contam ON contam.doc_id = q.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(qf) AS BIGINT) AS n_quality_fail,
+           CAST(sum(ed) AS BIGINT) AS n_exact_dup,
+           CAST(sum(nd) AS BIGINT) AS n_near_dup,
+           CAST(sum(cd) AS BIGINT) AS n_contaminated,
+           CAST(sum(CASE WHEN {KEPT_COND_SQL} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN {KEPT_COND_SQL} THEN ntok ELSE 0 END) AS BIGINT)
+               AS tok_kept
+    FROM flags
+    """
+    )
+
+
+@register("curation_pipeline_stats", _pipeline_stats_sql(), tags=("curation",))
+def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE curation pipeline — quality gate, exact dedup, MinHash
+    near-dedup, 13-gram decontamination — composed and reduced to its
+    per-stage drop counts plus the kept-corpus token total, as ONE
+    fully-DuckDB-oracled query (the near-dup stage rides the bit-exact
+    md5 LSH). This is the end-to-end verification that the stages compose
+    correctly, not just work in isolation; `plans/curate.py::curate_corpus`
+    is the materializing job built on the same flag frame."""
+    d = spread(load(spark, sf_dir, "documents"))
+    f = pipeline_flag_frame(d)
+    kept = (
+        (F.col("doc_id") >= EVAL_DOCS)
+        & (F.col("qf") == 0)
+        & (F.col("ed") == 0)
+        & (F.col("nd") == 0)
+        & (F.col("cd") == 0)
+    )
+    return f.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("qf").alias("n_quality_fail"),
+        F.sum("ed").alias("n_exact_dup"),
+        F.sum("nd").alias("n_near_dup"),
+        F.sum("cd").alias("n_contaminated"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(kept, F.col("ntok")).otherwise(0)).alias("tok_kept"),
+    )
