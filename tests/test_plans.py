@@ -316,3 +316,9 @@ def test_profile_columns_single_scan(spark):
     plan = plan_of(spark, "profile_columns")
     assert plan.count("Location: InMemoryFileIndex") == 1  # exactly one scan
     assert "Expand" in plan
+
+
+def test_shuffle_hash_hint_switches_strategy(spark):
+    plan = plan_of(spark, "join_shuffle_hash_hint")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan

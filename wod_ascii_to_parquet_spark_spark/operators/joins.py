@@ -510,3 +510,36 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("view_id", "purchase_id")
     )
+
+
+@register(
+    "join_shuffle_hash_hint",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_c100
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "hint"),
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-strategy hint surface: force a ShuffledHashJoin where the
+    optimizer would default to sort-merge — the right call when one side
+    is much smaller than the other but too big to broadcast (build a hash
+    table per partition, skip both sorts). Same answer as the unhinted
+    plan by construction; `tests/test_plans.py` asserts the physical
+    operator actually switched."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").hint("shuffle_hash")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+            ).alias("price_c100"),
+        )
+    )

@@ -435,3 +435,90 @@ def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("t3").isNotNull(), F.col("user_id"))
         ).alias("n_purchased"),
     )
+
+
+@register(
+    "events_resample_gapfill",
+    """
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT et.event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        FROM (SELECT DISTINCT event_type FROM events) et CROSS JOIN bounds
+    ),
+    hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(value), 6) AS avg_value
+        FROM events GROUP BY event_type, hour
+    )
+    SELECT g.event_type, g.hour,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n,
+           last_value(h.avg_value IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS avg_value_ff
+    FROM grid g LEFT JOIN hourly h
+      ON g.event_type = h.event_type AND g.hour = h.hour
+    """,
+    tags=("window", "timeseries"),
+)
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill: a dense hourly grid per event
+    type (generated, not observed — empty buckets EXIST with n=0), hourly
+    aggregates left-joined on, and the average forward-filled across gaps
+    with ``last(..., ignorenulls)`` — the standard
+    downsample-then-carry-forward shape (time_bucket_gapfill / locf).
+
+    Scale shape: the grid is |types| × |hours| — generated rows, tiny
+    relative to the fact table; the only fact-sized work is the hourly
+    two-phase aggregate. The forward-fill window partitions by type and
+    orders by hour: state is one value per partition, streaming-friendly.
+    The bucket average is rounded BEFORE the fill so the carried value is
+    bit-identical across engines."""
+    e = load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    types = e.select("event_type").distinct()
+    grid = (
+        types.join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    hourly = e.groupBy(
+        F.col("event_type").alias("h_type"), hour.alias("h_hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(
+            hourly,
+            (F.col("event_type") == F.col("h_type"))
+            & (F.col("hour") == F.col("h_hour")),
+            "left",
+        )
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.last(F.col("avg_value"), ignorenulls=True)
+            .over(w)
+            .alias("avg_value_ff"),
+        )
+    )
