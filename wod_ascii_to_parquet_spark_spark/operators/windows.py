@@ -522,3 +522,108 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_value_ff"),
         )
     )
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+    ),
+    cohorts AS (
+        SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id
+    ),
+    sizes AS (
+        SELECT cohort_day, count(*) AS cohort_size FROM cohorts
+        GROUP BY cohort_day
+    )
+    SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active,
+           round(CAST(count(DISTINCT a.user_id) AS DOUBLE) / s.cohort_size, 6)
+               AS retention
+    FROM activity a
+    JOIN cohorts c ON a.user_id = c.user_id
+    JOIN sizes s ON s.cohort_day = c.cohort_day
+    GROUP BY c.cohort_day, day_offset, s.cohort_size
+    """,
+    tags=("window", "events"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day, and
+    for every later activity day the distinct-active count plus the
+    retention ratio against the cohort size — the other canonical
+    product-analytics shape next to the funnel.
+
+    Scale shape: activity collapses the fact table to distinct
+    (user, day) FIRST (two-phase, tiny output), cohorts/sizes are
+    user-level aggregates that ride the same user_id partitioning, and
+    the final matrix is |cohorts| × |days| — dashboard-sized however big
+    the fact table is. The ratio divides an exact count by an exact
+    cohort size (one rounding at the end)."""
+    e = load(spark, sf_dir, "events")
+    activity = e.select(
+        "user_id", F.to_date(F.col("ts")).alias("day")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = cohorts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        activity.join(cohorts, "user_id")
+        .join(sizes, "cohort_day")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("day_offset"),
+            "cohort_size",
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .select(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            "day_offset",
+            "n_active",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+    )
+
+
+@register(
+    "window_time_range_frame",
+    """
+    SELECT event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           round(avg(value) OVER w, 6) AS avg_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "timeseries"),
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based sliding window frame: per user, the trailing-1-hour
+    event count and mean value at every event — `RANGE BETWEEN INTERVAL`
+    semantics (frame bounds in event time, not row counts; peers with
+    equal timestamps share a frame). Spark has no interval RANGE frame
+    literal, so the order key is the epoch-microsecond projection and the
+    bound is the interval in microseconds — semantically identical.
+
+    Scale shape: one user_id shuffle + in-partition sort; frame state is
+    the trailing hour's rows per user. This is the batch mirror of the
+    sliding streaming window (`stream_sliding_counts`) evaluated at
+    event granularity instead of grid granularity."""
+    um = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(um.alias("um"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+    )
