@@ -57,6 +57,8 @@ HEADLINERS = [
     "dedup_segments_c4",           # segment dedup + doc reconstruction (round 6)
     "join_range_bucketed",         # interval join via time buckets (round 6)
     "rag_chunk_documents",         # map-only overlapping chunking (round 6)
+    "curation_pipeline_stats",     # composed 4-stage curation pipeline (round 6)
+    "events_resample_gapfill",     # dense-grid resample + locf (round 6)
 ]
 
 
