@@ -646,3 +646,58 @@ def test_domain_mix_threshold_tracks_exact_quotas(spark):
         assert abs(aq[d] - quota) <= tol, (d, aq[d], quota)
     again = QUERIES["curation_domain_mix_threshold"].fn(spark, SF_DIR).collect()
     assert {tuple(r) for r in approx} == {tuple(r) for r in again}
+
+
+def test_funnel_stage_monotonicity(spark):
+    """Stage populations can only shrink down the funnel, and stage 1
+    equals the distinct users with any 'view' event."""
+    from pyspark.sql import functions as F
+
+    from wod_ascii_to_parquet_spark_spark.registry import load
+
+    row = QUERIES["events_funnel_stages"].fn(spark, SF_DIR).first()
+    assert row.n_users >= row.n_viewed >= row.n_clicked >= row.n_purchased
+    viewed = (
+        load(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "view")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert row.n_viewed == viewed
+
+
+def test_retention_day_zero_is_full_cohort(spark):
+    """Every cohort's day-0 row must exist with retention exactly 1.0,
+    and no retention value may exceed 1.0."""
+    rows = QUERIES["events_retention_cohorts"].fn(spark, SF_DIR).collect()
+    cohorts = {r.cohort_day for r in rows}
+    day0 = {r.cohort_day: r.retention for r in rows if r.day_offset == 0}
+    assert set(day0) == cohorts
+    assert all(v == 1.0 for v in day0.values())
+    assert all(r.retention <= 1.0 for r in rows)
+
+
+def test_gapfill_grid_is_dense(spark):
+    """The resampled grid must be a full |types| × |hours| rectangle and
+    its per-type bucket-count sum must equal the raw event count."""
+    from wod_ascii_to_parquet_spark_spark.registry import load
+
+    df = QUERIES["events_resample_gapfill"].fn(spark, SF_DIR)
+    rows = df.collect()
+    types = {r.event_type for r in rows}
+    hours = {r.hour for r in rows}
+    assert len(rows) == len(types) * len(hours)
+    assert sum(r.n for r in rows) == load(spark, SF_DIR, "events").count()
+
+
+def test_pipeline_stats_bound_by_stage_queries(spark):
+    """The composed pipeline's per-stage counts must agree with the
+    standalone stage operators: near-dup dropped docs = distinct doc_b of
+    the md5 LSH pairs; contaminated = rows of curation_decontaminate."""
+    stats = QUERIES["curation_pipeline_stats"].fn(spark, SF_DIR).first()
+    pairs = QUERIES["dedup_minhash_lsh_md5"].fn(spark, SF_DIR).collect()
+    assert stats.n_near_dup == len({r.doc_b for r in pairs})
+    contam = QUERIES["curation_decontaminate"].fn(spark, SF_DIR).count()
+    assert stats.n_contaminated == contam
+    assert stats.n_kept <= stats.n_total - stats.n_quality_fail
