@@ -379,3 +379,42 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag", F.col("l_quantity").alias("mode_qty"), "n"
         )
     )
+
+
+@register(
+    "agg_listagg_bool",
+    """
+    SELECT l_returnflag,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+               AS statuses,
+           CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT)
+               AS n_bulk,
+           bool_and(l_discount <= 0.1) AS all_discount_ok,
+           bool_or(l_tax > 0.07) AS any_high_tax
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "ansi"),
+)
+def agg_listagg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI ordered string aggregation + boolean/filtered aggregate
+    surface in one pass: ``LISTAGG ... WITHIN GROUP (ORDER BY ...)``
+    (Spark 4) vs DuckDB's ``string_agg(... ORDER BY ...)``, plus
+    ``count_if``/``FILTER``, ``bool_and``, ``bool_or``. The WITHIN GROUP
+    ordering is what makes listagg deterministic and hash-checkable —
+    unordered listagg output is partition-order-dependent by definition."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "listagg(DISTINCT l_linestatus, ',')"
+                " WITHIN GROUP (ORDER BY l_linestatus)"
+            ).alias("statuses"),
+            F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+            F.bool_and(F.col("l_discount") <= 0.1).alias("all_discount_ok"),
+            F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        )
+        .orderBy("l_returnflag")
+    )
