@@ -290,3 +290,77 @@ def explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.explode_outer("arr").alias("v0"))
         .select("vec_id", F.round("v0", 6).alias("v"))
     )
+
+
+@register(
+    "scalar_try_funcs",
+    """
+    SELECT o_orderkey,
+           TRY_CAST(o_orderstatus AS INTEGER) AS status_int,
+           o_totalprice / nullif(CAST(o_orderkey % 3 AS DOUBLE), 0) AS safe_div,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE CAST(o_orderkey AS VARCHAR) END AS maybe_str
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 1000
+    """,
+    tags=("scalar", "ansi"),
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface under ANSI mode: ``try_cast`` of a
+    non-numeric string yields NULL instead of raising, ``try_divide``
+    yields NULL on division by zero (mirrored as ``/ NULLIF`` in the
+    oracle — same semantics), and NULL propagation through conditional
+    projection. Under Spark's ANSI default the non-``try_`` forms of
+    these THROW — this query is the pattern for ingest paths that must
+    absorb dirty data without failing the job."""
+    k = F.col("o_orderkey")
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.col("o_orderstatus").try_cast("int").alias("status_int"),
+            F.try_divide(
+                F.col("o_totalprice"), (k % 3).cast("double")
+            ).alias("safe_div"),
+            F.when(k % 5 == 0, F.lit(None)).otherwise(k.cast("string")).alias(
+                "maybe_str"
+            ),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+@register(
+    "scalar_hash_funcs",
+    """
+    SELECT doc_id,
+           md5(text) AS h_md5,
+           sha256(text) AS h_sha256,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           upper(substring(md5(text), 1, 8)) AS bucket_hex
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("scalar",),
+)
+def scalar_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic/content hash surface: md5 and sha2-256 digests are
+    bit-identical across engines (the foundation every cross-engine
+    dedup arm in this repo builds on), plus byte length and a hex bucket
+    prefix — the content-addressing projection for a blob store or CAS
+    layout. Engine-specific hashes (xxhash64, crc32) are deliberately
+    NOT here: they power the faster rows-only arms."""
+    t = F.col("text")
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.md5(t).alias("h_md5"),
+            F.sha2(t, 256).alias("h_sha256"),
+            F.length(t).cast("bigint").alias("n_bytes"),
+            F.upper(F.substring(F.md5(t), 1, 8)).alias("bucket_hex"),
+        )
+        .orderBy("doc_id")
+    )
