@@ -392,8 +392,8 @@ def kmeans_lloyd(
     WITH tok AS (
         SELECT unnest(string_split(text, ' ')) AS token FROM documents
     ),
-    tot AS (SELECT count(*) AS n FROM tok),
-    cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token)
+    cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT sum(c) AS n FROM cnt)
     SELECT token, CAST(c AS BIGINT) AS c
     FROM cnt CROSS JOIN tot
     WHERE c * 200 > n
@@ -418,7 +418,9 @@ def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents"))
     tok = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
     cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    # total from the (vocabulary-sized) aggregate — NOT a second scan of
+    # the fact table; sum(c) == count of all token occurrences.
+    tot = cnt.agg(F.sum("c").alias("n"))
     return (
         cnt.join(F.broadcast(tot))
         .filter(F.col("c") * 200 > F.col("n"))

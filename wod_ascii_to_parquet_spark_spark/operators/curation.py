@@ -591,15 +591,30 @@ def pipeline_flag_frame(d: DataFrame) -> DataFrame:
     )
 
     toks = F.split(F.col("text"), " ")
-    sh = shingles(F.col("text"))
+    # TRUE (non-distinct) 3-gram list — `shingles()` applies array_distinct
+    # for Jaccard, which would make (n3 - d3) identically zero here; the
+    # repetition signal needs the multiset (same formulation as
+    # curation_repetition_score). Guarded: <3 tokens → empty list.
+    grams3 = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     base = d.select(
         "doc_id",
         "text",
         "lang",
         "source",
         F.size(toks).alias("ntok"),
-        F.size(sh).alias("n3"),
-        F.size(F.array_distinct(sh)).alias("d3"),
+        F.size(grams3).alias("n3"),
+        F.size(F.array_distinct(grams3)).alias("d3"),
     )
     qf = (F.col("ntok") < QUAL_MIN_TOK) | (
         (F.col("n3") - F.col("d3")) * QUAL_REP_X50 > F.col("n3")
@@ -658,13 +673,22 @@ def _pipeline_stats_sql() -> str:
     , near AS (SELECT DISTINCT doc_b AS doc_id FROM verified WHERE jac >= 0.5),
     base AS (SELECT doc_id, len(string_split(text, ' ')) AS ntok
              FROM documents),
+    g3 AS (
+        SELECT doc_id,
+               greatest(len(string_split(text, ' ')) - 2, 0) AS n3,
+               len(list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2]))) AS d3
+        FROM documents
+    ),
     q AS (
         SELECT b.doc_id, b.ntok,
                CASE WHEN b.ntok < {QUAL_MIN_TOK}
-                      OR (len(s0.sh) - len(list_distinct(s0.sh)))
-                         * {QUAL_REP_X50} > len(s0.sh)
+                      OR (g3.n3 - g3.d3) * {QUAL_REP_X50} > g3.n3
                     THEN 1 ELSE 0 END AS qf
-        FROM base b JOIN s0 ON s0.doc_id = b.doc_id
+        FROM base b JOIN g3 ON g3.doc_id = b.doc_id
     ),
     ex AS (
         SELECT doc_id,

@@ -26,9 +26,12 @@ from pyspark.sql import functions as F
 
 from ..registry import load, register
 
-#: fixed-point scale: rank mass totals ~1e12 across the graph.
+#: fixed-point scale: rank mass totals ~1e12 across the graph; teleport is
+#: (1-d)·scale for d=0.85. Interpolated into the SQL oracle below so both
+#: engines share ONE definition.
 _SCALE = 1_000_000_000_000.0
 _TELEPORT = 150_000_000_000.0  # 0.15 · scale
+_DAMP = 0.85
 
 _PR_ITER_SQL = """
     s{k} AS (
@@ -41,8 +44,8 @@ _PR_ITER_SQL = """
     ),
     r{k} AS (
         SELECT nodes.id,
-               CAST(floor(150000000000.0 / n) AS BIGINT)
-               + CAST(floor(0.85 * COALESCE(m, 0)) AS BIGINT) AS r
+               CAST(floor({t} / n) AS BIGINT)
+               + CAST(floor({d} * COALESCE(m, 0)) AS BIGINT) AS r
         FROM nodes CROSS JOIN n
         LEFT JOIN s{k} ON nodes.id = s{k}.id
     )"""
@@ -62,10 +65,13 @@ _PR_ORACLE = (
     deg   AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
     n     AS (SELECT count(*) AS n FROM nodes),
     r0    AS (
-        SELECT id, CAST(floor(1000000000000.0 / n) AS BIGINT) AS r
+        SELECT id, CAST(floor({s} / n) AS BIGINT) AS r
         FROM nodes CROSS JOIN n
-    ),"""
-    + ",".join(_PR_ITER_SQL.format(k=k, p=k - 1) for k in (1, 2, 3))
+    ),""".format(s=_SCALE)
+    + ",".join(
+        _PR_ITER_SQL.format(k=k, p=k - 1, t=_TELEPORT, d=_DAMP)
+        for k in (1, 2, 3)
+    )
     + """
     SELECT id, r AS rank_fp FROM r3
     ORDER BY rank_fp DESC, id
@@ -132,7 +138,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = contrib.select(
             F.col("dst").alias("id"),
             (
-                F.lit(teleport) + F.floor(F.lit(0.85) * F.col("m"))
+                F.lit(teleport) + F.floor(F.lit(_DAMP) * F.col("m"))
             ).cast("bigint").alias("r"),
         )
     return (

@@ -447,7 +447,7 @@ _BUCKET_US = 2 * 3600 * 1_000_000  # 2 h in microseconds = window length
     "join_range_bucketed",
     """
     SELECT a.event_id AS view_id, b.event_id AS purchase_id,
-           CAST(floor(epoch(b.ts) - epoch(a.ts)) AS BIGINT) AS delta_s
+           (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS delta_s
     FROM events a JOIN events b ON a.user_id = b.user_id
     WHERE a.event_type = 'view' AND b.event_type = 'purchase'
       AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 2 HOUR

@@ -37,14 +37,6 @@ from pyspark.sql import Window
 
 from ..registry import load, register, rev_c100
 
-#: price × (1-disc) × (1+tax) in 1e-6 dollars, exact BIGINT (Q1-style charge).
-CHARGE_C10K_SQL = (
-    "CAST(round(l_extendedprice * 100) AS BIGINT)"
-    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
-    " * (100 + CAST(round(l_tax * 100) AS BIGINT))"
-)
-
-
 def _supply_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Observed (partkey, suppkey) supply pairs — the partsupp stand-in.
 
