@@ -364,3 +364,39 @@ def scalar_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "str_funcs3",
+    """
+    SELECT doc_id,
+           split_part(text, ' ', 2) AS second_tok,
+           translate(substring(text, 1, 20), 'aeiou', '.....') AS devoweled,
+           CAST(len(regexp_extract_all(text, '[st]a')) AS BIGINT) AS n_sa_ta,
+           reverse(substring(text, 1, 12)) AS rev12,
+           repeat(substring(text, 1, 2), 3) AS rep3
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("scalar",),
+)
+def str_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third string-surface tranche: ``split_part`` (1-based field
+    extraction), ``translate`` (character mapping), ``regexp_count``
+    (mirrored as ``len(regexp_extract_all)``), ``reverse``, ``repeat`` —
+    all whole-stage-codegen JVM expressions."""
+    t = F.col("text")
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.split_part(t, F.lit(" "), F.lit(2)).alias("second_tok"),
+            F.translate(F.substring(t, 1, 20), "aeiou", ".....").alias(
+                "devoweled"
+            ),
+            F.regexp_count(t, F.lit("[st]a")).cast("bigint").alias("n_sa_ta"),
+            F.reverse(F.substring(t, 1, 12)).alias("rev12"),
+            F.repeat(F.substring(t, 1, 2), 3).alias("rep3"),
+        )
+        .orderBy("doc_id")
+    )
