@@ -755,3 +755,56 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
         F.sum(F.when(kept, F.col("ntok")).otherwise(0)).alias("tok_kept"),
     )
+
+
+@register(
+    "curation_train_val_split",
+    f"""
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM (
+        SELECT doc_id, text,
+               CASE WHEN (doc_id * {_KNUTH}) % {_MOD} % 1000 < 980 THEN 'train'
+                    WHEN (doc_id * {_KNUTH}) % {_MOD} % 1000 < 990 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    GROUP BY split
+    ORDER BY split
+    """,
+    tags=("curation",),
+)
+def curation_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test split: the assignment is a pure
+    function of doc_id (Knuth multiplicative hash permille — zero engine
+    RNG, same constant as the samplers), so the split is reproducible
+    across runs, engines, and re-shards, and any document's membership
+    can be recomputed from its id alone. Reported as per-split doc/token
+    totals.
+
+    Scale shape: the split column is map-only; the summary is a 3-group
+    two-phase aggregate. Writing the actual splits is
+    ``df.withColumn("split", ...).write.partitionBy("split")`` — same
+    expression, no shuffle beyond the writer's."""
+    d = load(spark, sf_dir, "documents")
+    permille = ((F.col("doc_id") * _KNUTH) % _MOD) % 1000
+    split = (
+        F.when(permille < 980, "train")
+        .when(permille < 990, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(
+            "doc_id",
+            split.alias("split"),
+            F.size(F.split(F.col("text"), " ")).alias("ntok"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("split")
+    )
