@@ -540,3 +540,45 @@ def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
                             WHERE l2.l_orderkey = l1.l_orderkey)
         """
     )
+
+
+@register(
+    "subquery_not_in_null",
+    """
+    WITH nk AS (
+        SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END AS k
+        FROM customer
+    )
+    SELECT
+        CAST((SELECT count(*) FROM orders WHERE o_custkey NOT IN
+                  (SELECT k FROM nk)) AS BIGINT) AS n_not_in,
+        CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+                  (SELECT 1 FROM nk WHERE nk.k = o.o_custkey)) AS BIGINT)
+            AS n_not_exists
+    """,
+    tags=("subquery", "semantics"),
+)
+def subquery_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tri-valued-logic NOT IN trap, demonstrated and cross-engine
+    pinned: the subquery list contains a NULL (negative-balance customers
+    are nulled out), so ANSI ``NOT IN`` can never be TRUE — count 0 —
+    while ``NOT EXISTS`` over the same list gives the answer people
+    usually mean. Spark plans the NOT IN as a null-aware anti join
+    (NAAJ, broadcast-only by design); both engines must agree on BOTH
+    counts."""
+    for t in ("orders", "customer"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"__{t}_naaj")
+    return spark.sql(
+        """
+        WITH nk AS (
+            SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END AS k
+            FROM __customer_naaj
+        )
+        SELECT
+            CAST((SELECT count(*) FROM __orders_naaj WHERE o_custkey NOT IN
+                      (SELECT k FROM nk)) AS BIGINT) AS n_not_in,
+            CAST((SELECT count(*) FROM __orders_naaj o WHERE NOT EXISTS
+                      (SELECT 1 FROM nk WHERE nk.k = o.o_custkey)) AS BIGINT)
+                AS n_not_exists
+        """
+    )
