@@ -627,3 +627,217 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
         F.round(F.avg("value").over(w), 6).alias("avg_1h"),
     )
+
+
+@register(
+    "events_top_transitions",
+    """
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY n DESC, prev_type, next_type
+    LIMIT 10
+    """,
+    tags=("window", "events"),
+)
+def events_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition mining: the most frequent consecutive
+    (previous → next) event-type pairs per user stream — lag over the
+    per-user time order, then a global bigram count. The (ts, event_id)
+    order key makes simultaneous events deterministic.
+
+    Scale shape: one user_id shuffle for the lag window; the bigram
+    count is |types|² groups however large the stream; top-k via
+    TakeOrderedAndProject."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "prev_type", "next_type")
+        .limit(10)
+    )
+
+
+@register(
+    "orders_pareto_share",
+    """
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c100
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, rev_c100,
+               CAST(sum(rev_c100) OVER (ORDER BY rev_c100 DESC, o_custkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_c100,
+               CAST(sum(rev_c100) OVER () AS BIGINT) AS total_c100
+        FROM cust
+    )
+    SELECT o_custkey, rev_c100,
+           round(CAST(cum_c100 AS DOUBLE) / total_c100, 6) AS cum_share,
+           CASE WHEN cum_c100 * 10 <= total_c100 * 8 THEN 'A'
+                WHEN cum_c100 * 100 <= total_c100 * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    ORDER BY rev_c100 DESC, o_custkey
+    LIMIT 500
+    """,
+    tags=("window", "analytics"),
+)
+def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC analysis: customers ranked by revenue with their running
+    cumulative share and an A/B/C class at the 80%/95% boundaries — the
+    classic "which 20% of customers drive 80% of revenue" query. The
+    class boundaries compare exact integers (``cum·10 ≤ total·8``), so no
+    float boundary can flip between engines.
+
+    Scale shape: the per-customer aggregate is two-phase; the running sum
+    is a GLOBAL ordered window — the one legitimately global window in
+    the repo (output is customer-sized, not fact-sized; at extreme
+    customer counts, two-pass per-partition-prefix-sum replaces it)."""
+    cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_c100")
+        )
+    )
+    w_run = (
+        W.orderBy(F.desc("rev_c100"), F.asc("o_custkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy()
+    ranked = cust.select(
+        "o_custkey",
+        "rev_c100",
+        F.sum("rev_c100").over(w_run).cast("bigint").alias("cum_c100"),
+        F.sum("rev_c100").over(w_all).cast("bigint").alias("total_c100"),
+    )
+    return (
+        ranked.select(
+            "o_custkey",
+            "rev_c100",
+            F.round(
+                F.col("cum_c100").cast("double") / F.col("total_c100"), 6
+            ).alias("cum_share"),
+            F.when(
+                F.col("cum_c100") * 10 <= F.col("total_c100") * 8, "A"
+            )
+            .when(F.col("cum_c100") * 100 <= F.col("total_c100") * 95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+        .orderBy(F.desc("rev_c100"), "o_custkey")
+        .limit(500)
+    )
+
+
+@register(
+    "sales_yoy_growth",
+    """
+    WITH yearly AS (
+        SELECT n_name, year(o_orderdate) AS yr,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c100
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name, yr
+    )
+    SELECT cur.n_name, cur.yr, cur.rev_c100,
+           round(CAST(cur.rev_c100 AS DOUBLE) / prev.rev_c100 - 1, 6)
+               AS yoy_growth
+    FROM yearly cur
+    JOIN yearly prev ON cur.n_name = prev.n_name AND cur.yr = prev.yr + 1
+    ORDER BY cur.n_name, cur.yr
+    """,
+    tags=("tpch", "analytics"),
+)
+def sales_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth per nation: an aggregate self-joined to
+    itself at ``yr = yr + 1`` — the TPC-DS-style reporting shape (the
+    window-lag formulation is equivalent; the self-join form is the one
+    that generalizes to non-adjacent comparisons and is the classic
+    optimizer test for aggregate reuse). Growth divides two exact
+    BIGINTs and rounds once."""
+    yearly = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_c100")
+        )
+    )
+    prev = yearly.select(
+        F.col("n_name").alias("p_name"),
+        F.col("yr").alias("p_yr"),
+        F.col("rev_c100").alias("p_rev"),
+    )
+    return (
+        yearly.join(
+            prev,
+            (F.col("n_name") == F.col("p_name"))
+            & (F.col("yr") == F.col("p_yr") + 1),
+        )
+        .select(
+            "n_name",
+            "yr",
+            "rev_c100",
+            F.round(
+                F.col("rev_c100").cast("double") / F.col("p_rev") - 1, 6
+            ).alias("yoy_growth"),
+        )
+        .orderBy("n_name", "yr")
+    )
+
+
+@register(
+    "window_offset_rows_frame",
+    """
+    SELECT event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 6)
+               AS prior3_avg
+    FROM events
+    """,
+    tags=("window",),
+)
+def window_offset_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An OFFSET rows frame that excludes the current row — the trailing
+    baseline (`avg of the previous 3 events`) used for anomaly scoring
+    ("is this value out of line with what this user just did"). First
+    event per user has an empty frame → NULL baseline, preserved."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, -1)
+    )
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.avg("value").over(w), 6).alias("prior3_avg"),
+    )
