@@ -418,3 +418,38 @@ def agg_listagg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_histogram_exact",
+    """
+    SELECT CAST(least(floor((p_retailprice - 900.0) / 2.0), 9) AS BIGINT)
+               AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(p_retailprice), 2) AS lo,
+           round(max(p_retailprice), 2) AS hi
+    FROM part
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("agg",),
+)
+def agg_histogram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-width histogram (width_bucket semantics via integer
+    banding): 10 × $2 buckets over the retail-price range, last bucket
+    clamped — the ORACLED arm of the histogram pair (`agg_histogram` is
+    the engine-sketch arm, rows-only by nature). Bucketing is
+    ``floor((x - lo)/w)`` on exact inputs, a single two-phase aggregate."""
+    p = load(spark, sf_dir, "part")
+    bucket = F.least(
+        F.floor((F.col("p_retailprice") - 900.0) / 2.0), F.lit(9)
+    ).cast("bigint")
+    return (
+        p.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("p_retailprice"), 2).alias("lo"),
+            F.round(F.max("p_retailprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

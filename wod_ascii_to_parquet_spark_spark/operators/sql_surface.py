@@ -582,3 +582,34 @@ def subquery_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS n_not_exists
         """
     )
+
+
+@register(
+    "subquery_exists_flag",
+    """
+    SELECT c_custkey,
+           EXISTS(SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_totalprice > 400000) AS has_big_order
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    tags=("subquery",),
+)
+def subquery_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a PROJECTED boolean (not a filter): every customer kept,
+    annotated with whether a large order exists — the existence-join
+    shape, which Spark decorrelates to a LEFT OUTER join + null test
+    instead of a semi-join (semi would drop the FALSE rows)."""
+    for t in ("orders", "customer"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"__{t}_ef")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               EXISTS(SELECT 1 FROM __orders_ef
+                      WHERE o_custkey = c_custkey
+                        AND o_totalprice > 400000) AS has_big_order
+        FROM __customer_ef
+        ORDER BY c_custkey
+        """
+    )
