@@ -322,3 +322,11 @@ def test_shuffle_hash_hint_switches_strategy(spark):
     plan = plan_of(spark, "join_shuffle_hash_hint")
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_projected_exists_plans_existence_join(spark):
+    """EXISTS in the projection must decorrelate to an ExistenceJoin
+    (keeps FALSE rows), not a semi-join (which would drop them)."""
+    df = QUERIES["subquery_exists_flag"].fn(spark, SF_DIR)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ExistenceJoin" in opt
