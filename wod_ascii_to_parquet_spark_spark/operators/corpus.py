@@ -427,3 +427,56 @@ def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "c")
         .orderBy(F.desc("c"), "token")
     )
+
+
+@register(
+    "corpus_zipf_fit",
+    """
+    WITH cnt AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    ),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, token) AS r FROM cnt
+    )
+    SELECT round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6)
+               AS zipf_slope,
+           round(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6)
+               AS fit_r2,
+           CAST(count(*) AS BIGINT) AS vocab
+    FROM ranked
+    """,
+    tags=("corpus",),
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the token frequency distribution: regress
+    log(frequency) on log(rank) — slope ≈ −1 for natural language, and a
+    sharp deviation is the cheap corpus-health signal (template spam
+    flattens the head, OCR noise fattens the tail). Rank ties break by
+    token so both engines rank identically.
+
+    Scale shape: token counts are the usual map-side-combined aggregate;
+    the rank is one global window over the VOCABULARY (not the corpus);
+    the regression is Spark's built-in ``regr_*`` two-phase aggregate."""
+    d = spread(load(spark, sf_dir, "documents"))
+    from pyspark.sql import Window as W
+
+    cnt = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = cnt.select(
+        "c",
+        F.row_number()
+        .over(W.orderBy(F.desc("c"), F.asc("token")))
+        .alias("r"),
+    )
+    lc = F.log(F.col("c").cast("double"))
+    lr = F.log(F.col("r").cast("double"))
+    return ranked.agg(
+        F.round(F.regr_slope(lc, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(lc, lr), 6).alias("fit_r2"),
+        F.count(F.lit(1)).alias("vocab"),
+    )

@@ -841,3 +841,76 @@ def window_offset_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.avg("value").over(w), 6).alias("prior3_avg"),
     )
+
+
+@register(
+    "events_dau_wau",
+    """
+    WITH activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    contrib AS (
+        SELECT user_id, day + CAST(i AS INTEGER) AS wday, i = 0 AS is_today
+        FROM activity, unnest(generate_series(0, 6)) AS g(i)
+    ),
+    daily AS (
+        SELECT CAST(wday AS VARCHAR) AS day,
+               CAST(count(DISTINCT CASE WHEN is_today THEN user_id END)
+                    AS BIGINT) AS dau,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM contrib GROUP BY wday
+    )
+    SELECT day, dau, wau,
+           round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+    FROM daily
+    WHERE dau > 0
+    ORDER BY day
+    """,
+    tags=("window", "events"),
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day. Spark windows cannot
+    do COUNT(DISTINCT) over a sliding frame, so each (user, active-day)
+    contributes itself to the 7 future days it keeps the user "weekly
+    active" — a map-only ×7 explode of the ALREADY-distinct (user, day)
+    relation, then one exact distinct-count aggregate per day. Days with
+    no activity (dau=0, trailing-only) are excluded.
+
+    Scale shape: the explode multiplies the day-distinct activity
+    relation (users × days, tiny vs the fact table), never raw events;
+    the aggregate is the standard two-shuffle distinct expand."""
+    activity = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    contrib = activity.select(
+        "user_id",
+        "day",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+    ).select(
+        "user_id",
+        F.date_add(F.col("day"), F.col("i")).alias("wday"),
+        (F.col("i") == 0).alias("is_today"),
+    )
+    daily = contrib.groupBy(
+        F.col("wday").cast("string").alias("day")
+    ).agg(
+        F.count_distinct(
+            F.when(F.col("is_today"), F.col("user_id"))
+        ).alias("dau"),
+        F.count_distinct("user_id").alias("wau"),
+    )
+    return (
+        daily.filter(F.col("dau") > 0)
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
