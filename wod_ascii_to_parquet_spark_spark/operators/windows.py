@@ -914,3 +914,75 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "customer_rfm_segments",
+    """
+    WITH base AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate), TIMESTAMP '2001-09-01')
+                   AS recency_days,
+               count(*) AS frequency,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_c100
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey, recency_days, frequency, monetary_c100,
+               ntile(4) OVER (ORDER BY recency_days ASC, o_custkey) AS r_score,
+               ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+               ntile(4) OVER (ORDER BY monetary_c100 DESC, o_custkey) AS m_score
+        FROM base
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary_c100) AS BIGINT) AS segment_rev_c100
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+    tags=("window", "analytics"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer Recency (days before the dataset
+    horizon), Frequency, and Monetary value, each quartile-scored with
+    ``ntile(4)`` (custkey tie-break makes the tiles deterministic), then
+    rolled up to the 4×4×4 segment grid — the standard CRM cohorting
+    query. Scale note: the three global ntiles run over the CUSTOMER
+    aggregate, not the fact table; at extreme customer counts swap ntile
+    for percentile thresholds (`curation_quality_gate` pattern) to avoid
+    the single-partition window."""
+    base = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.lit("2001-09-01").cast("timestamp"), F.max("o_orderdate")
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_c100"),
+        )
+    )
+    scored = base.select(
+        "monetary_c100",
+        F.ntile(4)
+        .over(W.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(W.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(W.orderBy(F.desc("monetary_c100"), F.asc("o_custkey")))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary_c100").cast("bigint").alias("segment_rev_c100"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
