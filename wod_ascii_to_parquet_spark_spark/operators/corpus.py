@@ -527,3 +527,93 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(100)
     )
+
+
+@register(
+    "basket_association_rules",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    singles AS (
+        SELECT l_partkey, count(*) AS n_part FROM items GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_ab
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY part_a, part_b
+        HAVING count(*) >= 3
+    ),
+    orders_n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items)
+    SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+           round(CAST(n_ab AS DOUBLE) / sa.n_part, 6) AS confidence,
+           round(CAST(n_ab AS DOUBLE) * n_orders / (sa.n_part * sb.n_part), 6)
+               AS lift
+    FROM pairs
+    JOIN singles sa ON sa.l_partkey = part_a
+    JOIN singles sb ON sb.l_partkey = part_b
+    CROSS JOIN orders_n
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 50
+    """,
+    tags=("analytics",),
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the 2-itemsets: confidence P(b|a) and lift
+    P(a,b)/(P(a)P(b)) for co-purchased part pairs — the step after
+    candidate mining in A-priori. All ratios divide exact integer counts
+    (one rounding at the end); the total-orders scalar rides a 1-row
+    broadcast. Scale shape identical to `basket_part_pairs` plus two
+    partkey-keyed joins against the (part-sized) singles aggregate."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    singles = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    orders_n = items.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    sa = singles.select(
+        F.col("l_partkey").alias("pa"), F.col("n_part").alias("na")
+    )
+    sb = singles.select(
+        F.col("l_partkey").alias("pb"), F.col("n_part").alias("nb")
+    )
+    return (
+        pairs.join(sa, F.col("part_a") == F.col("pa"))
+        .join(sb, F.col("part_b") == F.col("pb"))
+        .join(F.broadcast(orders_n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(
+                F.col("n_ab").cast("double") / F.col("na"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n_orders")
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(50)
+    )

@@ -146,3 +146,61 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_fp"), "id")
         .limit(50)
     )
+
+
+@register(
+    "graph_triangle_count",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY u, v
+        HAVING count(*) >= 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e1.v = e2.u
+    JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v
+    """,
+    tags=("graph",),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the co-purchase graph (parts co-occurring in
+    ≥2 orders): the canonical distributed-graph benchmark. Edges are
+    oriented u < v, so each triangle u<v<w is counted exactly once by the
+    wedge-close join e(u,v) ⋈ e(v,w) ⋈ e(u,w) — two hash joins on node
+    keys, no node ever sees more than its neighborhood. At scale, orient
+    edges by DEGREE (low→high) instead of id to bound the wedge count by
+    O(E^1.5) on skewed graphs (standard Cohen's trick; id-orientation is
+    fine at the test graph's density)."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("v")
+    )
+    edges = (
+        a.join(b, (F.col("l_orderkey") == F.col("o2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    e1 = edges
+    e2 = edges.select(F.col("u").alias("u2"), F.col("v").alias("v2"))
+    e3 = edges.select(F.col("u").alias("u3"), F.col("v").alias("v3"))
+    return (
+        e1.join(e2, F.col("v") == F.col("u2"))
+        .join(
+            e3,
+            (F.col("u") == F.col("u3")) & (F.col("v2") == F.col("v3")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
