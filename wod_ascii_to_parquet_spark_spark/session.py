@@ -37,6 +37,16 @@ BUILD_CONFS: dict[str, str] = {
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
+    # Long single-JVM runs (bench executes every headliner 4×, the suite
+    # hundreds of queries) accumulate broadcast blocks and localCheckpoint
+    # RDDs whose cleanup is GC-driven; with the default 1g driver heap and
+    # the default 30min periodic-GC interval, a run can hit "Not enough
+    # memory to build and broadcast" before any cleanup happens. A real
+    # driver heap plus a tight periodic GC keeps block cleanup ahead of
+    # accumulation. (driver.memory only applies when THIS process launches
+    # the JVM — externally-owned sessions keep their own sizing.)
+    "spark.driver.memory": "8g",
+    "spark.cleaner.periodicGC.interval": "1min",
 }
 
 
