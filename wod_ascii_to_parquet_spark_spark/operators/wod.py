@@ -273,3 +273,30 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             center, "l_orderkey bigint, l_linenumber int, qty_centered double"
         )
     )
+
+
+@register("wod_datasource_scan", None, tags=("wod", "rows-only"))
+def wod_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 via the Spark 4 PYTHON DATASOURCE API: the same decoder exposed
+    as ``spark.read.format("wod_ascii")`` (``sources/wod_datasource.py``)
+    — a registered planner-visible source with one InputPartition per
+    (unsplittable-gzip) file, vs ``wod_ascii_scan``'s binaryFile +
+    mapInPandas plumbing. Both paths are pinned cast-identical in
+    ``tests/test_wod_datasource.py``."""
+    from ..sources.wod_datasource import register_wod_datasource
+
+    register_wod_datasource(spark)
+    df = spark.read.format("wod_ascii").load(
+        f"{WOD_FIXTURES}/XBT/OBS/XBTO1967.gz"
+    )
+    return (
+        df.filter(F.col("ok").isNotNull())
+        .select(
+            F.col("ok.dataset").alias("dataset"),
+            F.col("ok.castNumber").alias("castNumber"),
+            F.col("ok.year").alias("year"),
+            F.col("ok.latitude").alias("latitude"),
+            F.col("ok.longitude").alias("longitude"),
+            F.size("ok.depths").alias("n_levels"),
+        )
+    )
