@@ -1018,3 +1018,87 @@ def similarity_ann_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # queries ARE corpus vectors here → exclude the self-match
     return _adc_topk(encoded, probes, qtabs, k=3, exclude_self=True)
+
+
+@register(
+    "dedup_semdedup_prune",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    seeds AS (SELECT vec_id AS cell, emb AS cemb FROM e WHERE vec_id < 16),
+    assign AS (
+        SELECT vec_id, emb, cell FROM (
+            SELECT e.vec_id, e.emb, s.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_IVF_SCALED.format(a="e.emb", b="s.cemb")} DESC,
+                                s.cell
+                   ) AS rn
+            FROM e CROSS JOIN seeds s
+        ) WHERE rn = 1
+    ),
+    dropped AS (
+        SELECT a.cell, b.vec_id
+        FROM assign a JOIN assign b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {_IVF_COS.format(a="a.emb", b="b.emb")} >= 0.4
+        GROUP BY a.cell, b.vec_id
+    ),
+    sizes AS (SELECT cell, count(*) AS n_vectors FROM assign GROUP BY cell),
+    drops AS (SELECT cell, count(*) AS n_dropped FROM dropped GROUP BY cell)
+    SELECT s.cell, s.n_vectors,
+           coalesce(d.n_dropped, 0) AS n_dropped,
+           s.n_vectors - coalesce(d.n_dropped, 0) AS n_kept
+    FROM sizes s LEFT JOIN drops d ON d.cell = s.cell
+    """,
+    tags=("dedup", "similarity"),
+)
+def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540) as a complete prune, not
+    just candidate pairs: cluster the corpus with the map-only IVF
+    assignment, compare cosine ONLY within a cluster, and for every pair
+    above the threshold drop the higher ``vec_id`` (the paper keeps one
+    arbitrary member per semantic-duplicate set; lowest-id is that policy
+    made deterministic). Output is the per-cell audit a curation run
+    records: cluster size, drops, and the surviving count.
+
+    vs ``dedup_embedding_ann`` (same blocking, emits the PAIRS): this is
+    the decision layer — a vector is dropped when ANY earlier same-cell
+    vector covers it, so the grouped-distinct over pair right-sides is the
+    set-cover step. Scale shape is unchanged: Σ|cell|² cell-confined
+    comparisons, one extra |pairs|-sized distinct + two tiny aggregates;
+    at 100 TB cells come from a real √N-cell quantizer and the drop rate
+    (the paper's headline: ~50% of web corpora at τ≈0.95 with no quality
+    loss) is what this audit table measures per cell."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    seeds = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
+    )
+    assign = _ivf_assign(e, _seed_array(seeds))
+    a = assign.select(
+        F.col("vec_id").alias("vec_a"), "cell", F.col("emb").alias("emb_a")
+    )
+    b = assign.select(
+        F.col("vec_id").alias("vec_b"), "cell", F.col("emb").alias("emb_b")
+    )
+    from .dedup import cosine
+
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cosine(F.col("emb_a"), F.col("emb_b")) >= 0.4)
+        .select("cell", "vec_b")
+        .distinct()
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    sizes = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return sizes.join(dropped, "cell", "left").select(
+        "cell",
+        "n_vectors",
+        F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
+        (
+            F.col("n_vectors") - F.coalesce(F.col("n_dropped"), F.lit(0))
+        ).alias("n_kept"),
+    )

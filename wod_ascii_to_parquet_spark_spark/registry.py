@@ -220,6 +220,7 @@ def load_all_operators() -> dict[str, QueryDef]:
         scalar_funcs,
         scalar_funcs2,
         similarity,
+        spark4_surface,
         sql_surface,
         text,
         tpch_like,
