@@ -275,3 +275,37 @@ def test_foreach_batch_upsert_last_writer_wins(spark, tmp_path):
     assert got == {1: "z", 2: "c", 3: "d", 4: "e"}
     assert not os.path.exists(target + "__old")
     assert not os.path.exists(target + "__new")
+
+
+def test_transform_with_state_totals(spark, tmp_path):
+    """transformWithStateInPandas arm of the custom-stateful operator:
+    plan-level always (the TransformWithStateInPySpark node must appear);
+    execution + equality with the applyInPandasWithState arm only when the
+    protobuf runtime the TWS driver worker needs is installed."""
+    from wod_ascii_to_parquet_spark_spark.streaming.jobs import (
+        TWS_RUNTIME_AVAILABLE,
+        run_to_memory,
+        stateful_user_totals_tws,
+    )
+
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, [(1, 1, 7, "click", 1.5), (2, 2, 7, "click", 2.5)], "b0")
+    _write_batch(spark, src, [(3, 3, 7, "click", 3.0), (4, 4, 9, "view", 1.0)], "b1")
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    out = stateful_user_totals_tws(stream)
+    assert "transformWithState" in out._jdf.queryExecution().logical().toString()
+
+    if not TWS_RUNTIME_AVAILABLE:
+        import pytest
+
+        pytest.skip("google.protobuf absent: TWS python runner cannot start")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    rows = run_to_memory(out, "tws_sink", "update")
+    finals = {}
+    for r in rows.collect():
+        finals[r.user_id] = max(finals.get(r.user_id, (0, 0.0)), (r.n, r.total))
+    assert finals[7] == (3, 7.0)
+    assert finals[9] == (1, 1.0)

@@ -264,3 +264,67 @@ def run_foreach_batch_upsert(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def _tws_runtime_available() -> bool:
+    """``transformWithStateInPandas`` plans in any Spark 4 session, but its
+    EXECUTION spawns a streaming Python driver worker that speaks protobuf
+    (``google.protobuf``) to the JVM. This container ships no protobuf, so
+    the plan builds and then the query crashes at start — the honest gate
+    (same policy as multimodal's REAL_CODECS_AVAILABLE) is importability."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+TWS_RUNTIME_AVAILABLE = _tws_runtime_available()
+
+
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running (count, value sum) via ``transformWithStateInPandas``
+    — Spark 4's successor to ``applyInPandasWithState`` and the API custom
+    stateful operators should target going forward: state is named TYPED
+    handles acquired in ``init`` (ValueState here; ListState/MapState for
+    richer shapes, optional TTL per state) instead of one positional
+    tuple, timers are first-class (``handle.registerTimer``) instead of a
+    single timeout conf, and the processor object carries the lifecycle
+    (``init``/``handleInputRows``/``close``).
+
+    Semantics intentionally identical to :func:`stateful_user_totals` so
+    the two APIs are pinned against each other when the runtime is
+    available (tests/test_streaming.py; plan-level assertion always runs).
+    Requires the RocksDB state store provider — set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...state.RocksDBStateStoreProvider`` before starting the query."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState("totals", "n bigint, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._st.get() if self._st.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._st.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "total": [round(total, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Totals(),
+        outputStructType="user_id bigint, n bigint, total double",
+        outputMode="Update",
+        timeMode="None",
+    )
