@@ -309,3 +309,105 @@ def test_transform_with_state_totals(spark, tmp_path):
         finals[r.user_id] = max(finals.get(r.user_id, (0, 0.0)), (r.n, r.total))
     assert finals[7] == (3, 7.0)
     assert finals[9] == (1, 1.0)
+
+
+def test_stream_stream_outer_interval_join_null_timing(spark, tmp_path):
+    """Left-outer stream-stream join: the unmatched view's NULL row is held
+    back until the watermark closes its join window, then emitted; the
+    final streamed set equals the batch left join."""
+    from wod_ascii_to_parquet_spark_spark.streaming.jobs import interval_join
+
+    views_dir = str(tmp_path / "views")
+    buys_dir = str(tmp_path / "buys")
+    # user 1: view@0 converts (purchase@20); view@50 never converts.
+    _write_batch(spark, views_dir, [(1, 0, 1, "view", 1.0),
+                                    (2, 50, 1, "view", 1.0)], "b0")
+    _write_batch(spark, buys_dir, [(100, 20, 1, "purchase", 9.0)], "b0")
+
+    joined = interval_join(
+        read_event_stream(spark, views_dir, max_files_per_trigger=1),
+        read_event_stream(spark, buys_dir, max_files_per_trigger=1),
+        how="left_outer",
+    )
+    early = {
+        (r.view_id, r.purchase_id)
+        for r in run_to_memory(joined, "ssjoin_outer_early", "append").collect()
+    }
+    # watermark (1h) has not passed view@50's window end (50m+30m+60m):
+    # only the matched pair is out; the null row is still in state.
+    assert early == {(1, 100)}
+
+    # a far-future event on BOTH sides advances both watermarks past every
+    # earlier window; the held-back null row must now flush.
+    _write_batch(spark, views_dir, [(3, 600, 9, "view", 1.0)], "b1")
+    _write_batch(spark, buys_dir, [(101, 600, 9, "purchase", 9.0)], "b1")
+    joined2 = interval_join(
+        read_event_stream(spark, views_dir, max_files_per_trigger=1),
+        read_event_stream(spark, buys_dir, max_files_per_trigger=1),
+        how="left_outer",
+    )
+    late = {
+        (r.view_id, r.purchase_id)
+        for r in run_to_memory(joined2, "ssjoin_outer_late", "append").collect()
+    }
+    assert (2, None) in late, late
+    assert (1, 100) in late
+
+    def batch_side(d):
+        return (
+            spark.read.schema(
+                "event_id bigint, ts bigint, user_id bigint, "
+                "event_type string, value double, props string"
+            )
+            .parquet(d)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    batch = {
+        (r.view_id, r.purchase_id)
+        for r in interval_join(
+            batch_side(views_dir), batch_side(buys_dir), how="left_outer"
+        ).collect()
+    }
+    assert late == batch
+
+
+def test_available_now_drains_and_resumes(spark, tmp_path):
+    """Trigger.AvailableNow: each invocation drains exactly the new input
+    then terminates; the checkpoint keeps replays exactly-once."""
+    from wod_ascii_to_parquet_spark_spark.streaming.jobs import run_available_now
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, src, [(1, 1, 1, "click", 1.0), (2, 2, 2, "view", 2.0)], "b0")
+
+    run_available_now(
+        read_event_stream(spark, src, max_files_per_trigger=1).select(
+            "event_id", "ts", "user_id"
+        ),
+        out,
+        ckpt,
+    )
+    assert spark.read.parquet(out).count() == 2
+
+    # rerun with no new data: terminates immediately, emits nothing
+    run_available_now(
+        read_event_stream(spark, src, max_files_per_trigger=1).select(
+            "event_id", "ts", "user_id"
+        ),
+        out,
+        ckpt,
+    )
+    assert spark.read.parquet(out).count() == 2
+
+    # new file: only the delta lands
+    _write_batch(spark, src, [(3, 3, 3, "click", 3.0)], "b1")
+    run_available_now(
+        read_event_stream(spark, src, max_files_per_trigger=1).select(
+            "event_id", "ts", "user_id"
+        ),
+        out,
+        ckpt,
+    )
+    assert sorted(r.event_id for r in spark.read.parquet(out).collect()) == [1, 2, 3]

@@ -411,3 +411,33 @@ def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         stateful_user_totals(ev), "stream_custom_stateful_sink", "update"
     )
+
+
+@register(
+    "stream_interval_join_outer",
+    """
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           v.user_id AS user_id, v.ts AS view_ts, p.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming",),
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join in batch mode: views with no
+    same-user purchase in the following 30 minutes survive with NULL
+    purchase columns — the attribution query that also reports the
+    unconverted views. Streaming-mode emission timing (null rows held
+    until the watermark closes each view's join window) is pinned in
+    tests/test_streaming.py; on batch inputs the watermark is a no-op and
+    the result equals this plain left interval join."""
+    from .jobs import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    return interval_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        how="left_outer",
+    )

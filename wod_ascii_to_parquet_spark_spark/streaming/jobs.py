@@ -106,9 +106,10 @@ def interval_join(
     purchases: DataFrame,
     horizon: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: each purchase pairs with the same user's
-    views from the preceding ``horizon``.
+    """Stream-stream join: each purchase pairs with the same user's views
+    from the preceding ``horizon``.
 
     Both sides carry watermarks and the join condition bounds event time
     in BOTH directions (``view_ts <= purchase_ts <= view_ts + horizon``),
@@ -116,7 +117,15 @@ def interval_join(
     its horizon — without the time bound, stream-stream join state grows
     forever. On batch DataFrames ``withWatermark`` is a no-op and this is
     a plain interval join, which is what lets one definition serve the
-    oracled batch query AND the streaming behavior tests."""
+    oracled batch query AND the streaming behavior tests.
+
+    ``how='left_outer'``: unmatched views additionally emit with NULL
+    purchase columns — but only once the watermark proves no future
+    purchase can still match (the row's join window must close), so an
+    outer stream result is eventually-equal to the batch left join rather
+    than per-trigger-equal. That's the semantics difference the outer
+    tests pin: null rows appear ONLY after event time advances past
+    view_ts + horizon + watermark."""
     v = views.select(
         F.col("event_id").alias("view_id"),
         F.col("user_id").alias("v_user"),
@@ -132,6 +141,7 @@ def interval_join(
         (F.col("v_user") == F.col("p_user"))
         & (F.col("view_ts") <= F.col("purchase_ts"))
         & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+        how,
     ).select(
         "view_id",
         "purchase_id",
@@ -328,3 +338,28 @@ def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def run_available_now(
+    df: DataFrame, out_dir: str, checkpoint_dir: str, output_mode: str = "append"
+):
+    """Drain-everything-then-stop file-sink run via ``Trigger.AvailableNow``
+    — the deployment mode for INCREMENTAL BATCH: a scheduled job (cron,
+    not a resident cluster) that each invocation processes exactly the
+    data that arrived since the last run, in rate-limited micro-batches,
+    and exits. Same checkpoint + sink-commit-log exactly-once contract as
+    the resident stream; unlike ``processAllAvailable`` (a test barrier on
+    a running query) the trigger itself guarantees termination, so the
+    pattern survives driver schedulers that kill idle jobs. This is the
+    engine-managed replacement for the reference's re-run-and-skip
+    ``_SUCCESS`` file loop (DatasetYearTrain.java:89-94) at directory
+    granularity."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
