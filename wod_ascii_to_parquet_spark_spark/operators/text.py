@@ -390,3 +390,61 @@ def udtf_ngram_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT g.doc_id, g.gram"
         " FROM wg_udtf_docs t, LATERAL wg_ngram_udtf(t.doc_id, t.text) g"
     )
+
+
+@register(
+    "text_quality_logistic",
+    """
+    WITH f AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_filter(string_split(text, ' '),
+                               t -> list_contains(['the','a','of','and','to'], t)))
+                   AS n_stop,
+               length(text) AS n_len
+        FROM documents
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(
+               -2.0
+               + 6.0 * (n_stop / CAST(n_tok AS DOUBLE))
+               + 0.3 * (n_len / CAST(n_tok AS DOUBLE))
+               + 0.2 * ln(n_tok)
+           ))), 6) AS q_score,
+           CASE WHEN round(1.0 / (1.0 + exp(-(
+               -2.0
+               + 6.0 * (n_stop / CAST(n_tok AS DOUBLE))
+               + 0.3 * (n_len / CAST(n_tok AS DOUBLE))
+               + 0.2 * ln(n_tok)
+           ))), 6) >= 0.5 THEN 1 ELSE 0 END AS accept
+    FROM f
+    """,
+    tags=("text",),
+)
+def text_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring as a CLASSIFIER IN THE PLAN: a logistic
+    regression over the heuristic features (stopword density, average
+    token length, log document length) evaluated as a pure Catalyst
+    expression — the deployment shape of fastText/DSIR-style quality
+    filters at 100 TB, where the trained model's linear layer is folded
+    into the scan (map-only, codegen'd, no Python) instead of shipped as
+    a UDF. Weights here are fixed literals standing in for trained
+    coefficients; the accept gate compares the ROUNDED score so the
+    cross-engine decision boundary is identical even at float-ulp
+    distance. Complements `text_quality` (the hard-threshold gates) and
+    `corpus_surprisal` (the unigram-LM arm)."""
+    d = load(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tok = F.size(toks).cast("double")
+    z = (
+        F.lit(-2.0)
+        + 6.0 * (_nhits(toks, STOPWORDS["en"]).cast("double") / n_tok)
+        + 0.3 * (F.length("text").cast("double") / n_tok)
+        + 0.2 * F.log(F.size(toks).cast("double"))
+    )
+    score = F.round(1.0 / (1.0 + F.exp(-z)), 6)
+    return d.select(
+        "doc_id",
+        score.alias("q_score"),
+        F.when(score >= 0.5, 1).otherwise(0).alias("accept"),
+    )
