@@ -242,3 +242,94 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).select(F.lit("ALL").alias("o_orderstatus"), "approx_customers")
     return per_group.unionAll(overall)
+
+
+@register(
+    "sql_recursive_cte",
+    """
+    WITH RECURSIVE chain(start_key, cur_key, depth) AS (
+        SELECT o_orderkey, o_orderkey, 0 FROM orders
+            WHERE o_orderkey >= 1 AND o_orderkey < 10
+        UNION ALL
+        SELECT c.start_key, o.o_orderkey, c.depth + 1
+        FROM chain c JOIN orders o ON o.o_orderkey = c.cur_key * 2
+    )
+    SELECT start_key, CAST(max(depth) AS BIGINT) AS max_depth,
+           max(cur_key) AS last_key
+    FROM chain GROUP BY start_key
+    """,
+    tags=("sql", "spark4"),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (Spark 4.1's `WITH RECURSIVE`) with DATA-DEPENDENT
+    depth: starting from the orderkeys below 10, each step rejoins the
+    frontier against the orders table at twice the current key, so the
+    recursion walks the doubling chains actually present in the data and
+    terminates when a chain's next key is absent — per-start depths
+    differ, which is exactly what a fixed self-join stack can't express.
+    This is the hierarchy/reachability surface (org charts, BOM
+    explosions, graph closure) in its engine-native form; the iterative
+    DataFrame loops (`graph_pagerank`, `dedup_cluster_assign`) remain the
+    scale path when the frontier itself is 100 TB-sized, since each
+    recursive step here is a full plan segment under one query. DuckDB
+    runs the identical statement (both engines implement the SQL:1999
+    recursion semantics), making this fully hash-checked."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__orders_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(start_key, cur_key, depth) AS (
+            SELECT o_orderkey, o_orderkey, 0 FROM __orders_rcte
+            WHERE o_orderkey >= 1 AND o_orderkey < 10
+            UNION ALL
+            SELECT c.start_key, o.o_orderkey, c.depth + 1
+            FROM chain c JOIN __orders_rcte o ON o.o_orderkey = c.cur_key * 2
+        )
+        SELECT start_key, CAST(max(depth) AS BIGINT) AS max_depth,
+               max(cur_key) AS last_key
+        FROM chain GROUP BY start_key
+        """
+    )
+
+
+@register(
+    "sql_scripting_threshold",
+    """
+    WITH k AS (
+        SELECT n FROM (SELECT unnest(generate_series(0, 62)) AS n)
+        WHERE (SELECT count(*) FROM orders
+               WHERE o_totalprice > 1000.0 * power(2, n)) < 100
+        ORDER BY n LIMIT 1
+    )
+    SELECT CAST(1000.0 * power(2, k.n) AS DOUBLE) AS threshold,
+           (SELECT count(*) FROM orders
+            WHERE o_totalprice > 1000.0 * power(2, k.n)) AS n_above
+    FROM k
+    """,
+    tags=("sql", "spark4"),
+)
+def sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4's `BEGIN ... END` procedural blocks):
+    DECLARE'd variables and a WHILE loop that keeps doubling a price
+    threshold until fewer than 100 orders exceed it — a data-dependent
+    fixpoint driven entirely inside the SQL layer, the shape ops
+    runbooks and migration scripts use (no Python driver loop, no
+    round-trips: the script is one statement to the engine). The last
+    statement's result is the script's result. DuckDB has no scripting,
+    so the oracle computes the same fixpoint declaratively: the minimal
+    doubling count whose survivor set is below the limit."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__orders_script")
+    return spark.sql(
+        """
+        BEGIN
+            DECLARE thr DOUBLE DEFAULT 1000.0;
+            DECLARE n_above BIGINT DEFAULT 0;
+            SET n_above = (SELECT count(*) FROM __orders_script WHERE o_totalprice > thr);
+            WHILE n_above >= 100 DO
+                SET thr = thr * 2;
+                SET n_above = (SELECT count(*) FROM __orders_script WHERE o_totalprice > thr);
+            END WHILE;
+            SELECT thr AS threshold, n_above AS n_above;
+        END
+        """
+    )
