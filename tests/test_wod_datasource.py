@@ -58,3 +58,98 @@ def test_datasource_missing_path_fails(spark):
     register_wod_datasource(spark)
     with pytest.raises(Exception):
         spark.read.format("wod_ascii").load("/nonexistent/nowhere").count()
+
+
+def test_wod_datasource_streaming_incremental(spark, tmp_path):
+    """readStream.format("wod_ascii"): each new file becomes exactly one
+    incremental batch; counts accumulate and nothing is reprocessed (the
+    file-set offsets make batch replay content-stable)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from wod_ascii_to_parquet_spark_spark.sources.wod_datasource import (
+        register_wod_datasource,
+    )
+
+    register_wod_datasource(spark)
+    src = tmp_path / "incoming"
+    (src / "APB" / "OBS").mkdir(parents=True)
+    (src / "CTD" / "OBS").mkdir(parents=True)
+    fixtures = "/root/reference/src/test/resources/wod"
+    shutil.copy(f"{fixtures}/APB/OBS/APBO1997.gz", src / "APB" / "OBS" / "APBO1997.gz")
+
+    stream = spark.readStream.format("wod_ascii").load(str(src))
+    counts = stream.groupBy(F.col("ok.dataset").alias("ds")).count()
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("wod_ds_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {r.ds: r["count"] for r in spark.table("wod_ds_stream").collect()}
+        assert set(first) == {"APB"} and first["APB"] > 0
+
+        # second file arrives: only the delta is decoded, totals accumulate
+        shutil.copy(f"{fixtures}/CTD/OBS/CTDO1971.gz", src / "CTD" / "OBS" / "CTDO1971.gz")
+        q.processAllAvailable()
+        second = {r.ds: r["count"] for r in spark.table("wod_ds_stream").collect()}
+        assert second["APB"] == first["APB"]  # not reprocessed
+        assert second.get("CTD", 0) > 0
+
+        # no new files: another drain changes nothing
+        q.processAllAvailable()
+        third = {r.ds: r["count"] for r in spark.table("wod_ds_stream").collect()}
+        assert third == second
+    finally:
+        q.stop()
+
+
+def test_wod_datasource_stream_equals_batch(spark, tmp_path):
+    """The streamed cast set equals the batch DataSource read of the same
+    directory — one decoder, two planner surfaces."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from wod_ascii_to_parquet_spark_spark.sources.wod_datasource import (
+        register_wod_datasource,
+    )
+
+    register_wod_datasource(spark)
+    src = tmp_path / "dirin"
+    (src / "APB" / "OBS").mkdir(parents=True)
+    (src / "CTD" / "OBS").mkdir(parents=True)
+    fixtures = "/root/reference/src/test/resources/wod"
+    shutil.copy(f"{fixtures}/APB/OBS/APBO1997.gz", src / "APB" / "OBS" / "APBO1997.gz")
+    shutil.copy(f"{fixtures}/CTD/OBS/CTDO1971.gz", src / "CTD" / "OBS" / "CTDO1971.gz")
+
+    stream = spark.readStream.format("wod_ascii").load(str(src))
+    key = stream.select(
+        F.col("ok.dataset").alias("ds"), F.col("ok.castNumber").alias("cn")
+    )
+    q = (
+        key.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wod_ds_flat")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r.ds, r.cn) for r in spark.table("wod_ds_flat").collect()
+    }
+    batch = {
+        (r.ds, r.cn)
+        for r in spark.read.format("wod_ascii")
+        .load(str(src))
+        .select(
+            F.col("ok.dataset").alias("ds"), F.col("ok.castNumber").alias("cn")
+        )
+        .collect()
+    }
+    assert streamed == batch and streamed

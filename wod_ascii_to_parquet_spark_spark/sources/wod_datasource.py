@@ -25,7 +25,12 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from ..schemas import PARSED
 
@@ -86,7 +91,59 @@ class WodAsciiDataSource(DataSource):
     def reader(self, schema) -> WodAsciiReader:
         return WodAsciiReader(self.options)
 
+    def streamReader(self, schema) -> "WodAsciiStreamReader":
+        return WodAsciiStreamReader(self.options)
+
 
 def register_wod_datasource(spark) -> None:
     """Idempotently register the format with a session."""
     spark.dataSource.register(WodAsciiDataSource)
+
+
+class WodAsciiStreamReader(DataSourceStreamReader):
+    """Streaming arm of the same format: ``spark.readStream.format
+    ("wod_ascii").load(dir)`` incrementally decodes WOD files as they
+    arrive — the engine-managed version of the reference's re-run-and-
+    skip driver loop (``DatasetYearTrain.java:89-94``), where "which
+    files are done" lives in the checkpoint's offset log instead of
+    ``_SUCCESS`` markers.
+
+    Offsets carry the SORTED FILE LIST itself (like the built-in file
+    source's offset log), not a count: a batch is exactly
+    ``set(end.files) − set(start.files)``, so discovery-order quirks
+    (a late file that sorts earlier than an already-processed one) can
+    never shift a replayed batch's contents — replay of (start, end] is
+    bit-identical, which is what makes the checkpoint contract
+    exactly-once. One InputPartition per new file (gzip is unsplittable);
+    at real scale the offset list is the same growth class as the
+    built-in file source's log (compaction is its standard answer)."""
+
+    def __init__(self, options: dict) -> None:
+        root = options.get("path")
+        if not root:
+            raise ValueError("wod_ascii: .load(path) is required")
+        self.root = root
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        return {"files": _discover(self.root)}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        new = sorted(set(end["files"]) - set(start["files"]))
+        # Spark requires >= 1 partition per batch; an empty marker
+        # partition yields no rows.
+        return [WodFilePartition(p) for p in new] or [WodFilePartition("")]
+
+    def read(self, partition: WodFilePartition) -> Iterator[tuple]:
+        if not partition.path:
+            return
+        from .wod_ascii import parse_file_content
+
+        with open(partition.path, "rb") as fh:
+            content = fh.read()
+        yield from parse_file_content(partition.path, content)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean: source files are immutable inputs
