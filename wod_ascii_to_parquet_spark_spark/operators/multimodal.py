@@ -306,3 +306,48 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame").cast("int").alias("frame_idx"),
         (F.col("frame") * 100).cast("bigint").alias("byte_offset"),
     )
+
+
+@register(
+    "multimodal_decode_arrow",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           CASE WHEN length(text) > 0 THEN ascii(substring(text, 1, 1))
+                ELSE -1 END AS first_byte
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_decode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``mapInArrow`` arm of the decode stage: RecordBatches flow
+    straight from the JVM into pyarrow compute kernels — no pandas
+    materialization of the blob column at all, which is the difference
+    that matters when the blobs ARE the data (a pandas round-trip copies
+    every image byte into Python objects; Arrow keeps them in the shared
+    buffer the JVM wrote). ``binary_length`` runs vectorized; the
+    first-byte extraction stands in for a codec's magic-number sniff.
+    Fully oracled because the fake blob is utf8(text) and the corpus is
+    ASCII: first utf8 byte == code point of the first character, which
+    DuckDB computes independently. The richer fake-feature kernel stays
+    on ``multimodal_decode_stub`` (mapInPandas, rows-only)."""
+    b = _with_blob(spark, sf_dir).select("doc_id", "blob")
+
+    def run(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            blob = batch.column(1)
+            n_bytes = pc.cast(pc.binary_length(blob), pa.int64())
+            # magic-number sniff: first byte, -1 for empty blobs
+            firsts = pa.array(
+                [(b[0] if len(b) else -1) for b in blob.to_pylist()],
+                type=pa.int32(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), n_bytes, firsts],
+                ["doc_id", "n_bytes", "first_byte"],
+            )
+
+    return b.mapInArrow(run, "doc_id bigint, n_bytes bigint, first_byte int")
