@@ -12,9 +12,11 @@ even though the job itself writes files). `tests/test_curate_e2e.py`
 pins the written corpus to the oracled stats.
 
 Scale notes (100 TB):
-- The flag frame is persisted once and reused by the write and the stats
-  aggregate (at cluster scale prefer DISK_ONLY or a staging parquet
-  landing; locally MEMORY_AND_DISK is fine and is released on return).
+- Per-stage stats are collected IN-FLIGHT with the Observation API
+  (``df.observe``): the metrics accumulate on the executors while the
+  write's one pass streams by, so the audit costs zero extra scans and
+  the flag frame needs no persist/cache at any scale — at 100 TB that
+  is the difference between one pass and two (or a corpus-sized cache).
 - The write shuffles once on shard (hash) and sorts within partitions by
   (bin, doc_id) so each shard file is in training order; shard count is
   the downstream loader parallelism.
@@ -54,56 +56,58 @@ def curate_corpus(
     ``_STATS.json`` beside ``_SUCCESS`` (stats last = completion marker
     for the pair, same convention as the conversion pipeline's sidecar).
     """
-    flags = pipeline_flag_frame(spread(load(spark, sf_dir, "documents"))).persist()
-    try:
-        kept_cond = (
-            (F.col("doc_id") >= EVAL_DOCS)
-            & (F.col("qf") == 0)
-            & (F.col("ed") == 0)
-            & (F.col("nd") == 0)
-            & (F.col("cd") == 0)
-        )
-        kept = flags.filter(kept_cond).select(
-            "doc_id", "text", "lang", "source", "ntok"
-        )
-        shard = F.pmod(F.col("doc_id"), F.lit(n_shards))
-        w = W.partitionBy("shard").orderBy("doc_id")
-        packed = (
-            kept.withColumn("shard", shard.cast("int"))
-            .withColumn(
-                "bin",
-                F.floor(
-                    (F.sum("ntok").over(w) - F.col("ntok")) / F.lit(pack_budget)
-                ).cast("int"),
-            )
-        )
-        (
-            packed.repartition(F.col("shard"))
-            .sortWithinPartitions("shard", "bin", "doc_id")
-            .write.mode("overwrite")
-            # static overwrite: the job owns the directory, and the dynamic
-            # committer skips the _SUCCESS marker (see plans/convert.py).
-            .option("partitionOverwriteMode", "static")
-            .partitionBy("shard")
-            .parquet(out_dir)
-        )
+    from pyspark.sql import Observation
 
-        row = flags.agg(
-            F.count(F.lit(1)).alias("n_total"),
-            F.sum("qf").alias("n_quality_fail"),
-            F.sum("ed").alias("n_exact_dup"),
-            F.sum("nd").alias("n_near_dup"),
-            F.sum("cd").alias("n_contaminated"),
-            F.sum(F.when(kept_cond, 1).otherwise(0)).alias("n_kept"),
-            F.sum(F.when(kept_cond, F.col("ntok")).otherwise(0)).alias(
-                "tok_kept"
-            ),
-        ).first()
-        stats = {k: int(row[k]) for k in row.asDict()}
-        stats["n_shards"] = n_shards
-        stats["pack_budget"] = pack_budget
-        with open(os.path.join(out_dir, STATS_FILE), "w") as fh:
-            json.dump(stats, fh, sort_keys=True)
-        return stats
-    finally:
-        flags.unpersist()
+    flags = pipeline_flag_frame(spread(load(spark, sf_dir, "documents")))
+    kept_cond = (
+        (F.col("doc_id") >= EVAL_DOCS)
+        & (F.col("qf") == 0)
+        & (F.col("ed") == 0)
+        & (F.col("nd") == 0)
+        & (F.col("cd") == 0)
+    )
+    # In-flight audit: observe() rides the write's single pass over the
+    # flag frame — no second aggregate job, no persist.
+    obs = Observation("curate_stats")
+    flags = flags.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("qf").alias("n_quality_fail"),
+        F.sum("ed").alias("n_exact_dup"),
+        F.sum("nd").alias("n_near_dup"),
+        F.sum("cd").alias("n_contaminated"),
+        F.sum(F.when(kept_cond, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(kept_cond, F.col("ntok")).otherwise(0)).alias("tok_kept"),
+    )
+    kept = flags.filter(kept_cond).select(
+        "doc_id", "text", "lang", "source", "ntok"
+    )
+    shard = F.pmod(F.col("doc_id"), F.lit(n_shards))
+    w = W.partitionBy("shard").orderBy("doc_id")
+    packed = (
+        kept.withColumn("shard", shard.cast("int"))
+        .withColumn(
+            "bin",
+            F.floor(
+                (F.sum("ntok").over(w) - F.col("ntok")) / F.lit(pack_budget)
+            ).cast("int"),
+        )
+    )
+    (
+        packed.repartition(F.col("shard"))
+        .sortWithinPartitions("shard", "bin", "doc_id")
+        .write.mode("overwrite")
+        # static overwrite: the job owns the directory, and the dynamic
+        # committer skips the _SUCCESS marker (see plans/convert.py).
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+
+    # The write above is the action that populated the observation.
+    stats = {k: int(v) for k, v in obs.get.items()}
+    stats["n_shards"] = n_shards
+    stats["pack_budget"] = pack_budget
+    with open(os.path.join(out_dir, STATS_FILE), "w") as fh:
+        json.dump(stats, fh, sort_keys=True)
+    return stats
