@@ -149,6 +149,25 @@ def _has_stale_temp(fs: FsClient, path: str) -> bool:
     return fs.is_dir(path) and fs.exists(_join(path, "_temporary"))
 
 
+def _write_error_channel(
+    spark: SparkSession,
+    fs: FsClient,
+    task: FileTask,
+    scatter: bool | None = None,
+) -> None:
+    """Materialize the per-file error store (one re-decode) if the file has
+    any malformed records; idempotent (overwrite). Called on the rare
+    errors-present path of :func:`convert_file` and on sidecar heals,
+    where the crash window means the channel may not have committed."""
+    if scatter is None:
+        scatter = fs.size(task.input_path) >= _SCATTER_MIN_BYTES
+    errs = errors(
+        wod_scan(spark, task.input_path, dataset=task.dataset, scatter=scatter)
+    )
+    if errs.limit(1).count() > 0:
+        errs.coalesce(1).write.mode("overwrite").parquet(task.error_path)
+
+
 def convert_file(spark: SparkSession, task: FileTask, overwrite: bool = False) -> str:
     """Convert one WOD file; returns 'converted' or 'skipped'.
 
@@ -162,12 +181,15 @@ def convert_file(spark: SparkSession, task: FileTask, overwrite: bool = False) -
         fs.delete(out)
         fs.delete(task.error_path)
     if _has_success(fs, out):
-        # The sidecar is written LAST, after the GeoParquet footer attach,
-        # so it is the publish-completion marker: a crash after the main
-        # commit but before/mid footer-attach heals here (both steps are
-        # idempotent) instead of forcing a rebuild.
+        # The sidecar is written LAST, after the error channel and the
+        # GeoParquet footer attach, so it is the publish-completion
+        # marker: a crash after the main commit but before publish
+        # completed heals here (every step is idempotent — the error
+        # channel is rebuilt from one re-decode, the footer attach and
+        # sidecar rewrite are restartable) instead of forcing a rebuild.
         sidecar = _join(out, SIDECAR_NAME)
         if not fs.exists(sidecar):
+            _write_error_channel(spark, fs, task)
             attach_geo_footer(fs, out, spark=spark)
             fs.write_bytes(sidecar, geo_sidecar_bytes())
         return "skipped"
@@ -176,22 +198,30 @@ def convert_file(spark: SparkSession, task: FileTask, overwrite: bool = False) -
     # across all cores) for files big enough that decode width matters;
     # tiny files stay single-stage — their record exchange would cost more
     # than it balances. No cache: the scattered parse is cheap enough that
-    # recomputing it for the error-check job beats paying the in-memory
-    # columnar encode of deeply nested cast structs.
+    # recomputing it for the rare error-channel job beats paying the
+    # in-memory columnar encode of deeply nested cast structs.
     scatter = fs.size(task.input_path) >= _SCATTER_MIN_BYTES
     parsed = wod_scan(spark, task.input_path, dataset=task.dataset, scatter=scatter)
-    # Error store FIRST, and idempotently (overwrite, not append): the
-    # skip/resume contract keys on the MAIN output's _SUCCESS, so any
-    # work that must exist whenever _SUCCESS exists has to commit
-    # before it. Writing errors after the main commit left a window
-    # where a crash dropped the error channel for a file every later
-    # resume would skip (TransformationErrorHandler.java:42-52 appends
-    # incrementally; here one overwrite per file is equivalent and
-    # retry-safe — append would duplicate rows when the main write
-    # fails after the error write succeeded).
-    errs = errors(parsed)
-    if errs.limit(1).count() > 0:
-        errs.coalesce(1).write.mode("overwrite").parquet(task.error_path)
+    # Error DETECTION is free: an Observation above the ok-filter counts
+    # error rows while the main write's single decode streams by (the
+    # filter is not pushed through CollectMetrics), so the happy path
+    # decodes each file ONCE — the previous always-on error-check job was
+    # a second full decode per file, the dominant duplicated cost at real
+    # file sizes. Only files that actually contain errors pay a second
+    # decode to materialize the channel (overwrite, not append — the
+    # reference's TransformationErrorHandler.java:42-52 appends
+    # incrementally; one overwrite per file is equivalent and retry-safe).
+    # Crash contract: the error write now lands AFTER the main commit, so
+    # _SUCCESS alone no longer implies the error channel exists — the
+    # SIDECAR is the completion marker, and the skip path above rebuilds
+    # the channel whenever it heals a missing sidecar.
+    from pyspark.sql import Observation
+
+    obs = Observation("wod_convert_errors")
+    parsed = parsed.observe(
+        obs,
+        F.sum(F.when(F.col("err").isNotNull(), 1).otherwise(0)).alias("n_err"),
+    )
     # castTimestamp: assembled from Y/M/D + fractional-hour time
     # (SURVEY §1.2); try_* variants — invalid header dates yield null,
     # not a job failure, under ANSI mode.
@@ -245,6 +275,10 @@ def convert_file(spark: SparkSession, task: FileTask, overwrite: bool = False) -
         .partitionBy("geohash3")
         .parquet(out)
     )
+    if int(obs.get["n_err"] or 0) > 0:
+        # Rare path: re-decode to materialize the error channel (a fresh
+        # scan — the observed frame's metric is already consumed).
+        _write_error_channel(spark, fs, task, scatter=scatter)
     # Real GeoParquet: attach the `geo` footer key to every data file
     # (the Sedona-free mirror of the reference's geoparquet.version/crs
     # writer options, DatasetYearTrain.java:132-134), THEN the sidecar —
