@@ -1,0 +1,131 @@
+"""LogTable: the jar-free manifest-log table format — commit atomicity,
+snapshot lineage, time travel, isolation, merge, conflicts, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from wod_ascii_to_parquet_spark_spark.sources.lakehouse import (
+    CommitConflict,
+    LogTable,
+)
+
+
+def _local(p: str) -> str:
+    """Hadoop returns fully-qualified file: URIs; strip for os.path."""
+    return p[len("file:"):] if p.startswith("file:") else p
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, v string")
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"))
+    v0 = t.write(_df(spark, [(1, "a"), (2, "b")]), mode="append")
+    v1 = t.write(_df(spark, [(3, "c")]), mode="append")
+    v2 = t.write(_df(spark, [(9, "z")]), mode="overwrite")
+    assert (v0, v1, v2) == (0, 1, 2)
+
+    assert {r.k for r in t.read().collect()} == {9}
+    assert {r.k for r in t.read(version=1).collect()} == {1, 2, 3}
+    assert {r.k for r in t.read(version=0).collect()} == {1, 2}
+    # lineage recorded
+    assert t.manifest(2)["parent"] == 1 and t.manifest(0)["parent"] is None
+
+
+def test_snapshot_isolation_across_commit(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="append")
+    reader = t.read()  # resolves the v0 manifest NOW
+    t.write(_df(spark, [(2, "b")]), mode="append")
+    # the open reader still sees only v0's files; a fresh reader sees v1
+    assert {r.k for r in reader.collect()} == {1}
+    assert {r.k for r in t.read().collect()} == {1, 2}
+
+
+def test_merge_upserts_and_keeps_history(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), mode="append")
+    t.merge(_df(spark, [(2, "B2"), (4, "d")]), key="k")
+    now = {(r.k, r.v) for r in t.read().collect()}
+    assert now == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
+    # pre-merge snapshot still exact
+    assert {(r.k, r.v) for r in t.read(version=0).collect()} == {
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    }
+
+
+def test_commit_conflict_refused_and_invisible(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="append")
+    # a racing writer already committed v1
+    stale_files = t.manifest(0)["files"]
+    t._commit(stale_files, "append", base=0)
+    with pytest.raises(CommitConflict):
+        t._commit(stale_files, "append", base=0)
+    # a conflicted write() leaves no visible snapshot and cleans staging
+    with pytest.raises(CommitConflict):
+        LogTableRacy(spark, t.dir).write(_df(spark, [(7, "x")]), "append")
+    assert 7 not in {r.k for r in t.read().collect()}
+
+
+class LogTableRacy(LogTable):
+    """Simulates losing the commit race: another writer lands the target
+    version between our base read and our commit."""
+
+    def latest_version(self):
+        v = super().latest_version()
+        return None if v is None else v - 1
+
+
+def test_vacuum_deletes_only_unreferenced(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="append")
+    t.write(_df(spark, [(2, "b")]), mode="overwrite")
+    old_files = set(t.manifest(0)["files"])
+    live_files = set(t.manifest(1)["files"])
+    deleted = set(t.vacuum(keep_versions=1))
+    assert deleted == old_files
+    assert all(os.path.exists(_local(p)) for p in live_files)
+    # latest snapshot unaffected; old manifest gone
+    assert {r.k for r in t.read().collect()} == {2}
+    assert t.versions() == [1]
+
+
+def test_crash_before_rename_is_invisible(spark, tmp_path):
+    """A fully-written temp manifest that never renamed must not be
+    visible as a snapshot, and its files are vacuumable orphans."""
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="append")
+    # simulate: data staged, manifest temp written, crash before rename
+    staged = _df(spark, [(99, "crash")])
+    staging = str(tmp_path / "t" / "data" / "orphan")
+    staged.write.parquet(staging)
+    assert t.latest_version() == 0  # nothing new visible
+    orphans = {
+        os.path.join(staging, f)
+        for f in os.listdir(staging)
+        if f.endswith(".parquet")
+    }
+    deleted = {_local(p) for p in t.vacuum(keep_versions=1)}
+    assert orphans <= deleted
+    assert {r.k for r in t.read().collect()} == {1}
+
+
+def test_works_on_real_table_data(spark, tmp_path):
+    from wod_ascii_to_parquet_spark_spark.registry import load
+
+    from .conftest import SF_DIR
+
+    t = LogTable(spark, str(tmp_path / "orders_t"))
+    o = load(spark, SF_DIR, "orders")
+    t.write(o.filter(F.col("o_orderkey") % 2 == 0), mode="append")
+    t.write(o.filter(F.col("o_orderkey") % 2 == 1), mode="append")
+    assert t.read().count() == o.count()
