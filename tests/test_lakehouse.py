@@ -129,3 +129,50 @@ def test_works_on_real_table_data(spark, tmp_path):
     t.write(o.filter(F.col("o_orderkey") % 2 == 0), mode="append")
     t.write(o.filter(F.col("o_orderkey") % 2 == 1), mode="append")
     assert t.read().count() == o.count()
+
+
+def test_stream_to_log_table_exactly_once(spark, tmp_path):
+    """foreachBatch → LogTable: one snapshot per micro-batch, batch-id
+    replay is a no-op, restarts ingest only the delta."""
+    from wod_ascii_to_parquet_spark_spark.sources.lakehouse import (
+        stream_to_log_table,
+    )
+
+    src = str(tmp_path / "src")
+    table_dir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    _write_src(spark, src, [(1, "a"), (2, "b")], "b0")
+
+    def stream():
+        return (
+            spark.readStream.schema("k bigint, v string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    stream_to_log_table(stream(), table_dir, ckpt)
+    t = LogTable(spark, table_dir)
+    assert {r.k for r in t.read().collect()} == {1, 2}
+    v_after_first = t.latest_version()
+
+    # rerun with no new input: no new snapshot
+    stream_to_log_table(stream(), table_dir, ckpt)
+    assert LogTable(spark, table_dir).latest_version() == v_after_first
+
+    # new file: exactly one more snapshot with only the delta appended
+    _write_src(spark, src, [(3, "c")], "b1")
+    stream_to_log_table(stream(), table_dir, ckpt)
+    t2 = LogTable(spark, table_dir)
+    assert {r.k for r in t2.read().collect()} == {1, 2, 3}
+    # a replayed batch committed against a FRESH checkpoint is also a no-op
+    stream_to_log_table(stream(), table_dir, str(tmp_path / "ckpt2"))
+    assert {r.k for r in LogTable(spark, table_dir).read().collect()} == {1, 2, 3}
+
+
+def _write_src(spark, directory, rows, name):
+    import os as _os
+
+    _os.makedirs(directory, exist_ok=True)
+    spark.createDataFrame(rows, "k bigint, v string").coalesce(1).write.mode(
+        "append"
+    ).parquet(directory)

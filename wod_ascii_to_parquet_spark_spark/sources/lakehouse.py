@@ -96,7 +96,13 @@ class LogTable:
                 raise FileNotFoundError(f"no snapshots at {self.dir}")
         return json.loads(self.fs.read_bytes(self._log_path(version)))
 
-    def _commit(self, files: list[str], mode: str, base: int | None) -> int:
+    def _commit(
+        self,
+        files: list[str],
+        mode: str,
+        base: int | None,
+        meta: dict | None = None,
+    ) -> int:
         """Atomically publish a manifest for version ``base``+1. The temp
         manifest is fully written first; the rename is the commit point.
         Racing writers: whoever renames first wins, the loser sees the
@@ -108,6 +114,7 @@ class LogTable:
             "mode": mode,
             "files": sorted(files),
             "parent": base,
+            "meta": meta or {},
         }
         self.fs.mkdirs(posixpath.join(self.dir, _LOG_DIR))
         if self.fs.exists(target):
@@ -124,10 +131,13 @@ class LogTable:
 
     # -- operations -------------------------------------------------------
 
-    def write(self, df: DataFrame, mode: str = "append") -> int:
+    def write(
+        self, df: DataFrame, mode: str = "append", meta: dict | None = None
+    ) -> int:
         """Commit ``df`` as a new snapshot. ``append`` keeps the current
         snapshot's files; ``overwrite`` replaces them (old files stay on
-        disk for time travel until vacuumed). Returns the new version."""
+        disk for time travel until vacuumed). ``meta`` rides in the
+        manifest (e.g. a streaming batch id). Returns the new version."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         staging = posixpath.join(self.dir, _DATA_DIR, uuid.uuid4().hex)
@@ -142,7 +152,7 @@ class LogTable:
         if mode == "append" and base is not None:
             carried = self.manifest(base)["files"]
         try:
-            return self._commit(carried + new_files, mode, base)
+            return self._commit(carried + new_files, mode, base, meta=meta)
         except CommitConflict:
             # the snapshot never became visible; drop the orphaned files
             self.fs.delete(staging)
@@ -167,6 +177,17 @@ class LogTable:
             updates.select(key), on=key, how="left_anti"
         ).unionByName(updates)
         return self.write(merged, mode="overwrite")
+
+    def last_committed_batch(self) -> int | None:
+        """Highest streaming ``batch_id`` recorded in any retained
+        manifest's meta — the replay-detection cursor for
+        :func:`stream_to_log_table`."""
+        best = None
+        for v in self.versions():
+            b = self.manifest(v).get("meta", {}).get("batch_id")
+            if b is not None and (best is None or b > best):
+                best = b
+        return best
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Delete data files referenced by NO retained manifest, and drop
@@ -233,3 +254,38 @@ def merge_into_delta(
         "WHEN MATCHED THEN UPDATE SET * "
         "WHEN NOT MATCHED THEN INSERT *"
     )
+
+
+def stream_to_log_table(
+    stream_df: DataFrame, table_dir: str, checkpoint_dir: str
+) -> None:
+    """Structured-Streaming sink into a :class:`LogTable` — transactional
+    streaming ingest on plain parquet. ``foreachBatch`` appends each
+    micro-batch as one snapshot commit carrying its ``batch_id``; on
+    restart the checkpoint replays the last uncommitted batch, and the
+    recorded batch id makes the replay a NO-OP instead of a duplicate
+    append (the standard idempotent-foreachBatch contract, with the
+    dedup cursor stored in the table's own manifest — one source of
+    truth, no side ledger). Readers get snapshot isolation and time
+    travel per micro-batch for free.
+
+    Limitation (same as Delta's txnVersion idempotence): the cursor is
+    per-TABLE, so exactly one streaming query may own a table; pointing a
+    second query (or a restarted query with a fresh checkpoint) at the
+    same table treats its early batch ids as replays. Multi-writer
+    deployments key the cursor by (stream id, batch id) instead."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table = LogTable(batch_df.sparkSession, table_dir)
+        last = table.last_committed_batch()
+        if last is not None and batch_id <= last:
+            return  # replayed batch: already committed
+        table.write(batch_df, mode="append", meta={"batch_id": batch_id})
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
