@@ -176,3 +176,19 @@ def _write_src(spark, directory, rows, name):
     spark.createDataFrame(rows, "k bigint, v string").coalesce(1).write.mode(
         "append"
     ).parquet(directory)
+
+
+def test_optimize_compacts_without_changing_rows(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"))
+    for i in range(5):  # five snapshots → at least five data files
+        t.write(_df(spark, [(i, f"v{i}")]), mode="append")
+    before = {(r.k, r.v) for r in t.read().collect()}
+    assert len(t.manifest()["files"]) >= 5
+    v = t.optimize(target_files=1)
+    assert len(t.manifest(v)["files"]) == 1
+    assert {(r.k, r.v) for r in t.read().collect()} == before
+    # pre-compaction snapshot still time-travelable
+    assert {(r.k, r.v) for r in t.read(version=v - 1).collect()} == before
+    # vacuum then drops the small files but keeps the compacted layout
+    t.vacuum(keep_versions=1)
+    assert {(r.k, r.v) for r in t.read().collect()} == before

@@ -178,6 +178,17 @@ class LogTable:
         ).unionByName(updates)
         return self.write(merged, mode="overwrite")
 
+    def optimize(self, target_files: int = 1) -> int:
+        """OPTIMIZE (small-file compaction): rewrite the current snapshot
+        into ``target_files`` files and commit the result as a new
+        version. Pure layout change — row set identical, history intact
+        (the pre-compaction snapshot stays time-travelable until
+        vacuumed). This is the manifest-format answer to streaming
+        ingest's one-file-per-micro-batch accretion; run it on a cadence
+        and follow with :meth:`vacuum`."""
+        compacted = self.read().coalesce(max(1, target_files))
+        return self.write(compacted, mode="overwrite", meta={"optimize": True})
+
     def last_committed_batch(self) -> int | None:
         """Highest streaming ``batch_id`` recorded in any retained
         manifest's meta — the replay-detection cursor for
