@@ -59,6 +59,10 @@ HEADLINERS = [
     "rag_chunk_documents",         # map-only overlapping chunking (round 6)
     "curation_pipeline_stats",     # composed 4-stage curation pipeline (round 6)
     "events_resample_gapfill",     # dense-grid resample + locf (round 6)
+    "dedup_semdedup_prune",        # SemDeDup keep-one decision (round 6 s2)
+    "dedup_incremental_exact",     # cross-snapshot hash-index ingest (round 6 s2)
+    "json_variant_extract",        # VARIANT parse-once + typed gets (round 6 s2)
+    "multimodal_decode_arrow",     # mapInArrow blob kernel (round 6 s2)
 ]
 
 

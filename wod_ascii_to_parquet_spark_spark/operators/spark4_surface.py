@@ -214,7 +214,7 @@ def xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_hll_mergeable", None, tags=("agg", "sketch", "spark4"))
+@register("agg_hll_mergeable", None, tags=("agg", "sketch", "spark4", "rows-only"))
 def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE cardinality sketches — the two-phase distinct-count
     pattern a 100 TB deployment stores: phase 1 folds each group's keys
