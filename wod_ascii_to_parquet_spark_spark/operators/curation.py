@@ -808,3 +808,80 @@ def curation_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "curation_pack_efficiency",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               doc_id % {PACK_SHARDS} AS shard,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, shard, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS prior
+        FROM t
+    ),
+    b AS (
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(floor(prior / {PACK_BUDGET}) AS BIGINT) AS bin,
+               CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM c
+    )
+    SELECT shard, bin,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           CAST(round(least(sum(n_tokens), {PACK_BUDGET}) * 1000000.0
+                / {PACK_BUDGET}) AS BIGINT) AS fill_ppm
+    FROM b GROUP BY shard, bin
+    """,
+    tags=("curation",),
+)
+def curation_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit over `curation_pack_sequences`' layout:
+    per (shard, bin) — document count, token total, and fill rate in
+    parts-per-million of the {PACK_BUDGET}-token budget (capped at 1e6:
+    the greedy packer lets the LAST document of a bin overflow, and the
+    overflow tokens belong to the straddling document, not to spare
+    capacity). This is the report a training-data run checks before
+    shipping shards: systematically low fill means the budget dwarfs the
+    documents (pack more aggressively or concatenate), a long tail of
+    single-doc bins means oversized documents need splitting upstream.
+    Exact-integer ppm keeps the ratio hash-checkable cross-engine. Same
+    one-window-per-shard plan as the packer itself; the audit adds one
+    map-side-combined aggregate."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    binned = t.select(
+        F.col("shard").cast("bigint").alias("shard"),
+        F.floor(prior / PACK_BUDGET).cast("bigint").alias("bin"),
+        "n_tokens",
+    )
+    return binned.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.round(
+            F.least(F.sum("n_tokens"), F.lit(PACK_BUDGET))
+            * 1_000_000.0
+            / PACK_BUDGET
+        )
+        .cast("bigint")
+        .alias("fill_ppm"),
+    )
