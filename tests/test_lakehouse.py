@@ -91,7 +91,7 @@ def test_vacuum_deletes_only_unreferenced(spark, tmp_path):
     t.write(_df(spark, [(2, "b")]), mode="overwrite")
     old_files = set(t.manifest(0)["files"])
     live_files = set(t.manifest(1)["files"])
-    deleted = set(t.vacuum(keep_versions=1))
+    deleted = set(t.vacuum(keep_versions=1, min_age_seconds=0))
     assert deleted == old_files
     assert all(os.path.exists(_local(p)) for p in live_files)
     # latest snapshot unaffected; old manifest gone
@@ -114,7 +114,7 @@ def test_crash_before_rename_is_invisible(spark, tmp_path):
         for f in os.listdir(staging)
         if f.endswith(".parquet")
     }
-    deleted = {_local(p) for p in t.vacuum(keep_versions=1)}
+    deleted = {_local(p) for p in t.vacuum(keep_versions=1, min_age_seconds=0)}
     assert orphans <= deleted
     assert {r.k for r in t.read().collect()} == {1}
 
@@ -190,5 +190,48 @@ def test_optimize_compacts_without_changing_rows(spark, tmp_path):
     # pre-compaction snapshot still time-travelable
     assert {(r.k, r.v) for r in t.read(version=v - 1).collect()} == before
     # vacuum then drops the small files but keeps the compacted layout
-    t.vacuum(keep_versions=1)
+    t.vacuum(keep_versions=1, min_age_seconds=0)
     assert {(r.k, r.v) for r in t.read().collect()} == before
+
+
+def test_merge_lost_update_prevented(spark, tmp_path):
+    """Read-modify-write pinning: a commit landing between merge's read
+    and its write must conflict, never be silently overwritten."""
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="append")
+
+    class SlowMergeTable(LogTable):
+        def read(self, version=None):
+            df = super().read(version)
+            # a concurrent writer lands v1 AFTER our base was pinned
+            LogTable(self.spark, self.dir).write(
+                _df(spark, [(50, "concurrent")]), mode="append"
+            )
+            return df
+
+    with pytest.raises(CommitConflict):
+        SlowMergeTable(spark, t.dir).merge(_df(spark, [(2, "b")]), key="k")
+    # the concurrent writer's row survived
+    assert {r.k for r in t.read().collect()} == {1, 50}
+
+
+def test_vacuum_min_age_spares_inflight_staging(spark, tmp_path):
+    """Freshly staged (uncommitted) files are NOT vacuumed under the
+    retention guard — an in-flight writer's commit stays publishable."""
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="append")
+    staging = str(tmp_path / "t" / "data" / "inflight")
+    _df(spark, [(99, "staged")]).write.parquet(staging)
+    assert t.vacuum(keep_versions=1) == []  # default min_age: nothing young dies
+    staged = [f for f in os.listdir(staging) if f.endswith(".parquet")]
+    assert staged  # still there — the in-flight commit can still land
+
+
+def test_batch_cursor_survives_optimize_and_vacuum(spark, tmp_path):
+    """The streaming replay cursor is carried into maintenance commits,
+    so optimize+vacuum cannot reopen the duplicate-append window."""
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="append", meta={"batch_id": 7})
+    t.optimize(target_files=1)
+    t.vacuum(keep_versions=1, min_age_seconds=0)
+    assert t.last_committed_batch() == 7

@@ -340,10 +340,14 @@ def multimodal_decode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         for batch in batches:
             blob = batch.column(1)
             n_bytes = pc.cast(pc.binary_length(blob), pa.int64())
-            # magic-number sniff: first byte, -1 for empty blobs
+            # magic-number sniff: slice to ONE byte inside Arrow first —
+            # only the ≤1-byte slices ever cross into Python, never the
+            # blobs themselves (to_pylist on the raw column would copy
+            # every blob into a Python bytes object, the exact cost this
+            # arm exists to avoid).
+            heads = pc.binary_slice(blob, 0, 1).to_pylist()
             firsts = pa.array(
-                [(b[0] if len(b) else -1) for b in blob.to_pylist()],
-                type=pa.int32(),
+                [(h[0] if h else -1) for h in heads], type=pa.int32()
             )
             yield pa.RecordBatch.from_arrays(
                 [batch.column(0), n_bytes, firsts],

@@ -317,19 +317,35 @@ def sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     statement's result is the script's result. DuckDB has no scripting,
     so the oracle computes the same fixpoint declaratively: the minimal
     doubling count whose survivor set is below the limit."""
+    # The conf gates the PARSER, so it only needs to be live for the
+    # spark.sql call itself — restore it after (no ambient session state;
+    # the procedural statements execute within the call, and the returned
+    # DataFrame of the final SELECT plans/executes like any other).
+    try:
+        saved = spark.conf.get("spark.sql.scripting.enabled")
+    except Exception:
+        saved = None
     spark.conf.set("spark.sql.scripting.enabled", "true")
     load(spark, sf_dir, "orders").createOrReplaceTempView("__orders_script")
-    return spark.sql(
-        """
-        BEGIN
-            DECLARE thr DOUBLE DEFAULT 1000.0;
-            DECLARE n_above BIGINT DEFAULT 0;
-            SET n_above = (SELECT count(*) FROM __orders_script WHERE o_totalprice > thr);
-            WHILE n_above >= 100 DO
-                SET thr = thr * 2;
-                SET n_above = (SELECT count(*) FROM __orders_script WHERE o_totalprice > thr);
-            END WHILE;
-            SELECT thr AS threshold, n_above AS n_above;
-        END
-        """
-    )
+    try:
+        return spark.sql(
+            """
+            BEGIN
+                DECLARE thr DOUBLE DEFAULT 1000.0;
+                DECLARE n_above BIGINT DEFAULT 0;
+                SET n_above = (SELECT count(*) FROM __orders_script
+                               WHERE o_totalprice > thr);
+                WHILE n_above >= 100 DO
+                    SET thr = thr * 2;
+                    SET n_above = (SELECT count(*) FROM __orders_script
+                                   WHERE o_totalprice > thr);
+                END WHILE;
+                SELECT thr AS threshold, n_above AS n_above;
+            END
+            """
+        )
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", saved)

@@ -199,3 +199,30 @@ class FsClient:
             stream.write(bytearray(data))
         finally:
             stream.close()
+
+    def create_exclusive(self, path: str, data: bytes) -> bool:
+        """Write ``path`` only if it does not already exist; False when the
+        create loses (target present). Exclusivity is the filesystem's
+        ``create(overwrite=false)``: atomic on HDFS; on the local FS an
+        exists-check-then-create inside one JVM call (a microsecond race
+        window, vs posix rename(2)'s SILENT REPLACE of an existing target
+        — which is why commit protocols here must never use rename for
+        mutual exclusion). Used by the LogTable manifest commit."""
+        fs, p = self._fs_path(path)
+        try:
+            stream = fs.create(p, False)
+        except Exception:
+            return False  # FileAlreadyExistsException (or racing create)
+        try:
+            stream.write(bytearray(data))
+        finally:
+            stream.close()
+        return True
+
+    def mtime(self, path: str) -> int:
+        """Modification time in epoch millis (0 when missing) — the age
+        signal vacuum-style retention uses."""
+        fs, p = self._fs_path(path)
+        if not fs.exists(p):
+            return 0
+        return int(fs.getFileStatus(p).getModificationTime())

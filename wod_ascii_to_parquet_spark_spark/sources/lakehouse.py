@@ -12,20 +12,22 @@ Two tiers:
    `_log/` listing exactly the live files. Every operation that works on
    this shape works for the same reason it works in Delta:
 
-   - **Atomic commit**: a snapshot becomes visible by renaming a
-     fully-written temp manifest to `_log/v{N}.json` — one filesystem
-     metadata op; readers never observe a partial commit. A crash before
-     the rename leaves data files that no manifest references (invisible;
-     reclaimed by vacuum).
+   - **Atomic commit**: a snapshot becomes visible by the exclusive
+     create of `_log/v{N}.json`; a crash mid-write leaves data files no
+     manifest references (invisible; reclaimed by vacuum once old enough)
+     and readers retry the microscopic torn-manifest window.
    - **Snapshot isolation**: a reader resolves the manifest ONCE and then
      reads a fixed file list; concurrent appends/overwrites commit new
      manifests and never touch files a running reader holds.
    - **Time travel**: old manifests are retained, so `read(version=N)`
      reconstructs any historical snapshot exactly.
    - **Optimistic concurrency**: the commit targets version
-     `latest + 1`; `rename` onto an existing manifest fails (checked
-     explicitly), so of two racing writers one loses and must retry
-     against the new state — Delta's conflict rule, at file granularity.
+     `latest + 1` via an EXCLUSIVE CREATE of the version file, so of two
+     racing writers one loses and must retry against the new state —
+     Delta's conflict rule, at file granularity. Read-modify-write
+     operations (merge, optimize) additionally pin the version they read
+     as the expected base, so a commit that would silently discard a
+     concurrent writer's snapshot conflicts instead.
    - **MERGE**: upsert = anti-join + union of the current snapshot with
      the updates, committed as a full new snapshot (copy-on-write — the
      strategy Delta uses when no deletion vectors apply).
@@ -46,6 +48,7 @@ from __future__ import annotations
 import json
 import posixpath
 import re
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -94,7 +97,20 @@ class LogTable:
             version = self.latest_version()
             if version is None:
                 raise FileNotFoundError(f"no snapshots at {self.dir}")
-        return json.loads(self.fs.read_bytes(self._log_path(version)))
+        # A manifest file exists from the moment of its exclusive create,
+        # but its bytes land just after — retry the microscopic torn-read
+        # window instead of failing a reader.
+        for attempt in range(5):
+            try:
+                return json.loads(
+                    self.fs.read_bytes(self._log_path(version))
+                )
+            except ValueError:
+                time.sleep(0.05 * (attempt + 1))
+        raise RuntimeError(
+            f"manifest v{version} stayed unparseable: torn write or "
+            "corrupt log"
+        )
 
     def _commit(
         self,
@@ -103,10 +119,17 @@ class LogTable:
         base: int | None,
         meta: dict | None = None,
     ) -> int:
-        """Atomically publish a manifest for version ``base``+1. The temp
-        manifest is fully written first; the rename is the commit point.
-        Racing writers: whoever renames first wins, the loser sees the
-        existing target and gets :class:`CommitConflict`."""
+        """Atomically publish a manifest for version ``base``+1 via an
+        EXCLUSIVE CREATE of the version file — whoever creates
+        ``v{N}.json`` first owns version N; the loser's create fails and
+        raises :class:`CommitConflict`. Never rename: posix ``rename(2)``
+        SILENTLY REPLACES an existing target, so a rename-based commit
+        lets two racing writers both believe they won (the first one's
+        manifest is clobbered). ``create(overwrite=false)`` is atomic on
+        HDFS and an in-JVM check+create on the local FS. The write-
+        after-create window means a reader can glimpse a torn manifest;
+        :meth:`manifest` treats unparseable JSON as in-progress and
+        retries."""
         version = 0 if base is None else base + 1
         target = self._log_path(version)
         doc = {
@@ -117,29 +140,34 @@ class LogTable:
             "meta": meta or {},
         }
         self.fs.mkdirs(posixpath.join(self.dir, _LOG_DIR))
-        if self.fs.exists(target):
+        payload = json.dumps(doc, sort_keys=True).encode()
+        if not self.fs.create_exclusive(target, payload):
             raise CommitConflict(f"version {version} already committed")
-        tmp = target + f".tmp-{uuid.uuid4().hex}"
-        self.fs.write_bytes(tmp, json.dumps(doc, sort_keys=True).encode())
-        # Hadoop rename returns False (rather than raising) when the
-        # destination exists on most FS implementations — treat both as
-        # the conflict signal.
-        if not self.fs.rename(tmp, target) or not self.fs.exists(target):
-            self.fs.delete(tmp)
-            raise CommitConflict(f"lost the race for version {version}")
         return version
 
     # -- operations -------------------------------------------------------
 
     def write(
-        self, df: DataFrame, mode: str = "append", meta: dict | None = None
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        meta: dict | None = None,
+        expected_base: int | None | str = "latest",
     ) -> int:
         """Commit ``df`` as a new snapshot. ``append`` keeps the current
         snapshot's files; ``overwrite`` replaces them (old files stay on
         disk for time travel until vacuumed). ``meta`` rides in the
-        manifest (e.g. a streaming batch id). Returns the new version."""
+        manifest (e.g. a streaming batch id); the streaming ``batch_id``
+        cursor is CARRIED FORWARD from the base manifest when the caller
+        doesn't supply one, so maintenance commits (optimize, merge)
+        never erase replay-detection state. ``expected_base`` pins the
+        version this commit was derived FROM (read-modify-write callers
+        like :meth:`merge` pass the version they read) — if anyone
+        committed past it meanwhile, the commit conflicts instead of
+        silently overwriting their snapshot. Returns the new version."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        base = self.latest_version() if expected_base == "latest" else expected_base
         staging = posixpath.join(self.dir, _DATA_DIR, uuid.uuid4().hex)
         df.write.mode("error").parquet(staging)
         new_files = [
@@ -147,12 +175,19 @@ class LogTable:
             for p in self.fs.file_sizes(staging)
             if p.endswith(".parquet")
         ]
-        base = self.latest_version()
         carried: list[str] = []
-        if mode == "append" and base is not None:
-            carried = self.manifest(base)["files"]
+        new_meta = dict(meta or {})
+        if base is not None:
+            base_doc = self.manifest(base)
+            if mode == "append":
+                carried = base_doc["files"]
+            prior_bid = base_doc.get("meta", {}).get("batch_id")
+            if prior_bid is not None:
+                new_meta["batch_id"] = max(
+                    prior_bid, new_meta.get("batch_id", prior_bid)
+                )
         try:
-            return self._commit(carried + new_files, mode, base, meta=meta)
+            return self._commit(carried + new_files, mode, base, meta=new_meta)
         except CommitConflict:
             # the snapshot never became visible; drop the orphaned files
             self.fs.delete(staging)
@@ -171,12 +206,16 @@ class LogTable:
         """Copy-on-write MERGE (upsert on ``key``): rows of the current
         snapshot whose key collides with an update are replaced; new keys
         are inserted. Equivalent to native ``MERGE INTO ... WHEN MATCHED
-        UPDATE SET * WHEN NOT MATCHED INSERT *`` for whole-row updates."""
-        current = self.read()
+        UPDATE SET * WHEN NOT MATCHED INSERT *`` for whole-row updates.
+        Read-modify-write: the commit is pinned to the version the merge
+        READ, so a concurrent commit conflicts (retry the merge against
+        the new state) instead of being silently overwritten."""
+        base = self.latest_version()
+        current = self.read(version=base)
         merged = current.join(
             updates.select(key), on=key, how="left_anti"
         ).unionByName(updates)
-        return self.write(merged, mode="overwrite")
+        return self.write(merged, mode="overwrite", expected_base=base)
 
     def optimize(self, target_files: int = 1) -> int:
         """OPTIMIZE (small-file compaction): rewrite the current snapshot
@@ -186,26 +225,47 @@ class LogTable:
         vacuumed). This is the manifest-format answer to streaming
         ingest's one-file-per-micro-batch accretion; run it on a cadence
         and follow with :meth:`vacuum`."""
-        compacted = self.read().coalesce(max(1, target_files))
-        return self.write(compacted, mode="overwrite", meta={"optimize": True})
+        base = self.latest_version()
+        compacted = self.read(version=base).coalesce(max(1, target_files))
+        return self.write(
+            compacted,
+            mode="overwrite",
+            meta={"optimize": True},
+            expected_base=base,
+        )
 
     def last_committed_batch(self) -> int | None:
-        """Highest streaming ``batch_id`` recorded in any retained
-        manifest's meta — the replay-detection cursor for
-        :func:`stream_to_log_table`."""
-        best = None
-        for v in self.versions():
-            b = self.manifest(v).get("meta", {}).get("batch_id")
-            if b is not None and (best is None or b > best):
-                best = b
-        return best
+        """Streaming ``batch_id`` replay cursor for
+        :func:`stream_to_log_table`. Because :meth:`write` carries the
+        running max forward into EVERY manifest (including optimize/merge
+        commits), only the latest manifest needs reading — O(1) per
+        micro-batch instead of a scan of the whole log, and vacuuming old
+        manifests can never erase the cursor."""
+        v = self.latest_version()
+        if v is None:
+            return None
+        return self.manifest(v).get("meta", {}).get("batch_id")
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, keep_versions: int = 1, min_age_seconds: float = 3600.0
+    ) -> list[str]:
         """Delete data files referenced by NO retained manifest, and drop
         manifests older than the newest ``keep_versions``. Returns the
         deleted data-file paths. Never touches files any retained
         snapshot references, so time travel within the retention window
-        stays exact."""
+        stays exact.
+
+        ``min_age_seconds`` is the in-flight-writer guard (Delta's
+        retention-hours check, same reasoning): a concurrent ``write``
+        stages its parquet files BEFORE its manifest commit, so a file
+        younger than the threshold may belong to a commit that hasn't
+        landed yet — deleting it would let that commit publish a manifest
+        pointing at nothing. Files older than the threshold and still
+        unreferenced are genuine orphans (crashed or conflicted writers).
+        Tests pass 0 to exercise deletion; production keeps it above the
+        longest plausible write duration."""
+        import time as _time
+
         vs = self.versions()
         if not vs:
             return []
@@ -213,10 +273,15 @@ class LogTable:
         live: set[str] = set()
         for v in keep:
             live.update(self.manifest(v)["files"])
+        cutoff_ms = (_time.time() - min_age_seconds) * 1000.0
         deleted = []
         data_root = posixpath.join(self.dir, _DATA_DIR)
         for path in self.fs.file_sizes(data_root):
-            if path.endswith(".parquet") and path not in live:
+            if (
+                path.endswith(".parquet")
+                and path not in live
+                and self.fs.mtime(path) <= cutoff_ms
+            ):
                 self.fs.delete(path)
                 deleted.append(path)
         for v in vs[: -max(1, keep_versions)]:

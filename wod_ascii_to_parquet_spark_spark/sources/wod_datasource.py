@@ -56,6 +56,18 @@ def _discover(root: str) -> list[str]:
     return sorted(found)
 
 
+def _read_wod_file(path: str) -> Iterator[tuple]:
+    """Decode one WOD file's casts — the single kernel BOTH planner
+    surfaces (batch reader, stream reader) call, so the decode path can
+    never diverge between them (the parity test pins them equal). Runs in
+    the Python worker."""
+    from .wod_ascii import parse_file_content
+
+    with open(path, "rb") as fh:
+        content = fh.read()
+    yield from parse_file_content(path, content)
+
+
 class WodAsciiReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         root = options.get("path")
@@ -70,12 +82,7 @@ class WodAsciiReader(DataSourceReader):
         return [WodFilePartition(p) for p in paths]
 
     def read(self, partition: WodFilePartition) -> Iterator[tuple]:
-        # Runs in the Python worker: stream-decode one file's casts.
-        from .wod_ascii import parse_file_content
-
-        with open(partition.path, "rb") as fh:
-            content = fh.read()
-        yield from parse_file_content(partition.path, content)
+        yield from _read_wod_file(partition.path)
 
 
 class WodAsciiDataSource(DataSource):
@@ -139,11 +146,7 @@ class WodAsciiStreamReader(DataSourceStreamReader):
     def read(self, partition: WodFilePartition) -> Iterator[tuple]:
         if not partition.path:
             return
-        from .wod_ascii import parse_file_content
-
-        with open(partition.path, "rb") as fh:
-            content = fh.read()
-        yield from parse_file_content(partition.path, content)
+        yield from _read_wod_file(partition.path)
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean: source files are immutable inputs
