@@ -235,3 +235,33 @@ def test_batch_cursor_survives_optimize_and_vacuum(spark, tmp_path):
     t.optimize(target_files=1)
     t.vacuum(keep_versions=1, min_age_seconds=0)
     assert t.last_committed_batch() == 7
+
+
+def test_data_skipping_prunes_files_by_manifest_stats(spark, tmp_path):
+    """between=(col, lo, hi) drops files whose manifest min/max can't
+    intersect the range — before Spark lists a single footer."""
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(i, "lo") for i in range(0, 10)]).coalesce(1))
+    t.write(_df(spark, [(i, "mid") for i in range(100, 110)]).coalesce(1))
+    t.write(_df(spark, [(i, "hi") for i in range(1000, 1010)]).coalesce(1))
+    all_files = t.manifest()["files"]
+    assert len(all_files) == 3
+    assert len(t.manifest()["stats"]) == 3  # every file carries stats
+
+    pruned = t.read(between=("k", 100, 150))
+    assert len(pruned.inputFiles()) == 1  # only the mid file scanned
+    assert {r.k for r in pruned.collect()} == set(range(100, 110))
+
+    # range straddling two files
+    two = t.read(between=("k", 5, 105))
+    assert len(two.inputFiles()) == 2
+    # exact-row filter still applied on top by the caller
+    assert two.filter("k BETWEEN 5 AND 105").count() == 11
+
+    # no overlap at all → empty frame, zero data files
+    none = t.read(between=("k", 5000, 6000))
+    assert none.count() == 0
+
+    # string column stats prune too
+    lo_only = t.read(between=("v", "lo", "lo"))
+    assert len(lo_only.inputFiles()) == 1

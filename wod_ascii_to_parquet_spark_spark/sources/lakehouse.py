@@ -64,6 +64,49 @@ class CommitConflict(RuntimeError):
     """Another writer committed this version first — re-read and retry."""
 
 
+def _footer_minmax(path: str) -> dict:
+    """Per-column [min, max] from one parquet file's footer (row-group
+    statistics merged), for the manifest's data-skipping stats. One
+    footer read per file AT WRITE TIME — after that, every pruned read
+    pays zero I/O for skipped files. JSON-representable leaf types only
+    (int/float/str/bool); others are skipped (conservatively unprunable).
+    Local paths only (the staging write is local in this deployment); a
+    remote scheme returns {} rather than guessing."""
+    local = path[len("file:"):] if path.startswith("file:") else path
+    if "://" in local or not local.startswith("/"):
+        return {}
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(local).metadata
+    except Exception:
+        return {}
+    out: dict[str, list] = {}
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(rg.num_columns):
+            col = rg.column(c_i)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            if "." in name:
+                continue  # nested leaves: skip (top-level columns only)
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(lo, (int, float, str, bool)):
+                continue
+            if name in out:
+                out[name] = [min(out[name][0], lo), max(out[name][1], hi)]
+            else:
+                out[name] = [lo, hi]
+    return out
+
+
 class LogTable:
     """A snapshot-versioned parquet table rooted at ``table_dir``."""
 
@@ -118,6 +161,7 @@ class LogTable:
         mode: str,
         base: int | None,
         meta: dict | None = None,
+        stats: dict | None = None,
     ) -> int:
         """Atomically publish a manifest for version ``base``+1 via an
         EXCLUSIVE CREATE of the version file — whoever creates
@@ -138,6 +182,7 @@ class LogTable:
             "files": sorted(files),
             "parent": base,
             "meta": meta or {},
+            "stats": stats or {},
         }
         self.fs.mkdirs(posixpath.join(self.dir, _LOG_DIR))
         payload = json.dumps(doc, sort_keys=True).encode()
@@ -176,30 +221,72 @@ class LogTable:
             if p.endswith(".parquet")
         ]
         carried: list[str] = []
+        carried_stats: dict[str, dict] = {}
         new_meta = dict(meta or {})
         if base is not None:
             base_doc = self.manifest(base)
             if mode == "append":
                 carried = base_doc["files"]
+                carried_stats = {
+                    p: s
+                    for p, s in base_doc.get("stats", {}).items()
+                    if p in set(carried)
+                }
             prior_bid = base_doc.get("meta", {}).get("batch_id")
             if prior_bid is not None:
                 new_meta["batch_id"] = max(
                     prior_bid, new_meta.get("batch_id", prior_bid)
                 )
+        stats = dict(carried_stats)
+        for p in new_files:
+            s = _footer_minmax(p)
+            if s:
+                stats[p] = s
         try:
-            return self._commit(carried + new_files, mode, base, meta=new_meta)
+            return self._commit(
+                carried + new_files, mode, base, meta=new_meta, stats=stats
+            )
         except CommitConflict:
             # the snapshot never became visible; drop the orphaned files
             self.fs.delete(staging)
             raise
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        between: tuple[str, object, object] | None = None,
+    ) -> DataFrame:
         """Snapshot read: the manifest is resolved NOW, so the returned
         DataFrame keeps reading this exact file set even if later commits
-        land while it is being consumed (snapshot isolation)."""
-        files = self.manifest(version)["files"]
+        land while it is being consumed (snapshot isolation).
+
+        ``between=(col, lo, hi)`` is DATA SKIPPING: files whose
+        manifest-recorded [min, max] for ``col`` cannot intersect
+        [lo, hi] are dropped from the scan BEFORE Spark ever lists them —
+        planning-time pruning from metadata alone, the manifest-format
+        move that beats parquet row-group stats (those still require
+        opening every footer). Files without recorded stats are
+        conservatively kept. NOTE: pruning only — apply the exact row
+        filter on top; the returned frame still contains every row of the
+        surviving files."""
+        doc = self.manifest(version)
+        files = doc["files"]
         if not files:
             raise FileNotFoundError("empty snapshot")
+        if between is not None:
+            col, lo, hi = between
+            stats = doc.get("stats", {})
+
+            def survives(path: str) -> bool:
+                s = stats.get(path, {}).get(col)
+                if not s:
+                    return True  # no stats: cannot prune safely
+                fmin, fmax = s
+                return not (fmax < lo or fmin > hi)
+
+            files = [p for p in files if survives(p)]
+            if not files:
+                return self.spark.read.parquet(doc["files"][0]).limit(0)
         return self.spark.read.parquet(*files)
 
     def merge(self, updates: DataFrame, key: str) -> int:
