@@ -617,3 +617,118 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(50)
     )
+
+
+@register(
+    "corpus_bigram_surprisal",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+        FROM t, unnest(generate_series(1, len(l) - 1)) AS s(i)
+        WHERE len(l) >= 2
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(c) AS n1 FROM c2 GROUP BY w1)
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(sum(-log2(c2.c / c1.n1)) / count(*), 6) AS avg_bits
+    FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY doc_id
+    """,
+    tags=("text",),
+)
+def corpus_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal per document — mean −log₂ p(w₂|w₁) under the
+    corpus's own MLE bigram model (conditional frequencies; every scored
+    bigram was seen in training, so no smoothing mass is needed). One
+    tier above `corpus_surprisal`'s unigram model: context-aware, so
+    formulaic boilerplate scores LOW bits (predictable continuations)
+    and token-salad scores HIGH — the separation the unigram proxy
+    can't make.
+
+    Shape: bigram construction is MAP-ONLY (a transform over the token
+    array, no self-join); model estimation is two grouped counts; scoring
+    rejoins the bigram stream to the model on (w1, w2) — the standard
+    hash-shuffle LM-scoring shape whose state is the model table (corpus
+    bigram vocabulary), not the corpus."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c2.groupBy("w1").agg(F.sum("c").alias("n1"))
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(-F.log2(F.col("c") / F.col("n1"))) / F.count(F.lit(1)),
+                6,
+            ).alias("avg_bits"),
+        )
+    )
+
+
+@register(
+    "corpus_kl_divergence",
+    """
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    lt AS (SELECT lang, term, count(*) AS c FROM tok GROUP BY lang, term),
+    l AS (SELECT lang, sum(c) AS n FROM lt GROUP BY lang),
+    g AS (SELECT term, sum(c) AS ct FROM lt GROUP BY term),
+    tot AS (SELECT sum(c) AS t FROM lt)
+    SELECT lang,
+           CAST(n AS BIGINT) AS n_tokens,
+           round(sum((c / n) * log2((c / n) / (ct / t))), 6) AS kl_bits
+    FROM lt JOIN l USING (lang) JOIN g USING (term) CROSS JOIN tot
+    GROUP BY lang, n
+    """,
+    tags=("text",),
+)
+def corpus_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift audit: KL(P_lang ‖ P_corpus) in bits for each
+    language slice's token distribution against the whole corpus — the
+    signal a mixture rebalance or domain filter checks before/after
+    (a slice at ~0 bits is distributionally redundant with the corpus; a
+    high-KL slice carries distinct text). P's support is a subset of Q's
+    by construction (the slice is part of the corpus), so every term has
+    q > 0 and the sum is exact.
+
+    Shape: two grouped counts on the exploded token stream (map-side
+    combined), then a join on term — state is vocabulary-sized per lang.
+    The per-lang totals and grand total are tiny aggregates joined back
+    (1-row / |lang|-row broadcasts), never a driver collect."""
+    d = spread(load(spark, sf_dir, "documents"))
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("term"))
+    lt = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    l_tot = lt.groupBy("lang").agg(F.sum("c").alias("n"))
+    g_tot = lt.groupBy("term").agg(F.sum("c").alias("ct"))
+    tot = lt.agg(F.sum("c").alias("t"))
+    p = F.col("c") / F.col("n")
+    q = F.col("ct") / F.col("t")
+    return (
+        lt.join(F.broadcast(l_tot), "lang")
+        .join(g_tot, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("lang", "n")
+        .agg(F.round(F.sum(p * F.log2(p / q)), 6).alias("kl_bits"))
+        .select("lang", F.col("n").cast("bigint").alias("n_tokens"), "kl_bits")
+    )

@@ -349,3 +349,47 @@ def sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.scripting.enabled")
         else:
             spark.conf.set("spark.sql.scripting.enabled", saved)
+
+
+@register(
+    "sql_star_shortcuts",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_c100
+    FROM (
+        SELECT * EXCLUDE (o_orderdate, o_custkey)
+        FROM orders WHERE o_totalprice > 150000.0
+    )
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    tags=("sql", "spark4"),
+)
+def sql_star_shortcuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern SQL ergonomics, cross-engine checked: ``SELECT * EXCEPT``
+    (Spark) / ``EXCLUDE`` (DuckDB) projects away columns by exclusion,
+    ``GROUP BY ALL`` groups by every non-aggregate select item, and
+    ``ORDER BY ALL`` orders by the whole select list — the shorthand
+    surface analysts actually type. The threshold arrives as a NAMED
+    PARAMETER (``spark.sql(..., args=...)``) rather than string
+    interpolation — the injection-safe form of templated SQL (the oracle
+    inlines the same literal). All sugar: the plan is the same
+    scan→filter→aggregate Catalyst would build from the explicit
+    spelling."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__orders_star")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_c100
+        FROM (
+            SELECT * EXCEPT (o_orderdate, o_custkey)
+            FROM __orders_star WHERE o_totalprice > :minp
+        )
+        GROUP BY ALL
+        ORDER BY ALL
+        """,
+        args={"minp": 150000.0},
+    )
