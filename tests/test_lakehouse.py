@@ -265,3 +265,38 @@ def test_data_skipping_prunes_files_by_manifest_stats(spark, tmp_path):
     # string column stats prune too
     lo_only = t.read(between=("v", "lo", "lo"))
     assert len(lo_only.inputFiles()) == 1
+
+
+def test_schema_evolution_additive_only(spark, tmp_path):
+    """Appends may add columns (old rows read null under mergeSchema);
+    dropping a column or changing a type is refused."""
+    from wod_ascii_to_parquet_spark_spark.sources.lakehouse import (
+        SchemaMismatch,
+    )
+
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="append")
+    # additive: new column `w`
+    t.write(
+        spark.createDataFrame([(2, "b", 9.5)], "k bigint, v string, w double"),
+        mode="append",
+    )
+    rows = {(r.k, r.v, r.w) for r in t.read().collect()}
+    assert rows == {(1, "a", None), (2, "b", 9.5)}
+    assert t.manifest()["schema"] == {
+        "k": "bigint",
+        "v": "string",
+        "w": "double",
+    }
+    # dropped column refused
+    with pytest.raises(SchemaMismatch):
+        t.write(spark.createDataFrame([(3,)], "k bigint"), mode="append")
+    # changed type refused
+    with pytest.raises(SchemaMismatch):
+        t.write(
+            spark.createDataFrame([("x", "y")], "k string, v string"),
+            mode="append",
+        )
+    # overwrite may rewrite the schema freely
+    t.write(spark.createDataFrame([(9,)], "k bigint"), mode="overwrite")
+    assert t.manifest()["schema"] == {"k": "bigint"}

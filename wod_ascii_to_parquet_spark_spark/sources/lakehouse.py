@@ -64,6 +64,11 @@ class CommitConflict(RuntimeError):
     """Another writer committed this version first — re-read and retry."""
 
 
+class SchemaMismatch(ValueError):
+    """Append schema conflicts with the table schema (dropped column or
+    changed type). New columns are allowed (additive evolution)."""
+
+
 def _footer_minmax(path: str) -> dict:
     """Per-column [min, max] from one parquet file's footer (row-group
     statistics merged), for the manifest's data-skipping stats. One
@@ -162,6 +167,7 @@ class LogTable:
         base: int | None,
         meta: dict | None = None,
         stats: dict | None = None,
+        schema: dict | None = None,
     ) -> int:
         """Atomically publish a manifest for version ``base``+1 via an
         EXCLUSIVE CREATE of the version file — whoever creates
@@ -183,6 +189,7 @@ class LogTable:
             "parent": base,
             "meta": meta or {},
             "stats": stats or {},
+            "schema": schema or {},
         }
         self.fs.mkdirs(posixpath.join(self.dir, _LOG_DIR))
         payload = json.dumps(doc, sort_keys=True).encode()
@@ -213,6 +220,24 @@ class LogTable:
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         base = self.latest_version() if expected_base == "latest" else expected_base
+        schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        if mode == "append" and base is not None:
+            # Additive evolution only: appends may ADD columns (old rows
+            # read as null under mergeSchema) but never drop one or change
+            # a type — either would corrupt the union scan silently.
+            table_schema = self.manifest(base).get("schema", {})
+            dropped = [c for c in table_schema if c not in schema]
+            changed = [
+                c
+                for c, t in table_schema.items()
+                if c in schema and schema[c] != t
+            ]
+            if dropped or changed:
+                raise SchemaMismatch(
+                    f"append incompatible with table schema: dropped="
+                    f"{dropped} changed={changed}"
+                )
+            schema = {**table_schema, **schema}
         staging = posixpath.join(self.dir, _DATA_DIR, uuid.uuid4().hex)
         df.write.mode("error").parquet(staging)
         new_files = [
@@ -244,7 +269,12 @@ class LogTable:
                 stats[p] = s
         try:
             return self._commit(
-                carried + new_files, mode, base, meta=new_meta, stats=stats
+                carried + new_files,
+                mode,
+                base,
+                meta=new_meta,
+                stats=stats,
+                schema=schema,
             )
         except CommitConflict:
             # the snapshot never became visible; drop the orphaned files
@@ -286,8 +316,14 @@ class LogTable:
 
             files = [p for p in files if survives(p)]
             if not files:
-                return self.spark.read.parquet(doc["files"][0]).limit(0)
-        return self.spark.read.parquet(*files)
+                return (
+                    self.spark.read.option("mergeSchema", "true")
+                    .parquet(doc["files"][0])
+                    .limit(0)
+                )
+        # mergeSchema: additive evolution means older files may lack
+        # newer columns — the union scan fills them with null.
+        return self.spark.read.option("mergeSchema", "true").parquet(*files)
 
     def merge(self, updates: DataFrame, key: str) -> int:
         """Copy-on-write MERGE (upsert on ``key``): rows of the current
