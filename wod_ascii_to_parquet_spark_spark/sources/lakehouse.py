@@ -312,7 +312,10 @@ class LogTable:
                 if not s:
                     return True  # no stats: cannot prune safely
                 fmin, fmax = s
-                return not (fmax < lo or fmin > hi)
+                try:
+                    return not (fmax < lo or fmin > hi)
+                except TypeError:
+                    return True  # bounds/stats type mismatch: keep the file
 
             files = [p for p in files if survives(p)]
             if not files:
