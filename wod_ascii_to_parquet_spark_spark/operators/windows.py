@@ -986,3 +986,86 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               count(*) AS n
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    roll AS (
+        SELECT event_type, hour, n,
+               count(n) OVER w AS m,
+               sum(n) OVER w AS s1,
+               sum(n * n) OVER w AS s2
+        FROM hourly
+        WINDOW w AS (
+            PARTITION BY event_type ORDER BY hour
+            ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING
+        )
+    )
+    SELECT event_type, hour, n,
+           round(z, 6) AS zscore,
+           CASE WHEN abs(round(z, 6)) >= 3.0 THEN 1 ELSE 0 END AS is_anomaly
+    FROM (
+        SELECT *,
+               (n - s1 / m)
+               / sqrt((s2 - s1 * s1 / m) / (m - 1)) AS z
+        FROM roll WHERE m >= 12 AND (s2 - s1 * s1 / m) > 0
+    )
+    """,
+    tags=("window", "events"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on hourly event volumes: each
+    (event_type, hour) bucket is scored against the TRAILING 24 hours
+    (current bucket excluded — a spike must not inflate its own
+    baseline), flagged at |z| ≥ 3. Warm-up hours (< 12 trailing buckets)
+    and zero-variance baselines emit nothing rather than fake scores.
+
+    Cross-engine discipline: mean/std come from the SAME explicit
+    running-sum formula (Σx, Σx², n over an identical ROWS frame) in both
+    engines — ``stddev_samp`` over a frame would leave each engine free
+    to accumulate differently; the flag compares the ROUNDED score so the
+    |z|=3 boundary is identical. Shape: one hourly pre-aggregate
+    (map-side combined — the shuffle carries buckets, not events), one
+    window over (event_type, hour); at 100 TB/day this is the standard
+    streaming-ops monitor downsampled to whatever bucket width keeps the
+    per-key frame in memory."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    roll = hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.count("n").over(w).alias("m"),
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+    )
+    var_num = F.col("s2") - F.col("s1") * F.col("s1") / F.col("m")
+    z = (F.col("n") - F.col("s1") / F.col("m")) / F.sqrt(
+        var_num / (F.col("m") - 1)
+    )
+    zr = F.round(z, 6)
+    return (
+        roll.filter((F.col("m") >= 12) & (var_num > 0))
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            zr.alias("zscore"),
+            F.when(F.abs(zr) >= 3.0, 1).otherwise(0).alias("is_anomaly"),
+        )
+    )
