@@ -300,3 +300,22 @@ def test_schema_evolution_additive_only(spark, tmp_path):
     # overwrite may rewrite the schema freely
     t.write(spark.createDataFrame([(9,)], "k bigint"), mode="overwrite")
     assert t.manifest()["schema"] == {"k": "bigint"}
+
+
+def test_merge_and_empty_prune_respect_evolved_schema(spark, tmp_path):
+    """merge tolerates updates missing an evolved column, and a fully
+    pruned read's empty frame carries the FULL table schema."""
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="append")
+    t.write(
+        spark.createDataFrame([(2, "b", 1.5)], "k bigint, v string, w double"),
+        mode="append",
+    )
+    # updates lack w: upsert must fill null, not crash
+    t.merge(_df(spark, [(1, "A"), (3, "c")]), key="k")
+    rows = {(r.k, r.v, r.w) for r in t.read().collect()}
+    assert rows == {(1, "A", None), (2, "b", 1.5), (3, "c", None)}
+    # empty pruned read still exposes every column
+    none = t.read(between=("k", 10_000, 20_000))
+    assert none.count() == 0
+    assert set(none.columns) == {"k", "v", "w"}

@@ -1003,8 +1003,9 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(n * n) OVER w AS s2
         FROM hourly
         WINDOW w AS (
-            PARTITION BY event_type ORDER BY hour
-            ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING
+            PARTITION BY event_type
+            ORDER BY CAST(epoch(hour) / 3600 AS BIGINT)
+            RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING
         )
     )
     SELECT event_type, hour, n,
@@ -1021,10 +1022,13 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly detection on hourly event volumes: each
-    (event_type, hour) bucket is scored against the TRAILING 24 hours
-    (current bucket excluded — a spike must not inflate its own
-    baseline), flagged at |z| ≥ 3. Warm-up hours (< 12 trailing buckets)
-    and zero-variance baselines emit nothing rather than fake scores.
+    (event_type, hour) bucket is scored against the TRAILING 24 HOURS —
+    a RANGE frame over epoch-hour ids, so gap hours genuinely narrow the
+    baseline rather than letting a ROWS frame silently reach back days
+    across a sparse period (current bucket excluded — a spike must not
+    inflate its own baseline). Flagged at |z| ≥ 3; warm-up windows
+    (< 12 populated trailing buckets) and zero-variance baselines emit
+    nothing rather than fake scores.
 
     Cross-engine discipline: mean/std come from the SAME explicit
     running-sum formula (Σx, Σx², n over an identical ROWS frame) in both
@@ -1036,15 +1040,14 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming-ops monitor downsampled to whatever bucket width keeps the
     per-key frame in memory."""
     ev = load(spark, sf_dir, "events")
-    from pyspark.sql import Window as W
-
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(F.count(F.lit(1)).alias("n"))
+    hour_id = (F.unix_timestamp("hour") / 3600).cast("bigint")
     w = (
         W.partitionBy("event_type")
-        .orderBy("hour")
-        .rowsBetween(-24, -1)
+        .orderBy(hour_id)
+        .rangeBetween(-24, -1)
     )
     roll = hourly.select(
         "event_type",

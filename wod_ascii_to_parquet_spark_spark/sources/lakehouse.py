@@ -87,29 +87,35 @@ def _footer_minmax(path: str) -> dict:
     except Exception:
         return {}
     out: dict[str, list] = {}
+    poisoned: set[str] = set()  # any row group without usable stats for a
+    # column poisons that column for the WHOLE file: a partial [min,max]
+    # that ignores an uncovered row group would prune rows that exist.
     for rg_i in range(md.num_row_groups):
         rg = md.row_group(rg_i)
         for c_i in range(rg.num_columns):
             col = rg.column(c_i)
-            st = col.statistics
-            if st is None or not st.has_min_max:
-                continue
             name = col.path_in_schema
             if "." in name:
                 continue  # nested leaves: skip (top-level columns only)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                poisoned.add(name)
+                continue
             lo, hi = st.min, st.max
             if isinstance(lo, bytes):
                 try:
                     lo, hi = lo.decode(), hi.decode()
                 except UnicodeDecodeError:
+                    poisoned.add(name)
                     continue
             if not isinstance(lo, (int, float, str, bool)):
+                poisoned.add(name)
                 continue
             if name in out:
                 out[name] = [min(out[name][0], lo), max(out[name][1], hi)]
             else:
                 out[name] = [lo, hi]
-    return out
+    return {k: v for k, v in out.items() if k not in poisoned}
 
 
 class LogTable:
@@ -221,11 +227,12 @@ class LogTable:
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         base = self.latest_version() if expected_base == "latest" else expected_base
         schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        base_doc = self.manifest(base) if base is not None else {}
         if mode == "append" and base is not None:
             # Additive evolution only: appends may ADD columns (old rows
             # read as null under mergeSchema) but never drop one or change
             # a type — either would corrupt the union scan silently.
-            table_schema = self.manifest(base).get("schema", {})
+            table_schema = base_doc.get("schema", {})
             dropped = [c for c in table_schema if c not in schema]
             changed = [
                 c
@@ -249,14 +256,10 @@ class LogTable:
         carried_stats: dict[str, dict] = {}
         new_meta = dict(meta or {})
         if base is not None:
-            base_doc = self.manifest(base)
             if mode == "append":
                 carried = base_doc["files"]
-                carried_stats = {
-                    p: s
-                    for p, s in base_doc.get("stats", {}).items()
-                    if p in set(carried)
-                }
+                # stats keys ⊆ files by construction: carry them all
+                carried_stats = dict(base_doc.get("stats", {}))
             prior_bid = base_doc.get("meta", {}).get("batch_id")
             if prior_bid is not None:
                 new_meta["batch_id"] = max(
@@ -319,6 +322,10 @@ class LogTable:
 
             files = [p for p in files if survives(p)]
             if not files:
+                schema = doc.get("schema", {})
+                if schema:
+                    ddl = ", ".join(f"{c} {t}" for c, t in schema.items())
+                    return self.spark.createDataFrame([], ddl)
                 return (
                     self.spark.read.option("mergeSchema", "true")
                     .parquet(doc["files"][0])
@@ -340,7 +347,7 @@ class LogTable:
         current = self.read(version=base)
         merged = current.join(
             updates.select(key), on=key, how="left_anti"
-        ).unionByName(updates)
+        ).unionByName(updates, allowMissingColumns=True)
         return self.write(merged, mode="overwrite", expected_base=base)
 
     def optimize(self, target_files: int = 1) -> int:
