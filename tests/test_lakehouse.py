@@ -319,3 +319,44 @@ def test_merge_and_empty_prune_respect_evolved_schema(spark, tmp_path):
     none = t.read(between=("k", 10_000, 20_000))
     assert none.count() == 0
     assert set(none.columns) == {"k", "v", "w"}
+
+
+def test_torn_manifest_heals_after_grace(spark, tmp_path, monkeypatch):
+    """An aborted commit (version file created, bytes never landed) must
+    not brick the table: past the grace period the torn manifest is
+    deleted and the version number becomes committable again."""
+    import wod_ascii_to_parquet_spark_spark.sources.lakehouse as LH
+
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="append")
+    # simulate the crash: v1 exists with no content
+    torn = t._log_path(1)
+    os.makedirs(os.path.dirname(_local(torn)), exist_ok=True)
+    open(_local(torn), "wb").close()
+    monkeypatch.setattr(LH, "_TORN_GRACE_MS", 0)
+    with pytest.raises(LH.TornManifest):
+        t.manifest(1)
+    # healed: v1 is gone and a new commit takes the slot
+    assert t.versions() == [0]
+    t.write(_df(spark, [(2, "b")]), mode="append")
+    assert {r.k for r in t.read().collect()} == {1, 2}
+
+
+def test_merge_rejects_duplicate_update_keys(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="append")
+    with pytest.raises(ValueError, match="duplicate"):
+        t.merge(_df(spark, [(2, "x"), (2, "y")]), key="k")
+
+
+def test_vacuum_removes_emptied_staging_dirs(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="append")
+    t.write(_df(spark, [(2, "b")]), mode="overwrite")
+    data_root = tmp_path / "t" / "data"
+    assert len(list(data_root.iterdir())) == 2  # two staging dirs
+    t.vacuum(keep_versions=1, min_age_seconds=0)
+    # the fully reclaimed staging dir (and its _SUCCESS) is gone
+    remaining = list(data_root.iterdir())
+    assert len(remaining) == 1
+    assert {r.k for r in t.read().collect()} == {2}

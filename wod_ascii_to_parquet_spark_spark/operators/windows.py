@@ -1031,8 +1031,8 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing rather than fake scores.
 
     Cross-engine discipline: mean/std come from the SAME explicit
-    running-sum formula (Σx, Σx², n over an identical ROWS frame) in both
-    engines — ``stddev_samp`` over a frame would leave each engine free
+    running-sum formula (Σx, Σx², n over an identical RANGE frame on
+    epoch-hour ids) in both engines — ``stddev_samp`` over a frame would leave each engine free
     to accumulate differently; the flag compares the ROUNDED score so the
     |z|=3 boundary is identical. Shape: one hourly pre-aggregate
     (map-side combined — the shuffle carries buckets, not events), one

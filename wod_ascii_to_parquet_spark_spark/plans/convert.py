@@ -154,17 +154,20 @@ def _write_error_channel(
     fs: FsClient,
     task: FileTask,
     scatter: bool | None = None,
+    known_has_errors: bool = False,
 ) -> None:
     """Materialize the per-file error store (one re-decode) if the file has
     any malformed records; idempotent (overwrite). Called on the rare
-    errors-present path of :func:`convert_file` and on sidecar heals,
-    where the crash window means the channel may not have committed."""
+    errors-present path of :func:`convert_file` (which already KNOWS the
+    count from the in-flight Observation — ``known_has_errors=True``
+    skips the existence probe, saving a decode) and on sidecar heals,
+    where nothing is known and the probe runs."""
     if scatter is None:
         scatter = fs.size(task.input_path) >= _SCATTER_MIN_BYTES
     errs = errors(
         wod_scan(spark, task.input_path, dataset=task.dataset, scatter=scatter)
     )
-    if errs.limit(1).count() > 0:
+    if known_has_errors or errs.limit(1).count() > 0:
         errs.coalesce(1).write.mode("overwrite").parquet(task.error_path)
 
 
@@ -277,8 +280,11 @@ def convert_file(spark: SparkSession, task: FileTask, overwrite: bool = False) -
     )
     if int(obs.get["n_err"] or 0) > 0:
         # Rare path: re-decode to materialize the error channel (a fresh
-        # scan — the observed frame's metric is already consumed).
-        _write_error_channel(spark, fs, task, scatter=scatter)
+        # scan — the observed frame's metric is already consumed; the
+        # Observation already proved errors exist, so no probe).
+        _write_error_channel(
+            spark, fs, task, scatter=scatter, known_has_errors=True
+        )
     # Real GeoParquet: attach the `geo` footer key to every data file
     # (the Sedona-free mirror of the reference's geoparquet.version/crs
     # writer options, DatasetYearTrain.java:132-134), THEN the sidecar —

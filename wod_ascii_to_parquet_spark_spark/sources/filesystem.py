@@ -212,7 +212,12 @@ class FsClient:
         try:
             stream = fs.create(p, False)
         except Exception:
-            return False  # FileAlreadyExistsException (or racing create)
+            # Only an existing target means "lost the race"; any other
+            # failure (permissions, read-only FS, transient fault) must
+            # surface as the real error, not a phantom conflict.
+            if fs.exists(p):
+                return False
+            raise
         try:
             stream.write(bytearray(data))
         finally:
@@ -226,3 +231,21 @@ class FsClient:
         if not fs.exists(p):
             return 0
         return int(fs.getFileStatus(p).getModificationTime())
+
+    def file_stats(self, path: str, recursive: bool = True) -> dict[str, tuple[int, int]]:
+        """{path: (bytes, mtime_ms)} for every regular file under
+        ``path`` — one listing RPC total; the LocatedFileStatus already
+        carries the mtime, so callers that need ages (vacuum retention)
+        must not re-fetch them per file."""
+        fs, p = self._fs_path(path)
+        if not fs.exists(p):
+            return {}
+        out: dict[str, tuple[int, int]] = {}
+        it = fs.listFiles(p, recursive)
+        while it.hasNext():
+            st = it.next()
+            out[st.getPath().toString()] = (
+                int(st.getLen()),
+                int(st.getModificationTime()),
+            )
+        return out

@@ -64,6 +64,19 @@ class CommitConflict(RuntimeError):
     """Another writer committed this version first — re-read and retry."""
 
 
+class TornManifest(RuntimeError):
+    """A version file existed without valid content past the grace
+    period (writer died between create and write); it has been deleted —
+    re-resolve the latest version and retry."""
+
+
+#: Age past which an unparseable manifest is treated as an aborted
+#: commit rather than a write in flight. Writing a manifest is one small
+#: JSON put; 30 s is orders of magnitude above any plausible in-flight
+#: duration.
+_TORN_GRACE_MS = 30_000
+
+
 class SchemaMismatch(ValueError):
     """Append schema conflicts with the table schema (dropped column or
     changed type). New columns are allowed (additive evolution)."""
@@ -154,16 +167,28 @@ class LogTable:
         # A manifest file exists from the moment of its exclusive create,
         # but its bytes land just after — retry the microscopic torn-read
         # window instead of failing a reader.
+        path = self._log_path(version)
         for attempt in range(5):
             try:
-                return json.loads(
-                    self.fs.read_bytes(self._log_path(version))
-                )
+                return json.loads(self.fs.read_bytes(path))
             except ValueError:
                 time.sleep(0.05 * (attempt + 1))
+        # Still unparseable. Distinguish a writer mid-flight (young file:
+        # keep failing transiently) from an ABORTED commit — the writer
+        # created the version file and died before its bytes landed. An
+        # aborted manifest would otherwise brick the table forever (every
+        # read/write resolves through it); past the grace period, heal
+        # the log by deleting it so the version number is retried.
+        age_ms = time.time() * 1000.0 - self.fs.mtime(path)
+        if age_ms > _TORN_GRACE_MS:
+            self.fs.delete(path)
+            raise TornManifest(
+                f"manifest v{version} was torn (aborted commit) and has "
+                "been removed; retry the operation"
+            )
         raise RuntimeError(
-            f"manifest v{version} stayed unparseable: torn write or "
-            "corrupt log"
+            f"manifest v{version} unparseable but recent — a commit may "
+            "be mid-write; retry shortly"
         )
 
     def _commit(
@@ -343,6 +368,12 @@ class LogTable:
         Read-modify-write: the commit is pinned to the version the merge
         READ, so a concurrent commit conflicts (retry the merge against
         the new state) instead of being silently overwritten."""
+        if updates.groupBy(key).count().filter("count > 1").limit(1).count():
+            # Native MERGE INTO errors on multiple source matches; a
+            # silent double-insert would break the upsert invariant.
+            raise ValueError(
+                f"merge updates contain duplicate values of {key!r}"
+            )
         base = self.latest_version()
         current = self.read(version=base)
         merged = current.join(
@@ -409,14 +440,32 @@ class LogTable:
         cutoff_ms = (_time.time() - min_age_seconds) * 1000.0
         deleted = []
         data_root = posixpath.join(self.dir, _DATA_DIR)
-        for path in self.fs.file_sizes(data_root):
+        # ONE recursive listing carries sizes AND mtimes — never a
+        # per-file status RPC (on s3a those are network round-trips).
+        listing = self.fs.file_stats(data_root)
+        survivors_by_dir: dict[str, int] = {}
+        for path, (_sz, mtime_ms) in listing.items():
+            parent = path.rsplit("/", 1)[0]
             if (
                 path.endswith(".parquet")
                 and path not in live
-                and self.fs.mtime(path) <= cutoff_ms
+                and mtime_ms <= cutoff_ms
             ):
                 self.fs.delete(path)
                 deleted.append(path)
+            else:
+                survivors_by_dir[parent] = (
+                    survivors_by_dir.get(parent, 0)
+                    + (1 if path.endswith(".parquet") else 0)
+                )
+        # Per-commit staging dirs whose every parquet file was just
+        # reclaimed are dead weight (a _SUCCESS marker and an empty dir
+        # per micro-batch otherwise accumulate forever on a streaming
+        # table) — remove them.
+        emptied = {p.rsplit("/", 1)[0] for p in deleted}
+        for d in sorted(emptied):
+            if survivors_by_dir.get(d, 0) == 0 and d != data_root:
+                self.fs.delete(d)
         for v in vs[: -max(1, keep_versions)]:
             self.fs.delete(self._log_path(v))
         return deleted
