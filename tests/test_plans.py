@@ -330,3 +330,34 @@ def test_projected_exists_plans_existence_join(spark):
     df = QUERIES["subquery_exists_flag"].fn(spark, SF_DIR)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert "ExistenceJoin" in opt
+
+
+def test_anomaly_zscore_single_window(spark):
+    """All three rolling sums (n count, Σx, Σx²) share ONE RANGE-frame
+    Window operator — never three passes over the hourly buckets."""
+    df = QUERIES["events_anomaly_zscore"].fn(spark, SF_DIR)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("Window ") == 1
+    plan = plan_of(spark, "events_anomaly_zscore")
+    # and the hourly pre-aggregate is two-phase (map-side combined)
+    assert "partial_count" in plan or plan.count("HashAggregate") >= 2
+
+
+def test_bigram_surprisal_map_only_pair_build(spark):
+    """Bigram construction must be a transform over the token array
+    (map-only), never a positional self-join of the token stream."""
+    df = QUERIES["corpus_bigram_surprisal"].fn(spark, SF_DIR)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # scoring joins the stream to the model tables: exactly the c2/c1
+    # joins, no extra join from pair construction
+    assert opt.count("Join ") == 2
+    assert "transform(sequence" in opt
+
+
+def test_semdedup_confined_to_cell_join(spark):
+    """SemDeDup's pair space must come from the cell equi-join — no
+    BroadcastNestedLoopJoin over the corpus, no corpus self-cartesian
+    (the only NL join allowed is the broadcast one-row quantizer)."""
+    plan = plan_of(spark, "dedup_semdedup_prune")
+    assert "CartesianProduct" not in plan
+    assert "cell" in plan
