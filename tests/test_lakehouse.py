@@ -360,3 +360,33 @@ def test_vacuum_removes_emptied_staging_dirs(spark, tmp_path):
     remaining = list(data_root.iterdir())
     assert len(remaining) == 1
     assert {r.k for r in t.read().collect()} == {2}
+
+
+def test_table_cli_history_optimize_vacuum(spark, tmp_path, capsys):
+    """The ops CLI drives history/show/optimize/vacuum end-to-end and
+    emits one JSON document per invocation."""
+    import json as _json
+
+    from wod_ascii_to_parquet_spark_spark import table_cli
+
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="append")
+    t.write(_df(spark, [(2, "b")]), mode="append")
+    d = str(tmp_path / "t")
+
+    assert table_cli.main(["history", d]) == 0
+    hist = _json.loads(capsys.readouterr().out.strip())
+    assert [h["version"] for h in hist["history"]] == [0, 1]
+
+    assert table_cli.main(["show", d]) == 0
+    shown = _json.loads(capsys.readouterr().out.strip())
+    assert shown["rows"] == 2 and shown["schema"]["k"] == "bigint"
+
+    assert table_cli.main(["optimize", d, "--target-files", "1"]) == 0
+    opt = _json.loads(capsys.readouterr().out.strip())
+    assert opt["n_files"] == 1
+
+    assert table_cli.main(["vacuum", d, "--keep", "1", "--min-age-hours", "0"]) == 0
+    vac = _json.loads(capsys.readouterr().out.strip())
+    assert vac["deleted_files"] >= 2 and vac["kept_versions"] == [2]
+    assert {r.k for r in t.read().collect()} == {1, 2}
