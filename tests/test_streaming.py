@@ -411,3 +411,69 @@ def test_available_now_drains_and_resumes(spark, tmp_path):
         ckpt,
     )
     assert sorted(r.event_id for r in spark.read.parquet(out).collect()) == [1, 2, 3]
+
+
+def test_incremental_matview_equals_batch_aggregate(spark, tmp_path):
+    """The merged materialized view must equal the batch aggregate of all
+    events after every incremental run, and replays must be no-ops."""
+    from wod_ascii_to_parquet_spark_spark.sources.lakehouse import LogTable
+    from wod_ascii_to_parquet_spark_spark.streaming.jobs import (
+        run_incremental_matview,
+    )
+
+    src = str(tmp_path / "src")
+    table_dir = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, src, [(1, 10, 1, "click", 1.0), (2, 70, 1, "view", 2.0)], "b0")
+
+    def run():
+        run_incremental_matview(
+            read_event_stream(spark, src, max_files_per_trigger=1),
+            table_dir,
+            ckpt,
+        )
+
+    def batch_expected():
+        return {
+            (str(r.hour), r.event_type, r.n, r.sum_value)
+            for r in (
+                spark.read.schema(
+                    "event_id bigint, ts bigint, user_id bigint, "
+                    "event_type string, value double, props string"
+                )
+                .parquet(src)
+                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                .groupBy(
+                    F.date_trunc("hour", F.col("ts")).alias("hour"),
+                    "event_type",
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.round(F.sum("value"), 2).alias("sum_value"),
+                )
+            ).collect()
+        }
+
+    def view_rows():
+        return {
+            (str(r.hour), r.event_type, r.n, r.sum_value)
+            for r in LogTable(spark, table_dir)
+            .read()
+            .select("hour", "event_type", "n", "sum_value")
+            .collect()
+        }
+
+    run()
+    assert view_rows() == batch_expected()
+
+    # more events for an EXISTING hour + a new hour: merge updates one
+    # group in place and inserts the other
+    _write_batch(spark, src, [(3, 15, 2, "click", 5.0), (4, 130, 1, "click", 1.0)], "b1")
+    run()
+    assert view_rows() == batch_expected()
+
+    # idle rerun: no changes, no new version beyond the last
+    v = LogTable(spark, table_dir).latest_version()
+    run()
+    assert LogTable(spark, table_dir).latest_version() == v
+    assert view_rows() == batch_expected()
