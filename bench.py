@@ -163,14 +163,30 @@ def main() -> None:
         cold_runs=cold,
         session_startup_sec=round(session_sec, 3),
     )
-    prev = _previous_round()
+    prev, prev_probe = _previous_round()
     if prev:
         detail["previous_round"] = prev
-        # regression gate: steady-state > 1.3x the prior round's number
+        # Regression gate, PROBE-NORMALIZED: this host's available CPU
+        # swings between rounds, so a raw ratio conflates code changes
+        # with host weather. Scale the 1.3x threshold by how much slower
+        # the fixed single-threaded probe ran now vs the prior round —
+        # a query is only flagged when it slowed MORE than the host did.
+        ratio = 1.0
+        if prev_probe and out_doc["cpu_probe_sec"]:
+            ratio = max(1.0, out_doc["cpu_probe_sec"] / prev_probe)
+        detail["probe_ratio_vs_prev"] = round(ratio, 3)
         detail["regressions"] = {
-            name: {"now": timings[name], "was": prev[name]}
+            name: {
+                "now": timings[name],
+                "was": prev[name],
+                "normalized_x": round(
+                    timings[name] / (prev[name] * ratio), 2
+                ),
+            }
             for name in timings
-            if name in prev and prev[name] > 0 and timings[name] > 1.3 * prev[name]
+            if name in prev
+            and prev[name] > 0
+            and timings[name] > 1.3 * prev[name] * ratio
         }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
@@ -178,10 +194,10 @@ def main() -> None:
     print(json.dumps(out_doc))
 
 
-def _previous_round() -> dict[str, float] | None:
-    """Steady-state per-query timings from the latest BENCH_r*.json next to
-    this script (the external record of the prior round), for side-by-side
-    regression reporting."""
+def _previous_round() -> tuple[dict[str, float] | None, float | None]:
+    """(per-query timings, cpu_probe_sec) from the latest parseable
+    BENCH_r*.json next to this script (the external record of the prior
+    round), for probe-normalized regression reporting."""
     import glob
     import re
 
@@ -204,10 +220,10 @@ def _previous_round() -> dict[str, float] | None:
             parsed = doc.get("parsed", doc)
             queries = parsed.get("queries") if isinstance(parsed, dict) else None
             if queries:
-                return queries
+                return queries, parsed.get("cpu_probe_sec")
         except (OSError, ValueError):
             continue
-    return None
+    return None, None
 
 
 if __name__ == "__main__":
