@@ -448,3 +448,69 @@ def text_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("q_score"),
         F.when(score >= 0.5, 1).otherwise(0).alias("accept"),
     )
+
+
+@register(
+    "udtf_analyze_top_terms",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    c AS (SELECT doc_id, term, count(*) AS n FROM tok GROUP BY doc_id, term),
+    r AS (
+        SELECT doc_id, term,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY n DESC, term
+               ) AS rn
+        FROM c
+    )
+    SELECT doc_id,
+           max(CASE WHEN rn = 1 THEN term END) AS term_1,
+           max(CASE WHEN rn = 2 THEN term END) AS term_2,
+           max(CASE WHEN rn = 3 THEN term END) AS term_3
+    FROM r GROUP BY doc_id
+    """,
+    tags=("udtf", "text"),
+)
+def udtf_analyze_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 UDTF ``analyze`` API: the function's OUTPUT SCHEMA is
+    computed at plan time from its arguments — here the constant ``k=3``
+    becomes columns ``term_1..term_3`` (pass a different literal, get a
+    different table shape), which a fixed ``returnType`` string cannot
+    express. ``eval`` emits each document's k most frequent tokens (ties
+    broken by token ascending, padded with NULL). Complements
+    ``udtf_ngram_expand`` (fixed-schema ``@udtf``); the oracle recomputes
+    the same top-k as a count → row_number → CASE-pivot, so the
+    dynamic-schema surface is value-verified, not just runnable."""
+    from collections import Counter
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class TopTerms:
+        @staticmethod
+        def analyze(
+            doc_id: AnalyzeArgument, text: AnalyzeArgument, k: AnalyzeArgument
+        ) -> AnalyzeResult:
+            if not k.isConstantExpression:
+                raise ValueError("top_terms: k must be a constant literal")
+            schema = StructType().add("doc_id", LongType())
+            for i in range(int(k.value)):
+                schema = schema.add(f"term_{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, doc_id, text, k):  # noqa: ANN001 — UDTF protocol
+            counts = Counter(text.split(" "))
+            top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            terms = [t for t, _ in top] + [None] * (k - len(top))
+            yield (doc_id, *terms[:k])
+
+    spark.udtf.register("wg_top_terms_udtf", udtf(TopTerms))
+    spread(load(spark, sf_dir, "documents")).createOrReplaceTempView(
+        "wg_udtf_docs2"
+    )
+    return spark.sql(
+        "SELECT g.* FROM wg_udtf_docs2 t,"
+        " LATERAL wg_top_terms_udtf(t.doc_id, t.text, 3) g"
+    )
