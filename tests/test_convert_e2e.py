@@ -194,3 +194,37 @@ def test_error_channel(spark, tmp_path):
     assert errs.count() == 1
     row = errs.first()
     assert row.dataset == "XBT" and row.castNumber == 3411247 and row.error
+
+
+def test_converted_output_prunes_spatially(spark, converted):
+    """The geohash3 layout must PAY OFF at read time: a spatial cell
+    filter becomes a partition filter (directories never listed into the
+    scan), and within a cell the geohash sort gives parquet row-group
+    min/max bounds a range predicate can prune on."""
+    out, _ = converted
+    ds = os.path.join(out, "yearly", "XBT", "OBS", "XBTO1967.parquet")
+    df = spark.read.parquet(ds)
+    cell = df.select("geohash3").first()[0]
+    q = df.filter(F.col("geohash3") == cell)
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "geohash3" in pf_line  # pruned at directory level
+    # the filter must NOT appear as a post-scan data filter
+    assert q.count() == df.filter(F.col("geohash3") == cell).count() > 0
+    # row-group locality: each file's geohash min/max span is a fraction
+    # of the cell's full range because rows were written sorted
+    import pyarrow.parquet as pq
+
+    part_files = glob.glob(os.path.join(ds, f"geohash3={cell}", "*.parquet"))
+    assert part_files
+    md = pq.ParquetFile(part_files[0]).metadata
+    ghx_idx = [
+        i
+        for i in range(md.row_group(0).num_columns)
+        if md.row_group(0).column(i).path_in_schema == "geohash"
+    ][0]
+    stats = md.row_group(0).column(ghx_idx).statistics
+    assert stats is not None and stats.has_min_max
+    assert str(stats.min).startswith(cell)  # sorted within the cell
