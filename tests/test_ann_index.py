@@ -144,3 +144,60 @@ def test_index_side_of_cell_join_is_exchange_free(spark, ann_index):
     # exactly one Exchange operator in the whole plan: the ad-hoc query
     # side (the bucketed index side sorts within buckets, never shuffles)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:4000]
+
+
+def test_incremental_append_equals_full_build(spark):
+    """build(subset) + append(delta) must probe identically to
+    build(full): the frozen quantizer encodes the delta into the same
+    cells/codes a full rebuild would (both use the vec_id<16 seeds)."""
+    from pyspark.sql import functions as F
+
+    from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+        append_to_ann_index,
+        build_ann_index,
+        probe_ann_index,
+    )
+    from wod_ascii_to_parquet_spark_spark.registry import load
+
+    from .conftest import SF_DIR
+
+    import shutil
+
+    for t in ("annx_full", "annx_full__codebooks", "annx_incr",
+              "annx_incr__codebooks", "annx_incr_sub"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    e = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+
+    build_ann_index(spark, SF_DIR, table="annx_full")
+    full = {
+        tuple(r)
+        for r in probe_ann_index(spark, queries, table="annx_full").collect()
+    }
+
+    # Construct the subset state honestly (parquet tables have no
+    # DELETE): build the full table for its codebooks, then rewrite the
+    # index with only the first 300 rows and append the rest through the
+    # incremental path — equivalent to build(subset) + append(delta).
+    build_ann_index(spark, SF_DIR, table="annx_incr")
+    subset = spark.table("annx_incr").filter(F.col("vec_id") < 300)
+    subset.write.bucketBy(8, "cell").sortBy("cell").format(
+        "parquet"
+    ).mode("overwrite").saveAsTable("annx_incr_sub")
+    spark.sql("DROP TABLE annx_incr")
+    spark.sql("ALTER TABLE annx_incr_sub RENAME TO annx_incr")
+    delta = e.filter(F.col("vec_id") >= 300)
+    n = append_to_ann_index(spark, delta, table="annx_incr")
+    assert n == e.filter(F.col("vec_id") >= 300).count()
+
+    incr = {
+        tuple(r)
+        for r in probe_ann_index(spark, queries, table="annx_incr").collect()
+    }
+    assert incr == full

@@ -155,3 +155,50 @@ def probe_ann_index(
         k=k,
         exclude_self=exclude_self,
     )
+
+
+def append_to_ann_index(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    table: str = INDEX_TABLE,
+) -> int:
+    """INCREMENTAL index growth: encode ``new_vectors`` (columns
+    ``vec_id, emb``) against the STORED codebooks — the quantizer is
+    FROZEN, which is the standard production choice (FAISS `add` after
+    `train`): new vectors assign to existing cells and PQ codes, one
+    map-only pass over only the delta, appended into the same bucketed
+    table. Appended rows carry the original ``build_id`` because they
+    ARE consistent with those codebooks — the pair check stays valid.
+
+    The cost structure this buys at 100 TB: daily corpus growth costs
+    O(|delta|) encode + a bucketed append, never a full-corpus re-encode.
+    The price is quantizer staleness — cells/codebooks trained on the old
+    distribution quantize drifted data worse (recall decays, cell sizes
+    skew); production re-trains on a cadence (or when cell-size skew
+    crosses a threshold) and rebuilds via :func:`build_ann_index`.
+    Returns the number of vectors appended."""
+    books = spark.table(f"{table}__codebooks")
+    build_id = books.select("build_id").first()[0]
+    ivf_row = books.select("__seeds")
+    pq_row = books.select(F.col("__pq_seeds").alias("__seeds"))
+    encoded = (
+        _ivf_assign(new_vectors.select("vec_id", "emb"), ivf_row)
+        .crossJoin(F.broadcast(pq_row))
+        .select(
+            "vec_id",
+            "cell",
+            _pq_codes_col().alias("codes"),
+            F.lit(build_id).alias("build_id"),
+        )
+    )
+    n = encoded.count()
+    # same bucket spec as the build → the append keeps the index side of
+    # every probe join Exchange-free
+    (
+        encoded.write.bucketBy(8, "cell")
+        .sortBy("cell")
+        .format("parquet")
+        .mode("append")
+        .saveAsTable(table)
+    )
+    return n
