@@ -732,3 +732,57 @@ def corpus_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(p * F.log2(p / q)), 6).alias("kl_bits"))
         .select("lang", F.col("n").cast("bigint").alias("n_tokens"), "kl_bits")
     )
+
+
+def _rp_planes(k: int = 16, dim: int = 64) -> list[list[float]]:
+    """Deterministic Gaussian projection matrix (fixed seed) — plan
+    literals, like the LSH hyperplanes, so both engines fold the exact
+    same floats."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    scale = 1.0 / np.sqrt(k)
+    return (rng.standard_normal((k, dim)) * scale).tolist()
+
+
+def _rp_oracle_sql() -> str:
+    planes = _rp_planes()
+    comps = ",\n           ".join(
+        f"round(list_dot_product(emb, [{', '.join(repr(v) for v in p)}]), 6)"
+        f" AS rp_{i}"
+        for i, p in enumerate(planes[:4])
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    SELECT vec_id,
+           {comps}
+    FROM e
+    """
+
+
+@register("vector_random_projection", _rp_oracle_sql(), tags=("vector",))
+def vector_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64→16 dims (1/√k-scaled
+    Gaussian matrix, fixed seed): THE cheap dimensionality-reduction tier
+    for embedding pipelines — pairwise distances are preserved within
+    (1±ε) with high probability, so downstream clustering/ANN can run on
+    a 4× smaller vector, and unlike PQ the output is still a dense vector
+    usable as features. MAP-ONLY: the matrix is k plan literals; each
+    output dim is one dot-product fold; no shuffle, no state. The first 4
+    components are emitted (hash-checkable columns; the driver's
+    canonicalizer needs scalars); the full 16-dim projection is the same
+    expression repeated. Matrix literals repr-round-trip exactly, so both
+    engines fold identical floats — fully oracled like the LSH arm."""
+    from .similarity import _dot  # same fold the similarity tiers use
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    planes = _rp_planes()
+    cols = [
+        F.round(
+            _dot(F.col("emb"), F.array(*[F.lit(v) for v in p])), 6
+        ).alias(f"rp_{i}")
+        for i, p in enumerate(planes[:4])
+    ]
+    return e.select("vec_id", *cols)
