@@ -613,3 +613,45 @@ def subquery_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_custkey
         """
     )
+
+
+@register(
+    "pandas_api_groupby",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_c100
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("api", "pandas"),
+)
+def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PANDAS API ON SPARK surface (`df.pandas_api()` →
+    `pyspark.pandas`): the groupby/agg a pandas user writes verbatim,
+    executed as a distributed Catalyst plan — `.to_spark()` hands back
+    the same DataFrame world the rest of the registry lives in, and the
+    oracle pins the translation's semantics, not just that it runs. This
+    completes the user-facing API matrix (SQL, DataFrame, pandas API,
+    UDF/UDTF, Python DataSource): a pandas-shaped workload ports by
+    changing the import, and the plan underneath is the same two-phase
+    hash aggregate as `agg_group_sum_avg`. Cents are computed BEFORE the
+    pandas-API hop so the sum stays exact-integer on both engines."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    pdf = o.pandas_api()
+    out = (
+        pdf.groupby("o_orderstatus")
+        .agg(n=("o_orderkey", "count"), total_c100=("cents", "sum"))
+        .reset_index()
+    )
+    return out.to_spark().select(
+        "o_orderstatus",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total_c100").cast("bigint").alias("total_c100"),
+    )
