@@ -173,7 +173,10 @@ def main() -> None:
         # a query is only flagged when it slowed MORE than the host did.
         ratio = 1.0
         if prev_probe and out_doc["cpu_probe_sec"]:
-            ratio = max(1.0, out_doc["cpu_probe_sec"] / prev_probe)
+            # two-sided: a faster host TIGHTENS the threshold (a query
+            # that merely held steady while the host sped up regressed
+            # in CPU-normalized terms), a slower host loosens it
+            ratio = out_doc["cpu_probe_sec"] / prev_probe
         detail["probe_ratio_vs_prev"] = round(ratio, 3)
         detail["regressions"] = {
             name: {

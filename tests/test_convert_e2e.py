@@ -211,20 +211,18 @@ def test_converted_output_prunes_spatially(spark, converted):
     )
     pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert "geohash3" in pf_line  # pruned at directory level
-    # the filter must NOT appear as a post-scan data filter
-    assert q.count() == df.filter(F.col("geohash3") == cell).count() > 0
-    # row-group locality: each file's geohash min/max span is a fraction
-    # of the cell's full range because rows were written sorted
+    # ...and ONLY at directory level: the predicate must not survive as
+    # a post-scan data filter (that would mean every file is read)
+    for l in plan.splitlines():
+        if "DataFilters" in l or "PushedFilters" in l:
+            assert "geohash3" not in l, l
+    assert q.count() > 0
+    # within-partition sort is REAL: the file's geohash column is in
+    # nondecreasing order (the property row-group min/max pruning and
+    # spatial readers rely on)
     import pyarrow.parquet as pq
 
     part_files = glob.glob(os.path.join(ds, f"geohash3={cell}", "*.parquet"))
     assert part_files
-    md = pq.ParquetFile(part_files[0]).metadata
-    ghx_idx = [
-        i
-        for i in range(md.row_group(0).num_columns)
-        if md.row_group(0).column(i).path_in_schema == "geohash"
-    ][0]
-    stats = md.row_group(0).column(ghx_idx).statistics
-    assert stats is not None and stats.has_min_max
-    assert str(stats.min).startswith(cell)  # sorted within the cell
+    ghs = pq.read_table(part_files[0], columns=["geohash"])["geohash"].to_pylist()
+    assert len(ghs) > 1 and ghs == sorted(ghs)

@@ -355,9 +355,20 @@ def test_bigram_surprisal_map_only_pair_build(spark):
 
 
 def test_semdedup_confined_to_cell_join(spark):
-    """SemDeDup's pair space must come from the cell equi-join — no
-    BroadcastNestedLoopJoin over the corpus, no corpus self-cartesian
-    (the only NL join allowed is the broadcast one-row quantizer)."""
+    """SemDeDup's pair space must come from the cell equi-join: the pair
+    join's condition carries a cell equality (so it plans as a hash/merge
+    join, never a corpus-wide NL join), and every Cross join in the plan
+    is an explicit broadcast of the one-row quantizer."""
+    import re
+
+    df = QUERIES["dedup_semdedup_prune"].fn(spark, SF_DIR)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    inner = [l for l in opt.splitlines() if "Join Inner" in l]
+    assert inner and any(
+        re.search(r"cell#\d+L? = cell#\d+", l) for l in inner
+    ), inner
+    for l in opt.splitlines():
+        if "Join Cross" in l:
+            assert "strategy=broadcast" in l, l
     plan = plan_of(spark, "dedup_semdedup_prune")
     assert "CartesianProduct" not in plan
-    assert "cell" in plan

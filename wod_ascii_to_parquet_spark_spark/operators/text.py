@@ -378,6 +378,8 @@ def udtf_ngram_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id: bigint, gram: string")
     class NGrams:
         def eval(self, doc_id, text):  # noqa: ANN001 — UDTF protocol
+            if text is None:
+                return  # match the oracle: NULL docs yield no rows
             toks = text.split(" ")
             for i in range(len(toks) - 2):
                 yield doc_id, " ".join(toks[i : i + 3])
@@ -501,6 +503,8 @@ def udtf_analyze_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             return AnalyzeResult(schema=schema)
 
         def eval(self, doc_id, text, k):  # noqa: ANN001 — UDTF protocol
+            if text is None:
+                return  # match the oracle: NULL docs yield no rows
             counts = Counter(text.split(" "))
             top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
             terms = [t for t, _ in top] + [None] * (k - len(top))

@@ -191,14 +191,28 @@ def append_to_ann_index(
             F.lit(build_id).alias("build_id"),
         )
     )
-    n = encoded.count()
+    # count the INPUT (a cheap delta scan), not the encoded frame — the
+    # encode must run exactly once, in the write below
+    n = new_vectors.count()
     # same bucket spec as the build → the append keeps the index side of
-    # every probe join Exchange-free
+    # every probe join Exchange-free; read the spec from the catalog so
+    # an index built with any n_buckets appends correctly
+    n_buckets = _table_num_buckets(spark, table)
     (
-        encoded.write.bucketBy(8, "cell")
+        encoded.write.bucketBy(n_buckets, "cell")
         .sortBy("cell")
         .format("parquet")
         .mode("append")
         .saveAsTable(table)
     )
     return n
+
+
+def _table_num_buckets(spark: SparkSession, table: str, default: int = 8) -> int:
+    """The bucket count the table was BUILT with, from the catalog — an
+    append with a mismatched spec is rejected by Spark, so the spec is
+    authoritative state, not a caller parameter."""
+    for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if row[0].strip() == "Num Buckets":
+            return int(row[1])
+    return default

@@ -386,21 +386,19 @@ def run_incremental_matview(
     State note: no watermark here (totals over all time, keyed by hour);
     state is bounded by (hours × event types). For unbounded keys add a
     watermark and accept finalized-window semantics."""
-    from pyspark.sql import functions as F2
-
     from ..sources.lakehouse import LogTable
 
     agg = (
         stream_df.groupBy(
-            F2.date_trunc("hour", F2.col("ts")).alias("hour"), "event_type"
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
         )
         .agg(
-            F2.count(F2.lit(1)).alias("n"),
-            F2.round(F2.sum("value"), 2).alias("sum_value"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
         )
         .withColumn(
             "mv_key",
-            F2.concat_ws("|", F2.col("hour").cast("string"), "event_type"),
+            F.concat_ws("|", F.col("hour").cast("string"), "event_type"),
         )
     )
 
