@@ -441,3 +441,51 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "purchase"),
         how="left_outer",
     )
+
+
+@register(
+    "stream_interval_join_full",
+    """
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           v.user_id AS v_user_id, p.user_id AS p_user_id,
+           v.ts AS view_ts, p.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming",),
+)
+def stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-outer stream-stream interval join — both unconverted views
+    AND unattributed purchases survive with NULLs on the other side (the
+    reconciliation query: every event accounted for exactly once). In
+    streaming mode each side's null row is held until the watermark
+    closes ITS join window; on batch inputs the watermark is a no-op and
+    the result equals this plain full interval join. Both user_id
+    columns are kept (they differ on null rows — coalescing them is the
+    caller's choice)."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", "1 hour")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", "1 hour")
+    return v.join(
+        p,
+        (F.col("v_user_id") == F.col("p_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr("INTERVAL 30 minutes")
+        ),
+        "full_outer",
+    ).select(
+        "view_id", "purchase_id", "v_user_id", "p_user_id",
+        "view_ts", "purchase_ts",
+    )
