@@ -786,3 +786,84 @@ def vector_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, p in enumerate(planes[:4])
     ]
     return e.select("vec_id", *cols)
+
+
+@register(
+    "corpus_heaps_fit",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    firsts AS (
+        SELECT doc_id, count(*) AS new_terms
+        FROM (
+            SELECT term, min(doc_id) AS doc_id FROM tok GROUP BY term
+        ) GROUP BY doc_id
+    ),
+    per_doc AS (
+        SELECT t.doc_id, t.n_tok, coalesce(f.new_terms, 0) AS new_terms
+        FROM (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id) t
+        LEFT JOIN firsts f ON f.doc_id = t.doc_id
+    ),
+    growth AS (
+        SELECT doc_id,
+               sum(n_tok) OVER w AS cum_tokens,
+               sum(new_terms) OVER w AS cum_vocab
+        FROM per_doc
+        WINDOW w AS (ORDER BY doc_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           round(regr_slope(ln(cum_vocab), ln(cum_tokens)), 6)
+               AS heaps_beta,
+           round(exp(regr_intercept(ln(cum_vocab), ln(cum_tokens))), 4)
+               AS heaps_k,
+           round(regr_r2(ln(cum_vocab), ln(cum_tokens)), 6) AS r2
+    FROM growth WHERE doc_id % 10 = 9
+    """,
+    tags=("text",),
+)
+def corpus_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit — vocabulary growth V(n) ≈ K·n^β against corpus
+    size: log-log regression of cumulative distinct vocabulary on
+    cumulative tokens, sampled every 10 documents in doc_id order. The
+    companion corpus-health signal to `corpus_zipf_fit`: natural text
+    sits at β≈0.4–0.6; β near 1 means near-disjoint vocabularies
+    (unmerged sources, encoding chaos), β near 0 a closed vocabulary
+    (template/boilerplate corpus). Dedup and contamination both move it.
+
+    Cumulative-distinct without a quadratic: a term contributes at its
+    FIRST document only (one group-by over the token stream), so the
+    running vocabulary is a prefix-sum window over per-doc first-seen
+    counts — O(tokens) total, one global-window pass over |docs| rows
+    (tiny; at 100 TB sample doc checkpoints before the window)."""
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    per_doc_tok = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    firsts = (
+        tok.groupBy("term")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    per_doc = per_doc_tok.join(firsts, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        F.coalesce(F.col("new_terms"), F.lit(0)).alias("new_terms"),
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    growth = per_doc.select(
+        "doc_id",
+        F.sum("n_tok").over(w).alias("cum_tokens"),
+        F.sum("new_terms").over(w).alias("cum_vocab"),
+    ).filter(F.col("doc_id") % 10 == 9)
+    lx = F.log(F.col("cum_tokens"))
+    ly = F.log(F.col("cum_vocab"))
+    return growth.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.regr_slope(ly, lx), 6).alias("heaps_beta"),
+        F.round(F.exp(F.regr_intercept(ly, lx)), 4).alias("heaps_k"),
+        F.round(F.regr_r2(ly, lx), 6).alias("r2"),
+    )
