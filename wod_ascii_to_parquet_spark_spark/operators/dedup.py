@@ -232,6 +232,27 @@ def _lsh_verified_pairs(s: DataFrame) -> DataFrame:
     Exchange, project collapsing would inline (= re-evaluate) the
     signature expression at every reference; the Exchange materializes
     ``(doc_id, sh, sig)`` once and ReuseExchange serves all consumers."""
+    cand = _band_candidates(s)
+    sh_only = s.select("doc_id", "sh")
+    verified = cand.join(
+        sh_only.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sh_only.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+        "doc_b",
+    )
+    jac = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return verified.filter(jac >= 0.5).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jac")
+    )
+
+
+def _band_candidates(s: DataFrame) -> DataFrame:
+    """Banded candidate pairs ``(doc_a, doc_b)`` from a prepared
+    ``(doc_id, sig)`` frame: 8 bands x 4 rows -> band-key equi-join.
+    Candidate generation shuffles ONLY (doc_id, band, key) — the shingle
+    arrays stay out of the 8x-exploded band stream and are joined back
+    onto the (tiny) candidate set by the callers."""
     nbands = _NPERM // _BAND_ROWS
     bands = F.array(
         *[
@@ -248,31 +269,16 @@ def _lsh_verified_pairs(s: DataFrame) -> DataFrame:
             for b in range(nbands)
         ]
     )
-    # Candidate generation shuffles ONLY (doc_id, band, key) — the shingle
-    # arrays stay out of the 8×-exploded band stream and are joined back
-    # onto the (tiny) candidate set for exact verification.
     exploded = s.select("doc_id", F.explode(bands).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     a = exploded.select(F.col("doc_id").alias("doc_a"), "band", "key")
     b = exploded.select(F.col("doc_id").alias("doc_b"), "band", "key")
-    cand = (
+    return (
         a.join(b, ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
-    )
-    sh_only = s.select("doc_id", "sh")
-    verified = cand.join(
-        sh_only.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
-        "doc_a",
-    ).join(
-        sh_only.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
-        "doc_b",
-    )
-    jac = jaccard(F.col("sh_a"), F.col("sh_b"))
-    return verified.filter(jac >= 0.5).select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jac")
     )
 
 
@@ -1053,4 +1059,105 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__nw") - F.col("n_ingested")).alias("n_dup_vs_index"),
             "n_ingested",
         )
+    )
+
+
+def _md5_calibration_sql() -> str:
+    """DuckDB mirror of the minhash CALIBRATION query: per band-candidate
+    pair, the signature-agreement estimate (matching positions / 32)
+    against exact Jaccard. Same md5 base hash + affine permutations as
+    the oracled LSH arm, so both engines see identical signatures and an
+    identical candidate set."""
+    sig = [
+        f"list_min(list_transform(hs, h -> ((2*{p}+3)*h + {p}*1000003)"
+        f" % {_MERSENNE}))"
+        for p in range(_NPERM)
+    ]
+    sig_list = ", ".join(sig)
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || '-' || ".join(
+            f"({sig[b * _BAND_ROWS + r]})::VARCHAR" for r in range(_BAND_ROWS)
+        )
+        + " AS key FROM s"
+        for b in range(_NPERM // _BAND_ROWS)
+    )
+    return f"""
+    WITH s0 AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents),
+    s AS (SELECT doc_id, sh,
+                 list_transform(sh, x ->
+                     ('0x' || substring(md5(x), 1, 15))::BIGINT
+                     % {_MERSENNE}) AS hs
+          FROM s0),
+    bands AS ({band_selects}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sg AS (SELECT doc_id, [{sig_list}] AS sig FROM s)
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_filter(range(1, {_NPERM} + 1),
+                                 i -> sa.sig[i] = sb.sig[i]))::DOUBLE
+                 / {_NPERM}, 6) AS est_jac,
+           round(len(list_intersect(ha.sh, hb.sh))::DOUBLE
+                 / len(list_distinct(list_concat(ha.sh, hb.sh))), 6) AS jac
+    FROM cand c
+    JOIN sg sa ON sa.doc_id = c.doc_a
+    JOIN sg sb ON sb.doc_id = c.doc_b
+    JOIN s ha ON ha.doc_id = c.doc_a
+    JOIN s hb ON hb.doc_id = c.doc_b
+    """
+
+
+@register("dedup_minhash_calibration", _md5_calibration_sql(), tags=("dedup",))
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash CALIBRATION: for every banded-LSH candidate pair, the
+    sketch's own similarity estimate (fraction of the 32 signature
+    positions that agree — the unbiased MinHash Jaccard estimator)
+    side-by-side with exact Jaccard. This is the query an operator runs
+    before trusting sketch-only thresholds at 100 TB (where exact
+    verification of every candidate may be skipped): it answers "how
+    wrong is est≈J on MY corpus at MY signature width" with real numbers,
+    per pair. Both columns are hash-checked cross-engine — estimator and
+    truth — because the md5 arm's signatures are bit-identical in DuckDB.
+    Error scales as ~1/√32 per pair; widen the signature to tighten."""
+    d = spread(load(spark, sf_dir, "documents"))
+    s = (
+        d.select("doc_id", shingles(F.col("text")).alias("sh"))
+        .withColumn("hashes", shingle_hashes_md5(F.col("sh")))
+        .withColumn("sig", minhash_signature(F.col("hashes")))
+        .drop("hashes")
+        .repartition(F.col("doc_id"))  # shuffle barrier, see _lsh_verified_pairs
+    )
+    cand = _band_candidates(s)
+    side = s.select("doc_id", "sh", "sig")
+    joined = cand.join(
+        side.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("sh").alias("sh_a"),
+            F.col("sig").alias("sig_a"),
+        ),
+        "doc_a",
+    ).join(
+        side.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("sh").alias("sh_b"),
+            F.col("sig").alias("sig_b"),
+        ),
+        "doc_b",
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    est = matches.cast("double") / _NPERM
+    jac = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        F.round(est, 6).alias("est_jac"),
+        F.round(jac, 6).alias("jac"),
     )
