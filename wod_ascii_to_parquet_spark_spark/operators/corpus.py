@@ -819,7 +819,7 @@ def vector_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(exp(regr_intercept(ln(cum_vocab), ln(cum_tokens))), 4)
                AS heaps_k,
            round(regr_r2(ln(cum_vocab), ln(cum_tokens)), 6) AS r2
-    FROM growth WHERE doc_id % 10 = 9
+    FROM growth WHERE doc_id % 10 = 9 OR doc_id < 10
     """,
     tags=("text",),
 )
@@ -858,7 +858,7 @@ def corpus_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.sum("n_tok").over(w).alias("cum_tokens"),
         F.sum("new_terms").over(w).alias("cum_vocab"),
-    ).filter(F.col("doc_id") % 10 == 9)
+    ).filter((F.col("doc_id") % 10 == 9) | (F.col("doc_id") < 10))
     lx = F.log(F.col("cum_tokens"))
     ly = F.log(F.col("cum_vocab"))
     return growth.agg(

@@ -297,17 +297,21 @@ def shingle_hashes_md5(sh: Column) -> Column:
     )
 
 
-def _md5_lsh_sql(select_pairs: str) -> str:
-    """Generate the DuckDB mirror of the md5-based banded LSH: shingles →
-    60-bit md5 hashes mod 2³¹−1 → 32 affine-permutation minima → 8×4 band
-    keys → band equi-join candidates → exact Jaccard ≥ 0.5. Signatures are
-    bit-exact vs the Spark side, so the candidate SET matches exactly —
-    LSH recall loss is identical on both sides by construction."""
-    sig = [
+def _md5_sig_exprs() -> list[str]:
+    """The 32 affine-permutation minimum expressions over the md5 hash
+    list ``hs`` — the ONE definition both md5-arm SQL generators build
+    from (LSH pairs and calibration must never desynchronize)."""
+    return [
         f"list_min(list_transform(hs, h -> ((2*{p}+3)*h + {p}*1000003)"
         f" % {_MERSENNE}))"
         for p in range(_NPERM)
     ]
+
+
+def _md5_band_ctes() -> str:
+    """Shared CTE chain of the md5 arm: shingles → 60-bit md5 hashes →
+    band keys → DISTINCT band-join candidates."""
+    sig = _md5_sig_exprs()
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
         + " || '-' || ".join(
@@ -328,7 +332,16 @@ def _md5_lsh_sql(select_pairs: str) -> str:
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-    ),
+    ),"""
+
+
+def _md5_lsh_sql(select_pairs: str) -> str:
+    """Generate the DuckDB mirror of the md5-based banded LSH: shingles →
+    60-bit md5 hashes mod 2³¹−1 → 32 affine-permutation minima → 8×4 band
+    keys → band equi-join candidates → exact Jaccard ≥ 0.5. Signatures are
+    bit-exact vs the Spark side, so the candidate SET matches exactly —
+    LSH recall loss is identical on both sides by construction."""
+    return _md5_band_ctes() + f"""
     verified AS (
         SELECT c.doc_a, c.doc_b,
                len(list_intersect(sa.sh, sb.sh))::DOUBLE
@@ -1065,37 +1078,18 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _md5_calibration_sql() -> str:
     """DuckDB mirror of the minhash CALIBRATION query: per band-candidate
     pair, the signature-agreement estimate (matching positions / 32)
-    against exact Jaccard. Same md5 base hash + affine permutations as
-    the oracled LSH arm, so both engines see identical signatures and an
-    identical candidate set."""
-    sig = [
-        f"list_min(list_transform(hs, h -> ((2*{p}+3)*h + {p}*1000003)"
-        f" % {_MERSENNE}))"
-        for p in range(_NPERM)
-    ]
-    sig_list = ", ".join(sig)
-    band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, "
-        + " || '-' || ".join(
-            f"({sig[b * _BAND_ROWS + r]})::VARCHAR" for r in range(_BAND_ROWS)
-        )
-        + " AS key FROM s"
-        for b in range(_NPERM // _BAND_ROWS)
-    )
+    against exact Jaccard. Shares the md5 arm's CTE chain verbatim
+    (`_md5_band_ctes`), so the two oracles can never desynchronize. The
+    short-document guard (``len(sh) > 0`` on both engines) keeps empty
+    shingle sets out: Spark's fold would give them the sentinel-init
+    signature (pairing every short doc with every other) while DuckDB's
+    list_min of an empty list yields NULL keys that never join — and the
+    exact Jaccard on two empty sets is 0/0."""
+    sig_list = ", ".join(_md5_sig_exprs())
     return f"""
-    WITH s0 AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents),
-    s AS (SELECT doc_id, sh,
-                 list_transform(sh, x ->
-                     ('0x' || substring(md5(x), 1, 15))::BIGINT
-                     % {_MERSENNE}) AS hs
-          FROM s0),
-    bands AS ({band_selects}),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-    ),
-    sg AS (SELECT doc_id, [{sig_list}] AS sig FROM s)
+    WITH {_md5_band_ctes()}
+    sg AS (SELECT doc_id, [{sig_list}] AS sig FROM s
+           WHERE len(sh) > 0)
     SELECT c.doc_a, c.doc_b,
            round(len(list_filter(range(1, {_NPERM} + 1),
                                  i -> sa.sig[i] = sb.sig[i]))::DOUBLE
@@ -1125,6 +1119,12 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents"))
     s = (
         d.select("doc_id", shingles(F.col("text")).alias("sh"))
+        # Short docs (empty shingle set) OUT before anything else: the
+        # signature fold would give them all the sentinel-init signature
+        # (pairing every short doc with every other) and exact Jaccard on
+        # two empty sets is 0/0 (throws under ANSI). The oracle drops
+        # them symmetrically (len(sh) > 0 / NULL band keys never join).
+        .filter(F.size(F.col("sh")) > 0)
         .withColumn("hashes", shingle_hashes_md5(F.col("sh")))
         .withColumn("sig", minhash_signature(F.col("hashes")))
         .drop("hashes")

@@ -464,28 +464,16 @@ def stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     closes ITS join window; on batch inputs the watermark is a no-op and
     the result equals this plain full interval join. Both user_id
     columns are kept (they differ on null rows — coalescing them is the
-    caller's choice)."""
+    caller's choice). Same `jobs.interval_join` helper as the inner and
+    left-outer arms, so one definition of the watermark + time-bound
+    state-eviction logic serves all three and the streaming behavior
+    tests cover them together."""
+    from .jobs import interval_join
+
     ev = load(spark, sf_dir, "events")
-    v = ev.filter(F.col("event_type") == "view").select(
-        F.col("event_id").alias("view_id"),
-        F.col("user_id").alias("v_user_id"),
-        F.col("ts").alias("view_ts"),
-    ).withWatermark("view_ts", "1 hour")
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("p_user_id"),
-        F.col("ts").alias("purchase_ts"),
-    ).withWatermark("purchase_ts", "1 hour")
-    return v.join(
-        p,
-        (F.col("v_user_id") == F.col("p_user_id"))
-        & (F.col("view_ts") <= F.col("purchase_ts"))
-        & (
-            F.col("purchase_ts")
-            <= F.col("view_ts") + F.expr("INTERVAL 30 minutes")
-        ),
-        "full_outer",
-    ).select(
-        "view_id", "purchase_id", "v_user_id", "p_user_id",
-        "view_ts", "purchase_ts",
+    return interval_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        how="full_outer",
+        keep_both_users=True,
     )

@@ -107,6 +107,7 @@ def interval_join(
     horizon: str = "30 minutes",
     watermark: str = "1 hour",
     how: str = "inner",
+    keep_both_users: bool = False,
 ) -> DataFrame:
     """Stream-stream join: each purchase pairs with the same user's views
     from the preceding ``horizon``.
@@ -136,13 +137,24 @@ def interval_join(
         F.col("user_id").alias("p_user"),
         F.col("ts").alias("purchase_ts"),
     ).withWatermark("purchase_ts", watermark)
-    return v.join(
+    joined = v.join(
         p,
         (F.col("v_user") == F.col("p_user"))
         & (F.col("view_ts") <= F.col("purchase_ts"))
         & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
         how,
-    ).select(
+    )
+    if keep_both_users:
+        # full-outer callers: the two user columns differ on null rows
+        return joined.select(
+            "view_id",
+            "purchase_id",
+            F.col("v_user").alias("v_user_id"),
+            F.col("p_user").alias("p_user_id"),
+            "view_ts",
+            "purchase_ts",
+        )
+    return joined.select(
         "view_id",
         "purchase_id",
         F.col("v_user").alias("user_id"),
