@@ -67,3 +67,80 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_COLS)}, {stack_args})"
         " as (column_name, null_count, n_distinct, min_val, max_val)"
     )
+
+
+@register(
+    "profile_category_drift",
+    """
+    WITH cut AS (
+        SELECT (CAST(epoch(min(o_orderdate)) AS BIGINT)
+                + CAST(epoch(max(o_orderdate)) AS BIGINT)) // 2 AS mid
+        FROM orders
+    ),
+    half AS (
+        SELECT o_orderpriority AS cat,
+               CASE WHEN CAST(epoch(o_orderdate) AS BIGINT) < cut.mid
+                    THEN 'early' ELSE 'late' END AS period
+        FROM orders CROSS JOIN cut
+    ),
+    cnt AS (
+        SELECT cat,
+               count(*) FILTER (WHERE period = 'early') AS n_early,
+               count(*) FILTER (WHERE period = 'late') AS n_late
+        FROM half GROUP BY cat
+    ),
+    tot AS (
+        SELECT CAST(sum(n_early) AS DOUBLE) AS te,
+               CAST(sum(n_late) AS DOUBLE) AS tl
+        FROM cnt
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_categories,
+           CAST(count(*) - 1 AS BIGINT) AS dof,
+           round(sum(
+               power(n_early - (n_early + n_late) * te / (te + tl), 2)
+                   / ((n_early + n_late) * te / (te + tl))
+               + power(n_late - (n_early + n_late) * tl / (te + tl), 2)
+                   / ((n_early + n_late) * tl / (te + tl))
+           ), 6) AS chi2
+    FROM cnt CROSS JOIN tot
+    """,
+    tags=("profiling",),
+)
+def profile_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical DRIFT detection — the chi-square homogeneity statistic
+    between the early and late halves of the order stream (split at the
+    median date) over the priority distribution: the scheduled check a
+    pipeline runs to catch upstream mix shifts (a new source, a changed
+    default, an enum rename) before they poison trained consumers. Output
+    is the statistic + degrees of freedom; compare against the χ²
+    critical value for the alert threshold (the CDF itself is the
+    caller's table — no SciPy in the plan). Two grouped counts and a
+    1-row broadcast total; the shuffle carries categories, not rows.
+    Identical expected-count arithmetic on both engines, rounded."""
+    o = load(spark, sf_dir, "orders")
+    ep = F.unix_timestamp("o_orderdate")
+    cut = o.agg(
+        ((F.min(ep) + F.max(ep)) / 2).cast("bigint").alias("mid")
+    )
+    half = o.crossJoin(F.broadcast(cut)).select(
+        F.col("o_orderpriority").alias("cat"),
+        F.when(ep < F.col("mid"), "early").otherwise("late").alias("period"),
+    )
+    cnt = half.groupBy("cat").agg(
+        F.count_if(F.col("period") == "early").alias("n_early"),
+        F.count_if(F.col("period") == "late").alias("n_late"),
+    )
+    tot = cnt.agg(
+        F.sum("n_early").cast("double").alias("te"),
+        F.sum("n_late").cast("double").alias("tl"),
+    )
+    ne, nl = F.col("n_early"), F.col("n_late")
+    te, tl = F.col("te"), F.col("tl")
+    exp_e = (ne + nl) * te / (te + tl)
+    exp_l = (ne + nl) * tl / (te + tl)
+    term = F.pow(ne - exp_e, 2) / exp_e + F.pow(nl - exp_l, 2) / exp_l
+    return cnt.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).alias("n_categories"),
+        (F.count(F.lit(1)) - 1).alias("dof"),
+        F.round(F.sum(term), 6).alias("chi2"),
+    )

@@ -1072,3 +1072,70 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.abs(zr) >= 3.0, 1).otherwise(0).alias("is_anomaly"),
         )
     )
+
+
+@register(
+    "events_bot_regularity",
+    """
+    WITH gaps AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT)
+               - CAST(floor(epoch(lag(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                 ))) AS BIGINT) AS gap
+        FROM events
+    ),
+    stats AS (
+        SELECT user_id,
+               count(gap) AS n_gaps,
+               CAST(sum(gap) AS DOUBLE) AS s1,
+               CAST(sum(gap * gap) AS DOUBLE) AS s2
+        FROM gaps WHERE gap IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+           round(cv, 6) AS gap_cv,
+           CASE WHEN round(cv, 6) < 0.1 THEN 1 ELSE 0 END AS bot_flag
+    FROM (
+        SELECT user_id, n_gaps,
+               sqrt((s2 - s1 * s1 / n_gaps) / (n_gaps - 1)) / (s1 / n_gaps)
+                   AS cv
+        FROM stats WHERE n_gaps >= 20 AND s1 > 0
+    )
+    """,
+    tags=("window", "events"),
+)
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-likeness via inter-event REGULARITY: per user, the coefficient
+    of variation of gaps between consecutive events — humans are bursty
+    (cv ≳ 1), schedulers and scripts tick (cv → 0), so a low-cv account
+    with enough events is the automation signal rate-limiters and
+    engagement metrics both need. The lag is tie-broken by event_id so
+    equal-timestamp events order identically in both engines; mean/std
+    come from the same explicit Σ, Σ² formulas as the anomaly detector
+    and the flag compares the ROUNDED cv, keeping the 0.1 boundary
+    hash-exact. One user_id shuffle for the lag window; the stats
+    aggregate rides the same partitioning."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_timestamp("ts")
+    gaps = ev.select(
+        "user_id",
+        (ep - F.unix_timestamp(F.lag("ts").over(w))).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    stats = gaps.groupBy("user_id").agg(
+        F.count("gap").alias("n_gaps"),
+        F.sum("gap").cast("double").alias("s1"),
+        F.sum(F.col("gap") * F.col("gap")).cast("double").alias("s2"),
+    )
+    n, s1, s2 = F.col("n_gaps"), F.col("s1"), F.col("s2")
+    cv = F.sqrt((s2 - s1 * s1 / n) / (n - 1)) / (s1 / n)
+    cvr = F.round(cv, 6)
+    return (
+        stats.filter((n >= 20) & (s1 > 0))
+        .select(
+            "user_id",
+            n.cast("bigint").alias("n_gaps"),
+            cvr.alias("gap_cv"),
+            F.when(cvr < 0.1, 1).otherwise(0).alias("bot_flag"),
+        )
+    )
