@@ -701,3 +701,51 @@ def test_pipeline_stats_bound_by_stage_queries(spark):
     contam = QUERIES["curation_decontaminate"].fn(spark, SF_DIR).count()
     assert stats.n_contaminated == contam
     assert stats.n_kept <= stats.n_total - stats.n_quality_fail
+
+
+def test_minhash_estimator_calibration_quality(spark):
+    """The signature-agreement estimator must actually estimate: mean
+    absolute error against exact Jaccard within the ~1/sqrt(32) sketch
+    bound on the candidate set (these are high-similarity pairs, where
+    the estimator is at its best)."""
+    from wod_ascii_to_parquet_spark_spark.registry import load_all_operators
+
+    qs = load_all_operators()
+    rows = qs["dedup_minhash_calibration"].fn(spark, SF_DIR).collect()
+    assert rows
+    errs = [abs(r.est_jac - r.jac) for r in rows]
+    assert sum(errs) / len(errs) < 0.15, sum(errs) / len(errs)
+    # and the estimator never inverts a confident judgment: pairs the
+    # sketch calls near-identical (est >= 0.9) are truly similar
+    for r in rows:
+        if r.est_jac >= 0.9:
+            assert r.jac >= 0.5, (r.doc_a, r.doc_b, r.est_jac, r.jac)
+
+
+def test_heaps_fit_in_plausible_range(spark):
+    """Heaps beta must land in [0, 1) with a positive K — the closed-
+    vocabulary fixture sits near 0; a negative or >=1 exponent would mean
+    the cumulative-vocab windowing is broken."""
+    from wod_ascii_to_parquet_spark_spark.registry import load_all_operators
+
+    qs = load_all_operators()
+    r = qs["corpus_heaps_fit"].fn(spark, SF_DIR).collect()[0]
+    assert 0.0 <= r.heaps_beta < 1.0
+    assert r.heaps_k > 0
+    assert r.n_points > 10
+
+
+def test_bot_regularity_flags_are_the_low_variance_tail(spark):
+    """Flagged users (if any) must all have lower gap-cv than every
+    unflagged user — the flag is a threshold on cv, so any inversion
+    means the statistic and the flag disagree."""
+    from wod_ascii_to_parquet_spark_spark.registry import load_all_operators
+
+    qs = load_all_operators()
+    rows = qs["events_bot_regularity"].fn(spark, SF_DIR).collect()
+    assert rows
+    flagged = [r.gap_cv for r in rows if r.bot_flag == 1]
+    unflagged = [r.gap_cv for r in rows if r.bot_flag == 0]
+    if flagged and unflagged:
+        assert max(flagged) < min(unflagged)
+    assert all(r.gap_cv >= 0 for r in rows)
