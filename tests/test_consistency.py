@@ -708,10 +708,7 @@ def test_minhash_estimator_calibration_quality(spark):
     absolute error against exact Jaccard within the ~1/sqrt(32) sketch
     bound on the candidate set (these are high-similarity pairs, where
     the estimator is at its best)."""
-    from wod_ascii_to_parquet_spark_spark.registry import load_all_operators
-
-    qs = load_all_operators()
-    rows = qs["dedup_minhash_calibration"].fn(spark, SF_DIR).collect()
+    rows = QUERIES["dedup_minhash_calibration"].fn(spark, SF_DIR).collect()
     assert rows
     errs = [abs(r.est_jac - r.jac) for r in rows]
     assert sum(errs) / len(errs) < 0.15, sum(errs) / len(errs)
@@ -726,10 +723,7 @@ def test_heaps_fit_in_plausible_range(spark):
     """Heaps beta must land in [0, 1) with a positive K — the closed-
     vocabulary fixture sits near 0; a negative or >=1 exponent would mean
     the cumulative-vocab windowing is broken."""
-    from wod_ascii_to_parquet_spark_spark.registry import load_all_operators
-
-    qs = load_all_operators()
-    r = qs["corpus_heaps_fit"].fn(spark, SF_DIR).collect()[0]
+    r = QUERIES["corpus_heaps_fit"].fn(spark, SF_DIR).collect()[0]
     assert 0.0 <= r.heaps_beta < 1.0
     assert r.heaps_k > 0
     assert r.n_points > 10
@@ -739,10 +733,7 @@ def test_bot_regularity_flags_are_the_low_variance_tail(spark):
     """Flagged users (if any) must all have lower gap-cv than every
     unflagged user — the flag is a threshold on cv, so any inversion
     means the statistic and the flag disagree."""
-    from wod_ascii_to_parquet_spark_spark.registry import load_all_operators
-
-    qs = load_all_operators()
-    rows = qs["events_bot_regularity"].fn(spark, SF_DIR).collect()
+    rows = QUERIES["events_bot_regularity"].fn(spark, SF_DIR).collect()
     assert rows
     flagged = [r.gap_cv for r in rows if r.bot_flag == 1]
     unflagged = [r.gap_cv for r in rows if r.bot_flag == 0]

@@ -102,7 +102,7 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
                + power(n_late - (n_early + n_late) * tl / (te + tl), 2)
                    / ((n_early + n_late) * tl / (te + tl))
            ), 6) AS chi2
-    FROM cnt CROSS JOIN tot
+    FROM cnt CROSS JOIN tot WHERE te > 0 AND tl > 0
     """,
     tags=("profiling",),
 )
@@ -139,7 +139,11 @@ def profile_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     exp_e = (ne + nl) * te / (te + tl)
     exp_l = (ne + nl) * tl / (te + tl)
     term = F.pow(ne - exp_e, 2) / exp_e + F.pow(nl - exp_l, 2) / exp_l
-    return cnt.crossJoin(F.broadcast(tot)).agg(
+    return cnt.crossJoin(F.broadcast(tot)).filter(
+        (te > 0) & (tl > 0)  # degenerate split (single-date table):
+        # both engines then aggregate zero rows to the same
+        # (0, -1, NULL) row instead of dividing by a zero expected count
+    ).agg(
         F.count(F.lit(1)).alias("n_categories"),
         (F.count(F.lit(1)) - 1).alias("dof"),
         F.round(F.sum(term), 6).alias("chi2"),

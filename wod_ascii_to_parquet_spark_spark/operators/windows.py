@@ -1097,8 +1097,8 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN round(cv, 6) < 0.1 THEN 1 ELSE 0 END AS bot_flag
     FROM (
         SELECT user_id, n_gaps,
-               sqrt((s2 - s1 * s1 / n_gaps) / (n_gaps - 1)) / (s1 / n_gaps)
-                   AS cv
+               sqrt(greatest(0, s2 - s1 * s1 / n_gaps) / (n_gaps - 1))
+               / (s1 / n_gaps) AS cv
         FROM stats WHERE n_gaps >= 20 AND s1 > 0
     )
     """,
@@ -1112,8 +1112,9 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     engagement metrics both need. The lag is tie-broken by event_id so
     equal-timestamp events order identically in both engines; mean/std
     come from the same explicit Σ, Σ² formulas as the anomaly detector
-    and the flag compares the ROUNDED cv, keeping the 0.1 boundary
-    hash-exact. One user_id shuffle for the lag window; the stats
+    (variance numerator clamped at 0 — cancellation on near-constant gaps
+    must read as cv=0, not a NaN/exception engine divergence) and the
+    flag compares the ROUNDED cv, keeping the 0.1 boundary hash-exact. One user_id shuffle for the lag window; the stats
     aggregate rides the same partitioning."""
     ev = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1128,7 +1129,12 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("gap") * F.col("gap")).cast("double").alias("s2"),
     )
     n, s1, s2 = F.col("n_gaps"), F.col("s1"), F.col("s2")
-    cv = F.sqrt((s2 - s1 * s1 / n) / (n - 1)) / (s1 / n)
+    # clamp the variance numerator: fp cancellation on near-constant gaps
+    # (exactly the bot population) can push it epsilon-negative — DuckDB's
+    # sqrt would raise, Spark would NaN; zero (cv=0, perfect bot) is the
+    # correct reading for both
+    var_num = F.greatest(F.lit(0.0), s2 - s1 * s1 / n)
+    cv = F.sqrt(var_num / (n - 1)) / (s1 / n)
     cvr = F.round(cv, 6)
     return (
         stats.filter((n >= 20) & (s1 > 0))
