@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import load, register
+from ..registry import load, register, rev_c100
 
 _COLS = (
     "o_orderkey",
@@ -147,4 +147,53 @@ def profile_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_categories"),
         (F.count(F.lit(1)) - 1).alias("dof"),
         F.round(F.sum(term), 6).alias("chi2"),
+    )
+
+
+@register(
+    "supplier_concentration_hhi",
+    """
+    WITH rev AS (
+        SELECT p.p_type AS segment, l.l_suppkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) AS rev
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_type, l.l_suppkey
+    ),
+    seg AS (SELECT segment, sum(rev) AS total FROM rev GROUP BY segment)
+    SELECT r.segment,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum(power(r.rev / s.total, 2)) * 10000, 4) AS hhi
+    FROM rev r JOIN seg s ON s.segment = r.segment
+    GROUP BY r.segment
+    """,
+    tags=("profiling",),
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier CONCENTRATION per part segment — the Herfindahl–Hirschman
+    index (Σ share², ×10,000 in the antitrust convention: <1,500
+    competitive, >2,500 concentrated) over exact-integer-cents revenue
+    shares. The supply-chain risk metric a procurement review runs: a
+    segment scoring high depends on few suppliers and one failure is an
+    outage. Two grouped aggregates (map-side combined) + a |segments|-row
+    join; shares are exact because revenue stays integer cents until the
+    final ratio."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("p_type").alias("segment"), "l_suppkey")
+        .agg(F.sum(rev_c100()).cast("double").alias("rev"))
+    )
+    seg = rev.groupBy("segment").agg(F.sum("rev").alias("total"))
+    return (
+        rev.join(seg, "segment")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(
+                F.sum(F.pow(F.col("rev") / F.col("total"), 2)) * 10_000, 4
+            ).alias("hhi"),
+        )
     )
