@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from ..registry import load, register, rev_c100
+from ..registry import REV_C100_SQL, load, register, rev_c100
 
 def _supply_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Observed (partkey, suppkey) supply pairs — the partsupp stand-in.
@@ -723,4 +723,88 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
+    )
+
+
+@register(
+    "nation_trade_flows",
+    f"""
+    WITH flows AS (
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               sum({REV_C100_SQL}) AS rev_c100
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+        WHERE ns.n_nationkey <> nc.n_nationkey
+        GROUP BY ns.n_name, nc.n_name
+    )
+    SELECT a.supp_nation, a.cust_nation,
+           CAST(a.rev_c100 AS BIGINT) AS export_c100,
+           CAST(coalesce(b.rev_c100, 0) AS BIGINT) AS import_c100,
+           CAST(a.rev_c100 - coalesce(b.rev_c100, 0) AS BIGINT)
+               AS net_balance_c100
+    FROM flows a
+    LEFT JOIN flows b
+      ON b.supp_nation = a.cust_nation AND b.cust_nation = a.supp_nation
+    """,
+    tags=("tpch", "join"),
+)
+def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full NATION-PAIR trade matrix — Q7 generalized from two fixed
+    nations to every directed pair, with each flow's reverse flow joined
+    back for the NET BALANCE (exports − imports, exact integer cents).
+    The international-trade report shape: a 6-way star join producing a
+    |nations|² matrix, then a self-join of the (tiny) aggregate with the
+    pair key reversed. All dimension sides broadcast; the only fact
+    shuffle is the orderkey join; the flows×flows self-join runs on a
+    |nations|²-row frame — driver-invisible at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    flows = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(
+            F.broadcast(n1.select(F.col("n_nationkey").alias("sk"),
+                                  F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(n1.select(F.col("n_nationkey").alias("ck"),
+                                  F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .filter(F.col("sk") != F.col("ck"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(F.sum(rev_c100()).alias("rev_c100"))
+    )
+    rev = flows.select(
+        F.col("supp_nation").alias("r_supp"),
+        F.col("cust_nation").alias("r_cust"),
+        F.col("rev_c100").alias("rev_rev"),
+    )
+    return (
+        flows.join(
+            rev,
+            (F.col("r_supp") == F.col("cust_nation"))
+            & (F.col("r_cust") == F.col("supp_nation")),
+            "left",
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.col("rev_c100").cast("bigint").alias("export_c100"),
+            F.coalesce(F.col("rev_rev"), F.lit(0))
+            .cast("bigint")
+            .alias("import_c100"),
+            (F.col("rev_c100") - F.coalesce(F.col("rev_rev"), F.lit(0)))
+            .cast("bigint")
+            .alias("net_balance_c100"),
+        )
     )
