@@ -1203,3 +1203,68 @@ def events_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(secs, 0.9)"), 4).alias("p90_secs"),
         F.max("secs").alias("max_secs"),
     )
+
+
+@register(
+    "events_session_depth",
+    """
+    WITH g AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                      OR ts > lag(ts) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id)
+                           + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sess_no
+        FROM g
+    ),
+    depth AS (
+        SELECT user_id, sess_no, count(*) AS n_events
+        FROM s GROUP BY user_id, sess_no
+    )
+    SELECT CAST(least(n_events, 10) AS BIGINT) AS depth_band,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events
+    FROM depth GROUP BY least(n_events, 10)
+    """,
+    tags=("window", "events"),
+)
+def events_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-depth distribution: sessions from the same 30-minute
+    gaps-and-islands rule as `window_gaps_islands`, rolled into a
+    banded histogram (1..9 events, 10 = "10+") of how deep sessions go —
+    the engagement profile behind bounce rate (band 1) and power usage
+    (band 10+). Composition discipline: the sessionization CTE is
+    verbatim the oracled gaps-islands query, so this adds only the
+    banding on top of already-verified semantics; the band cap keeps the
+    output small and hash-stable at any scale. Same single user_id
+    shuffle; both aggregates ride it."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (F.col("ts") > prev + F.expr("INTERVAL 30 minutes")),
+        1,
+    ).otherwise(0)
+    s = ev.select(
+        "user_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("sess_no"),
+    )
+    depth = s.groupBy("user_id", "sess_no").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    band = F.least(F.col("n_events"), F.lit(10)).cast("bigint")
+    return depth.groupBy(band.alias("depth_band")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
