@@ -42,11 +42,16 @@ BUILD_CONFS: dict[str, str] = {
     # RDDs whose cleanup is GC-driven; with the default 1g driver heap and
     # the default 30min periodic-GC interval, a run can hit "Not enough
     # memory to build and broadcast" before any cleanup happens. A real
-    # driver heap plus a tight periodic GC keeps block cleanup ahead of
+    # driver heap plus a periodic GC keeps block cleanup ahead of
     # accumulation. (driver.memory only applies when THIS process launches
     # the JVM — externally-owned sessions keep their own sizing.)
+    # Interval choice: periodic GC is a FULL System.gc() — at 1min one
+    # landed inside a timed run every few bench queries, uniformly
+    # inflating the sub-second headliners ~0.1-0.2s (measured; the large
+    # queries absorb it). 5min still bounds broadcast-cleanup lag at an
+    # 8g heap while keeping stop-the-world pauses out of most runs.
     "spark.driver.memory": "8g",
-    "spark.cleaner.periodicGC.interval": "1min",
+    "spark.cleaner.periodicGC.interval": "5min",
 }
 
 
