@@ -1268,3 +1268,52 @@ def events_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").alias("n_events"),
     )
+
+
+@register(
+    "customer_repurchase_latency",
+    """
+    WITH gaps AS (
+        SELECT o_custkey,
+               CAST(floor(epoch(o_orderdate)) AS BIGINT)
+               - CAST(floor(epoch(lag(o_orderdate) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ))) AS BIGINT) AS gap_secs
+        FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_repurchases,
+           round(quantile_cont(gap_secs / 86400.0, 0.5), 4) AS p50_days,
+           round(quantile_cont(gap_secs / 86400.0, 0.9), 4) AS p90_days,
+           round(avg(gap_secs / 86400.0), 4) AS mean_days
+    FROM gaps WHERE gap_secs IS NOT NULL
+    """,
+    tags=("window", "events"),
+)
+def customer_repurchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPURCHASE latency — the distribution of time between a customer's
+    consecutive orders (median/p90/mean days): the retention cadence
+    behind replenishment reminders and churn-risk windows (a customer
+    past their own p90 is lapsing). Same shape discipline as the funnel
+    timing: one custkey-partitioned lag (tie-broken by orderkey for
+    equal dates), floored-second gaps so both engines' epoch handling
+    agrees, one small exact-percentile aggregate over the gap rows."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = (
+        F.unix_timestamp("o_orderdate")
+        - F.unix_timestamp(F.lag("o_orderdate").over(w))
+    )
+    gaps = o.select("o_custkey", gap.alias("gap_secs")).filter(
+        F.col("gap_secs").isNotNull()
+    )
+    days = F.col("gap_secs") / 86400.0
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_repurchases"),
+        F.round(F.expr("percentile(gap_secs / 86400.0, 0.5)"), 4).alias(
+            "p50_days"
+        ),
+        F.round(F.expr("percentile(gap_secs / 86400.0, 0.9)"), 4).alias(
+            "p90_days"
+        ),
+        F.round(F.avg(days), 4).alias("mean_days"),
+    )
