@@ -323,8 +323,11 @@ def test_merge_and_empty_prune_respect_evolved_schema(spark, tmp_path):
 
 def test_torn_manifest_heals_after_grace(spark, tmp_path, monkeypatch):
     """An aborted commit (version file created, bytes never landed) must
-    not brick the table: past the grace period the torn manifest is
-    deleted and the version number becomes committable again."""
+    not brick the table: past the grace period a WRITER deletes the torn
+    manifest and the version number becomes committable again. READERS
+    never heal — a reader's clock skew vs the store's mtime must not be
+    able to delete a manifest whose writer is merely stalled between the
+    exclusive create and the payload write."""
     import wod_ascii_to_parquet_spark_spark.sources.lakehouse as LH
 
     t = LogTable(spark, str(tmp_path / "t"))
@@ -334,9 +337,14 @@ def test_torn_manifest_heals_after_grace(spark, tmp_path, monkeypatch):
     os.makedirs(os.path.dirname(_local(torn)), exist_ok=True)
     open(_local(torn), "wb").close()
     monkeypatch.setattr(LH, "_TORN_GRACE_MS", 0)
+    # a reader reports the torn state but does NOT delete the manifest
     with pytest.raises(LH.TornManifest):
         t.manifest(1)
-    # healed: v1 is gone and a new commit takes the slot
+    assert t.versions() == [0, 1]
+    # the first write attempt heals (deletes the torn v1) and raises for
+    # retry; the retry takes the reclaimed slot
+    with pytest.raises(LH.TornManifest):
+        t.write(_df(spark, [(2, "b")]), mode="append")
     assert t.versions() == [0]
     t.write(_df(spark, [(2, "b")]), mode="append")
     assert {r.k for r in t.read().collect()} == {1, 2}
@@ -390,3 +398,133 @@ def test_table_cli_history_optimize_vacuum(spark, tmp_path, capsys):
     vac = _json.loads(capsys.readouterr().out.strip())
     assert vac["deleted_files"] >= 2 and vac["kept_versions"] == [2]
     assert {r.k for r in t.read().collect()} == {1, 2}
+
+
+def test_segment_spill_and_checkpoint(spark, tmp_path, monkeypatch):
+    """Once the inherited inline file list reaches the spill threshold,
+    appends move it into immutable ``seg-*.json`` segments (per-commit
+    manifest write stays O(batch)); reaching the checkpoint threshold
+    merges the segments back into one. Reads and time travel stay exact
+    throughout."""
+    import wod_ascii_to_parquet_spark_spark.sources.lakehouse as LH
+
+    monkeypatch.setattr(LH, "_SEGMENT_SPILL_FILES", 2)
+    monkeypatch.setattr(LH, "_CHECKPOINT_SEGMENTS", 3)
+    t = LogTable(spark, str(tmp_path / "t"))
+    for i in range(8):
+        t.write(_df(spark, [(i, f"v{i}")]).coalesce(1), mode="append")
+    # every snapshot remains exact under segmentation
+    for v in range(8):
+        assert {r.k for r in t.read(version=v).collect()} == set(range(v + 1))
+    latest = t.manifest()
+    # inline tail bounded by the spill threshold + one batch
+    assert len(latest["files"]) <= 3
+    # checkpointing bounded the segment count
+    assert 1 <= len(latest.get("segments", [])) < 3
+    files, stats = t.resolve_files(latest)
+    assert len(files) == 8 and len(set(files)) == 8
+    # data-skipping stats survive the segment round-trip
+    assert len(stats) == 8
+    pruned = t.read(between=("k", 6, 7))
+    assert {r.k for r in pruned.collect()} >= {6, 7}
+
+
+def test_segment_vacuum_reclaims_orphans_and_respects_live(spark, tmp_path, monkeypatch):
+    import wod_ascii_to_parquet_spark_spark.sources.lakehouse as LH
+
+    monkeypatch.setattr(LH, "_SEGMENT_SPILL_FILES", 1)
+    monkeypatch.setattr(LH, "_CHECKPOINT_SEGMENTS", 100)
+    t = LogTable(spark, str(tmp_path / "t"))
+    for i in range(5):
+        t.write(_df(spark, [(i, "x")]).coalesce(1), mode="append")
+    log_dir = tmp_path / "t" / "_log"
+    assert len(list(log_dir.glob("seg-*.json"))) >= 4
+    # an overwrite drops every segment from the live snapshot
+    t.write(_df(spark, [(99, "z")]), mode="overwrite")
+    t.vacuum(keep_versions=1, min_age_seconds=0)
+    assert list(log_dir.glob("seg-*.json")) == []
+    assert {r.k for r in t.read().collect()} == {99}
+
+
+def test_vacuumed_manifest_read_raises_clean_retryable(spark, tmp_path):
+    from wod_ascii_to_parquet_spark_spark.sources.lakehouse import (
+        SnapshotVacuumed,
+    )
+
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="append")
+    t.write(_df(spark, [(2, "b")]), mode="append")
+    t.vacuum(keep_versions=1, min_age_seconds=0)
+    # a reader that resolved v0 before the vacuum gets the clean
+    # retryable signal, not a raw connector stack trace
+    with pytest.raises(SnapshotVacuumed):
+        t.manifest(0)
+
+
+def test_commit_detects_lost_update(spark, tmp_path, monkeypatch):
+    """If the winning manifest's payload is not OURS at post-commit
+    verification (exotic-FS non-atomic create, or healing deleted the
+    file mid-commit), the commit must conflict — never return a version
+    number that holds someone else's (or no) snapshot."""
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="append")
+
+    real_create = t.fs.create_exclusive
+
+    def lying_create(path, data):
+        # simulate a non-atomic create losing silently: another writer's
+        # payload lands, but our create still reports success
+        real_create(path, b'{"other": "writer"}')
+        return True
+
+    monkeypatch.setattr(t.fs, "create_exclusive", lying_create)
+    with pytest.raises(CommitConflict, match="another writer"):
+        t.write(_df(spark, [(2, "b")]), mode="append")
+
+
+def test_staging_reclaimed_by_concurrent_vacuum_aborts_commit(
+    spark, tmp_path, monkeypatch
+):
+    """A write whose staged files a concurrent vacuum deleted must abort
+    retryably instead of publishing a manifest that references deleted
+    files (a permanently unreadable latest snapshot)."""
+    import shutil
+
+    from wod_ascii_to_parquet_spark_spark.sources.lakehouse import (
+        StagingReclaimed,
+    )
+
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="append")
+
+    real_minmax = None
+    import wod_ascii_to_parquet_spark_spark.sources.lakehouse as LH
+
+    real_minmax = LH._footer_minmax
+
+    def minmax_then_reclaim(path):
+        # simulate the vacuum racing in AFTER staging, BEFORE commit
+        out = real_minmax(path)
+        local = _local(path)
+        if os.path.exists(local):
+            os.remove(local)
+        return out
+
+    monkeypatch.setattr(LH, "_footer_minmax", minmax_then_reclaim)
+    with pytest.raises(StagingReclaimed):
+        t.write(_df(spark, [(2, "b")]).coalesce(1), mode="append")
+    # the table is unharmed: latest snapshot still readable
+    assert {r.k for r in t.read().collect()} == {1}
+
+
+def test_create_exclusive_is_kernel_atomic_for_local(spark, tmp_path):
+    """Local-path exclusivity must come from O_CREAT|O_EXCL (atomic
+    across PROCESSES), not Hadoop's exists-check-then-create."""
+    from wod_ascii_to_parquet_spark_spark.sources.filesystem import FsClient
+
+    fs = FsClient(spark)
+    target = str(tmp_path / "x.json")
+    assert fs.create_exclusive(target, b"one") is True
+    assert fs.create_exclusive(target, b"two") is False
+    with open(target, "rb") as fh:
+        assert fh.read() == b"one"  # the loser must not truncate the winner

@@ -266,20 +266,13 @@ _REMOTE_TMP_SUFFIX = "._geo_tmp"
 
 
 def _local_path(path: str) -> str | None:
-    """OS path for ``path`` if it is on the local filesystem, else None.
+    """OS path for ``path`` if local, else None — shared helper (treating
+    the single-slash ``file:/tmp`` form as a relative OS path made
+    ``os.walk`` find nothing and the footer pass silently rewrite 0
+    files, hence the URI handling there)."""
+    from ..sources.filesystem import local_os_path
 
-    Handles both URI spellings Hadoop produces: ``file:///tmp/out`` AND
-    the single-slash ``file:/tmp/out`` form (``Path.toString`` emits the
-    latter; treating it as a relative OS path made ``os.walk`` find
-    nothing and the footer pass silently rewrite 0 files)."""
-    from urllib.parse import urlsplit
-
-    parts = urlsplit(path)
-    if parts.scheme == "file":
-        if parts.netloc not in ("", "localhost"):
-            return None  # remote file://host/ form — go through Hadoop
-        return parts.path
-    return None if "://" in path else path
+    return local_os_path(path)
 
 
 def _drop_stale_crc(path: str) -> None:

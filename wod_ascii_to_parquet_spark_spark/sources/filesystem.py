@@ -46,6 +46,22 @@ def fs_prefix(fs_type: str) -> str:
         ) from None
 
 
+def local_os_path(path: str) -> str | None:
+    """OS path for ``path`` if it is on the local filesystem, else None.
+
+    Handles both URI spellings Hadoop produces: ``file:///tmp/out`` AND
+    the single-slash ``file:/tmp/out`` form (``Path.toString`` emits the
+    latter)."""
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(path)
+    if parts.scheme == "file":
+        if parts.netloc not in ("", "localhost"):
+            return None  # remote file://host/ form — go through Hadoop
+        return parts.path
+    return None if "://" in path else path
+
+
 def s3a_confs(
     region: str | None = None,
     access_key: str | None = None,
@@ -183,7 +199,16 @@ class FsClient:
         the ``S3Actions.openDownloadStream`` analog. Not for data files;
         bulk reads belong on executors via ``spark.read``."""
         fs, p = self._fs_path(path)
-        stream = fs.open(p)
+        try:
+            stream = fs.open(p)
+        except Exception:
+            # Normalize the connector's missing-file error (a raw py4j
+            # java.io.FileNotFoundException) to the Python exception so
+            # callers racing a concurrent delete (LogTable.manifest vs
+            # vacuum) can catch it cleanly; anything else is a real fault.
+            if not fs.exists(p):
+                raise FileNotFoundError(path) from None
+            raise
         try:
             data = bytes(stream.readAllBytes())  # Java 11+; one py4j hop
             return data if limit is None else data[:limit]
@@ -202,12 +227,33 @@ class FsClient:
 
     def create_exclusive(self, path: str, data: bytes) -> bool:
         """Write ``path`` only if it does not already exist; False when the
-        create loses (target present). Exclusivity is the filesystem's
-        ``create(overwrite=false)``: atomic on HDFS; on the local FS an
-        exists-check-then-create inside one JVM call (a microsecond race
-        window, vs posix rename(2)'s SILENT REPLACE of an existing target
-        — which is why commit protocols here must never use rename for
-        mutual exclusion). Used by the LogTable manifest commit."""
+        create loses (target present). Used by the LogTable manifest commit.
+
+        Exclusivity by scheme:
+
+        - **Local paths**: ``os.open(O_CREAT|O_EXCL)`` — a real kernel-level
+          exclusive create, atomic ACROSS PROCESSES. Hadoop's
+          ``RawLocalFileSystem.create(overwrite=false)`` is only an
+          exists-check-then-create (no O_EXCL underneath), so two separate
+          processes — e.g. a scheduled ``table_cli optimize`` racing a
+          streaming ingest job — could both pass the check and the loser
+          would truncate the winner's manifest (silent lost update).
+        - **Remote schemes**: the filesystem's ``create(overwrite=false)``
+          — atomic on HDFS (namenode-arbitrated).
+
+        Never rename-based: posix ``rename(2)`` SILENTLY REPLACES an
+        existing target, so rename cannot provide mutual exclusion."""
+        local = local_os_path(path)
+        if local is not None:
+            import os
+
+            try:
+                fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(data)
+            return True
         fs, p = self._fs_path(path)
         try:
             stream = fs.create(p, False)

@@ -33,9 +33,13 @@ Two tiers:
      strategy Delta uses when no deletion vectors apply).
    - **VACUUM**: delete data files referenced by NO retained manifest.
 
-   At 100 TB the manifest lists grow with file count, not data size —
-   the same growth class the native formats answer with manifest
-   compaction/checkpoints; snapshots here stay exact regardless.
+   - **Segmented manifests + checkpoints**: the file list grows with
+     file count, not data size — so appends spill the inherited list
+     into immutable ``_log/seg-*.json`` segments (per-commit manifest
+     write stays O(batch)), and once the segment count hits the
+     checkpoint threshold they are merged into one (read cost stays
+     bounded) — Delta's checkpoint cadence on this log's snapshot
+     encoding. Commits are verified durable by a post-commit re-read.
 
 Verified in tests/test_lakehouse.py: commit atomicity, append/overwrite
 lineage, time travel, snapshot isolation across a concurrent commit,
@@ -66,15 +70,46 @@ class CommitConflict(RuntimeError):
 
 class TornManifest(RuntimeError):
     """A version file existed without valid content past the grace
-    period (writer died between create and write); it has been deleted —
+    period (writer died between create and write). Writers heal it
+    (delete, so the version slot is retried); readers only report it —
     re-resolve the latest version and retry."""
 
 
+class SnapshotVacuumed(FileNotFoundError):
+    """The requested manifest/segment no longer exists — a concurrent
+    ``vacuum`` reclaimed it (or torn-manifest healing removed it) after
+    this reader resolved the version list. Retryable: re-resolve
+    ``latest_version()`` / ``versions()`` and retry against live state."""
+
+
+class StagingReclaimed(RuntimeError):
+    """Staged data files vanished between the write and its commit — a
+    concurrent ``vacuum`` with too small a ``min_age_seconds`` reclaimed
+    them as orphans while the write was still in flight. The commit was
+    ABORTED (publishing would have produced a manifest referencing
+    deleted files — a permanently unreadable snapshot). Retry the write;
+    raise vacuum's ``min_age_seconds`` above the longest write."""
+
+
 #: Age past which an unparseable manifest is treated as an aborted
-#: commit rather than a write in flight. Writing a manifest is one small
-#: JSON put; 30 s is orders of magnitude above any plausible in-flight
-#: duration.
-_TORN_GRACE_MS = 30_000
+#: commit rather than a write in flight. Generous on purpose: healing
+#: deletes the manifest, and a writer stalled between its exclusive
+#: create and the payload write (GC pause, slow store, clock skew
+#: between this host and the FS mtime) must not have its in-flight
+#: commit healed away. Post-commit payload verification (see
+#: :meth:`LogTable._commit`) catches the residual race even past this.
+_TORN_GRACE_MS = 600_000
+
+#: Append spills the inherited inline file list into an immutable
+#: segment once it reaches this size, keeping per-commit manifest writes
+#: O(batch) instead of O(table).
+_SEGMENT_SPILL_FILES = 64
+
+#: Reaching this many segments triggers an inline checkpoint (merge all
+#: segments into one) so read cost stays bounded: amortized O(1) commits
+#: with a periodic O(total files) compaction — Delta's checkpoint
+#: cadence, applied to this log's snapshot encoding.
+_CHECKPOINT_SEGMENTS = 16
 
 
 class SchemaMismatch(ValueError):
@@ -159,7 +194,7 @@ class LogTable:
         vs = self.versions()
         return vs[-1] if vs else None
 
-    def manifest(self, version: int | None = None) -> dict:
+    def manifest(self, version: int | None = None, heal: bool = False) -> dict:
         if version is None:
             version = self.latest_version()
             if version is None:
@@ -169,27 +204,89 @@ class LogTable:
         # window instead of failing a reader.
         path = self._log_path(version)
         for attempt in range(5):
+            if not self.fs.exists(path):
+                # A version that was listed moments ago but is gone now
+                # was reclaimed under this reader (vacuum of an old
+                # manifest, or torn-manifest healing) — a clean
+                # retryable signal, not a raw connector stack trace.
+                raise SnapshotVacuumed(
+                    f"manifest v{version} no longer exists (vacuumed or "
+                    "healed concurrently); re-resolve versions and retry"
+                )
             try:
                 return json.loads(self.fs.read_bytes(path))
             except ValueError:
                 time.sleep(0.05 * (attempt + 1))
+            except FileNotFoundError:
+                continue  # deleted between exists() and read — loop re-raises
+        if not self.fs.exists(path):
+            raise SnapshotVacuumed(
+                f"manifest v{version} no longer exists (vacuumed or healed "
+                "concurrently); re-resolve versions and retry"
+            )
         # Still unparseable. Distinguish a writer mid-flight (young file:
         # keep failing transiently) from an ABORTED commit — the writer
         # created the version file and died before its bytes landed. An
         # aborted manifest would otherwise brick the table forever (every
-        # read/write resolves through it); past the grace period, heal
-        # the log by deleting it so the version number is retried.
+        # read/write resolves through it); past the grace period, WRITERS
+        # (heal=True — they must reuse the version number) heal the log by
+        # deleting it. Readers never delete: a reader's local clock vs the
+        # store's mtime is exactly the skew that could heal away a live
+        # commit, and a reader has no need to reclaim the slot — it just
+        # reports the torn state and lets the caller retry/resolve.
         age_ms = time.time() * 1000.0 - self.fs.mtime(path)
         if age_ms > _TORN_GRACE_MS:
-            self.fs.delete(path)
+            if heal:
+                self.fs.delete(path)
+                raise TornManifest(
+                    f"manifest v{version} was torn (aborted commit) and has "
+                    "been removed; retry the operation"
+                )
             raise TornManifest(
-                f"manifest v{version} was torn (aborted commit) and has "
-                "been removed; retry the operation"
+                f"manifest v{version} is torn (aborted commit); a writer "
+                "will heal it — retry the operation"
             )
         raise RuntimeError(
             f"manifest v{version} unparseable but recent — a commit may "
             "be mid-write; retry shortly"
         )
+
+    # -- segment plumbing ---------------------------------------------------
+
+    def _segment_path(self, name: str) -> str:
+        return posixpath.join(self.dir, _LOG_DIR, name)
+
+    def _read_segment(self, name: str) -> dict:
+        path = self._segment_path(name)
+        try:
+            return json.loads(self.fs.read_bytes(path))
+        except FileNotFoundError:
+            raise SnapshotVacuumed(
+                f"segment {name} no longer exists (vacuumed concurrently); "
+                "re-resolve versions and retry"
+            ) from None
+
+    def _write_segment(self, files: list[str], stats: dict) -> str:
+        name = f"seg-{uuid.uuid4().hex}.json"
+        payload = json.dumps(
+            {"files": sorted(files), "stats": stats}, sort_keys=True
+        ).encode()
+        self.fs.write_bytes(self._segment_path(name), payload)
+        return name
+
+    def resolve_files(self, doc: dict) -> tuple[list[str], dict]:
+        """Full (files, stats) of a snapshot: the union of the manifest's
+        immutable segments plus its inline tail. Segment reads are one
+        small JSON get each, bounded by the checkpoint cadence."""
+        files: list[str] = []
+        stats: dict = {}
+        for name in doc.get("segments", []):
+            seg = self._read_segment(name)
+            files.extend(seg["files"])
+            stats.update(seg.get("stats", {}))
+        files.extend(doc["files"])
+        stats.update(doc.get("stats", {}))
+        return files, stats
 
     def _commit(
         self,
@@ -199,6 +296,7 @@ class LogTable:
         meta: dict | None = None,
         stats: dict | None = None,
         schema: dict | None = None,
+        segments: list[str] | None = None,
     ) -> int:
         """Atomically publish a manifest for version ``base``+1 via an
         EXCLUSIVE CREATE of the version file — whoever creates
@@ -221,11 +319,31 @@ class LogTable:
             "meta": meta or {},
             "stats": stats or {},
             "schema": schema or {},
+            "segments": segments or [],
         }
         self.fs.mkdirs(posixpath.join(self.dir, _LOG_DIR))
         payload = json.dumps(doc, sort_keys=True).encode()
         if not self.fs.create_exclusive(target, payload):
             raise CommitConflict(f"version {version} already committed")
+        # Post-commit verification: re-read and confirm OUR payload landed.
+        # Closes the residual races no create can: torn-manifest healing
+        # that deleted the file between our create and write (the write to
+        # the unlinked fd "succeeds" into nowhere), and any non-atomic
+        # create on an exotic scheme letting a second writer truncate us.
+        # One small read per commit buys "returned version N" => "version N
+        # is durably ours".
+        try:
+            landed = self.fs.read_bytes(target)
+        except FileNotFoundError:
+            raise CommitConflict(
+                f"manifest v{version} vanished after commit (healed or "
+                "vacuumed concurrently) — the snapshot is NOT visible; retry"
+            ) from None
+        if landed != payload:
+            raise CommitConflict(
+                f"manifest v{version} holds another writer's payload — this "
+                "commit lost the race; re-read the latest state and retry"
+            )
         return version
 
     # -- operations -------------------------------------------------------
@@ -252,7 +370,9 @@ class LogTable:
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         base = self.latest_version() if expected_base == "latest" else expected_base
         schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-        base_doc = self.manifest(base) if base is not None else {}
+        # heal=True: the writer must reclaim a torn base's version slot
+        # (readers only report torn state — see manifest()).
+        base_doc = self.manifest(base, heal=True) if base is not None else {}
         if mode == "append" and base is not None:
             # Additive evolution only: appends may ADD columns (old rows
             # read as null under mergeSchema) but never drop one or change
@@ -277,14 +397,38 @@ class LogTable:
             for p in self.fs.file_sizes(staging)
             if p.endswith(".parquet")
         ]
+        segments: list[str] = []
+        own_segments: list[str] = []  # written by THIS call — cleaned on abort
         carried: list[str] = []
         carried_stats: dict[str, dict] = {}
         new_meta = dict(meta or {})
         if base is not None:
             if mode == "append":
-                carried = base_doc["files"]
+                segments = list(base_doc.get("segments", []))
+                carried = list(base_doc["files"])
                 # stats keys ⊆ files by construction: carry them all
                 carried_stats = dict(base_doc.get("stats", {}))
+                if len(carried) >= _SEGMENT_SPILL_FILES:
+                    # Spill the inherited inline tail into an immutable
+                    # segment: the per-commit manifest write stays O(batch)
+                    # however large the table grows.
+                    name = self._write_segment(carried, carried_stats)
+                    segments.append(name)
+                    own_segments.append(name)
+                    carried, carried_stats = [], {}
+                if len(segments) >= _CHECKPOINT_SEGMENTS:
+                    # Checkpoint: merge all segments into one so read cost
+                    # stays bounded (amortized — every spill×checkpoint
+                    # appends, not every commit).
+                    files_all: list[str] = []
+                    stats_all: dict = {}
+                    for name in segments:
+                        seg = self._read_segment(name)
+                        files_all.extend(seg["files"])
+                        stats_all.update(seg.get("stats", {}))
+                    name = self._write_segment(files_all, stats_all)
+                    segments = [name]
+                    own_segments.append(name)
             prior_bid = base_doc.get("meta", {}).get("batch_id")
             if prior_bid is not None:
                 new_meta["batch_id"] = max(
@@ -295,6 +439,25 @@ class LogTable:
             s = _footer_minmax(p)
             if s:
                 stats[p] = s
+        # In-flight-vacuum guard: the staging write may have outlived a
+        # concurrent vacuum's min_age_seconds, in which case vacuum
+        # reclaimed the staged files as orphans. Publishing now would
+        # commit a manifest referencing deleted files — a permanently
+        # unreadable latest snapshot nothing downstream detects. One
+        # listing of the staging dir before commit turns that into a
+        # clean retryable abort.
+        staged_now = set(self.fs.file_sizes(staging))
+        gone = [p for p in new_files if p not in staged_now]
+        if gone:
+            self.fs.delete(staging)
+            for name in own_segments:
+                self.fs.delete(self._segment_path(name))
+            raise StagingReclaimed(
+                f"{len(gone)} staged file(s) were reclaimed by a concurrent "
+                "vacuum before this commit could publish; the commit was "
+                "aborted — retry the write (and raise vacuum's "
+                "min_age_seconds above the longest write duration)"
+            )
         try:
             return self._commit(
                 carried + new_files,
@@ -303,10 +466,14 @@ class LogTable:
                 meta=new_meta,
                 stats=stats,
                 schema=schema,
+                segments=segments,
             )
         except CommitConflict:
             # the snapshot never became visible; drop the orphaned files
+            # (and any segments only this aborted commit referenced)
             self.fs.delete(staging)
+            for name in own_segments:
+                self.fs.delete(self._segment_path(name))
             raise
 
     def read(
@@ -328,12 +495,11 @@ class LogTable:
         filter on top; the returned frame still contains every row of the
         surviving files."""
         doc = self.manifest(version)
-        files = doc["files"]
+        files, stats = self.resolve_files(doc)
         if not files:
             raise FileNotFoundError("empty snapshot")
         if between is not None:
             col, lo, hi = between
-            stats = doc.get("stats", {})
 
             def survives(path: str) -> bool:
                 s = stats.get(path, {}).get(col)
@@ -345,6 +511,7 @@ class LogTable:
                 except TypeError:
                     return True  # bounds/stats type mismatch: keep the file
 
+            all_files = files
             files = [p for p in files if survives(p)]
             if not files:
                 schema = doc.get("schema", {})
@@ -353,7 +520,7 @@ class LogTable:
                     return self.spark.createDataFrame([], ddl)
                 return (
                     self.spark.read.option("mergeSchema", "true")
-                    .parquet(doc["files"][0])
+                    .parquet(all_files[0])
                     .limit(0)
                 )
         # mergeSchema: additive evolution means older files may lack
@@ -435,8 +602,11 @@ class LogTable:
             return []
         keep = vs[-max(1, keep_versions):]
         live: set[str] = set()
+        live_segments: set[str] = set()
         for v in keep:
-            live.update(self.manifest(v)["files"])
+            doc = self.manifest(v)
+            live.update(self.resolve_files(doc)[0])
+            live_segments.update(doc.get("segments", []))
         cutoff_ms = (_time.time() - min_age_seconds) * 1000.0
         deleted = []
         data_root = posixpath.join(self.dir, _DATA_DIR)
@@ -466,8 +636,28 @@ class LogTable:
         for d in sorted(emptied):
             if survivors_by_dir.get(d, 0) == 0 and d != data_root:
                 self.fs.delete(d)
-        for v in vs[: -max(1, keep_versions)]:
-            self.fs.delete(self._log_path(v))
+        # Dropped manifests and orphaned segments honor the SAME age guard
+        # as data files: a time-travel reader that resolved versions() just
+        # before this vacuum may still be about to read an old manifest —
+        # the grace period keeps that read from racing the delete (it will
+        # get SnapshotVacuumed cleanly past it, never a torn window), and a
+        # conflicted writer's freshly spilled segment is not reclaimed
+        # under it.
+        log_dir = posixpath.join(self.dir, _LOG_DIR)
+        log_stats = self.fs.file_stats(log_dir, recursive=False)
+        drop_vs = set(vs[: -max(1, keep_versions)])
+        for path, (_sz, mtime_ms) in log_stats.items():
+            name = path.rsplit("/", 1)[-1]
+            if mtime_ms > cutoff_ms:
+                continue
+            m = _V_RE.match(name)
+            if m and int(m.group(1)) in drop_vs:
+                self.fs.delete(path)
+            elif name.startswith("seg-") and name not in live_segments:
+                # Referenced only by dropped/aborted manifests: with every
+                # retained manifest's segment set held live above, an
+                # unreferenced old segment is a genuine orphan.
+                self.fs.delete(path)
         return deleted
 
 

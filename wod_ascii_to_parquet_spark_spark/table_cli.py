@@ -60,7 +60,7 @@ def main(argv: list[str] | None = None) -> int:
             {
                 "version": v,
                 "mode": (m := t.manifest(v))["mode"],
-                "n_files": len(m["files"]),
+                "n_files": len(t.resolve_files(m)[0]),
                 "parent": m["parent"],
                 "meta": m.get("meta", {}),
             }
@@ -68,16 +68,21 @@ def main(argv: list[str] | None = None) -> int:
         ]
         print(json.dumps({"table": t.dir, "history": out}))
     elif args.cmd == "show":
-        df = t.read(version=args.version)
+        # Resolve the snapshot ONCE: rows, version, and schema must all
+        # come from the same manifest — resolving three times (read(None)
+        # + latest_version() + manifest(None)) can straddle a concurrent
+        # commit and print a chimera of two snapshots.
+        version = (
+            args.version if args.version is not None else t.latest_version()
+        )
+        doc = t.manifest(version)
         print(
             json.dumps(
                 {
                     "table": t.dir,
-                    "version": args.version
-                    if args.version is not None
-                    else t.latest_version(),
-                    "rows": df.count(),
-                    "schema": t.manifest(args.version).get("schema", {}),
+                    "version": version,
+                    "rows": t.read(version=version).count(),
+                    "schema": doc.get("schema", {}),
                 }
             )
         )
