@@ -135,3 +135,75 @@ def test_remote_attach_zero_files_warns(caplog):
 )
 def test_local_path_forms(uri, expected):
     assert _local_path(uri) == expected
+
+
+def _mk_parquet(path, n=5):
+    t = pa.table({"a": list(range(n)), "b": [f"s{i}" for i in range(n)]})
+    pq.write_table(t, path, compression="snappy")
+    return t
+
+
+def test_local_append_is_o_footer_and_idempotent(tmp_path):
+    """The local attach APPENDS a superseding footer (data pages never
+    rewritten — the file grows by the footer, nothing else) and a second
+    attach with the same geo value is a byte-for-byte no-op."""
+    import os
+
+    from wod_ascii_to_parquet_spark_spark.plans.geo_metadata import (
+        _append_footer_with_geo,
+        geo_footer_dict,
+    )
+
+    f = str(tmp_path / "x.parquet")
+    original = _mk_parquet(f)
+    size0 = os.path.getsize(f)
+    with open(f, "rb") as fh:
+        head0 = fh.read(size0)
+    geo = json.dumps(geo_footer_dict()).encode()
+    _append_footer_with_geo(f, geo)
+    size1 = os.path.getsize(f)
+    assert size1 > size0
+    # append-only: the original bytes are untouched
+    with open(f, "rb") as fh:
+        assert fh.read(size0) == head0
+    md = pq.read_metadata(f)
+    assert md.metadata[b"geo"] == geo
+    assert pq.read_table(f).replace_schema_metadata(None).equals(
+        original.replace_schema_metadata(None)
+    )
+    # idempotent: same value → zero growth
+    _append_footer_with_geo(f, geo)
+    assert os.path.getsize(f) == size1
+
+
+def test_local_append_heals_torn_tail(tmp_path):
+    """A crash mid-append leaves trailing garbage; the re-run truncates
+    back to the last valid footer and completes the attach."""
+    import os
+
+    from wod_ascii_to_parquet_spark_spark.plans.geo_metadata import (
+        _append_footer_with_geo,
+    )
+
+    f = str(tmp_path / "x.parquet")
+    original = _mk_parquet(f)
+    size0 = os.path.getsize(f)
+    # torn tails of increasing nastiness: raw garbage, garbage that ENDS
+    # with the magic, and a half-written real footer
+    for garbage in (b"\x00\x01half-footer", b"junkPAR1", b"\xff" * 37):
+        with open(f, "ab") as fh:
+            fh.write(garbage)
+        with pytest.raises(Exception):
+            pq.read_metadata(f)
+        _append_footer_with_geo(f, b'{"v":1}')
+        md = pq.read_metadata(f)
+        assert md.metadata[b"geo"] == b'{"v":1}'
+        assert pq.read_table(f).replace_schema_metadata(None).equals(
+            original.replace_schema_metadata(None)
+        )
+        # healed file = original bytes + exactly one appended footer
+        with open(f, "rb") as fh:
+            head = fh.read(size0)
+        t2 = pa.BufferReader(head)
+        assert pq.read_metadata(t2).num_rows == original.num_rows
+        os.truncate(f, size0)  # reset for the next garbage flavor

@@ -105,70 +105,48 @@ def geo_footer_dict() -> dict:
 
 def attach_geo_footer(fs, out_dir: str, max_workers: int = 16, spark=None) -> int:
     """Attach the ``geo`` key to every data file footer under ``out_dir``;
-    returns the number of files rewritten.
+    returns the number of files stamped.
 
-    Each file is read and rewritten through pyarrow IN MEMORY via the
-    FsClient byte API, so the attach works on any Hadoop-visible scheme
-    (local, hdfs, s3a) — per-partition convert outputs are row-group-sized
-    by construction. Idempotent: re-attaching the same key is a no-op
-    change, so crash-healing can simply run it again (the sidecar, written
-    AFTER this step, is the completion marker — see convert_file).
+    **Local paths: O(footer), not O(data)** — the parquet format reads its
+    footer from the END of the file (last 8 bytes = footer length + magic),
+    so a file can be given new metadata by APPENDING a superseding footer:
+    ``[data pages][old footer][PAR1][new footer][len][PAR1]``. The new
+    footer is the old one (identical row-group/offset/physical-type
+    metadata, re-serialized via ``pyarrow.parquet.write_metadata`` with the
+    original row groups as the collector) plus the ``geo`` key; the old
+    footer becomes a few KB of dead bytes. Data pages are never read or
+    rewritten — at 100 TB this is the difference between re-writing the
+    whole dataset and appending ~10 KB per file. Round-trip (pyarrow AND
+    Spark read, INT96 timestamps, struct geometry) is regression-tested in
+    ``test_geo_footer.py`` / ``test_convert_e2e.py``.
 
-    Scale shape: this is one extra read+encode+write of the freshly
-    written output, embarrassingly parallel per FILE — here a thread pool
-    inside the per-file job; on a 1000-executor cluster the same function
-    is the body of a ``foreach`` over the file listing. The JVM parquet
-    writer cannot attach custom footer keys mid-write, so the post-pass is
-    the price of real GeoParquet without Sedona on the classpath.
+    Idempotent: a file whose footer already carries this exact ``geo``
+    value is skipped, so crash-healing simply re-runs the attach (the
+    sidecar, written AFTER this step, is the completion marker — see
+    convert_file). Crash safety: an append torn mid-write leaves a tail
+    that no longer parses; the re-run detects that and truncates back to
+    the last valid footer boundary (the original file is always one) before
+    re-appending — see :func:`_recover_torn_tail`.
 
-    I/O path, fastest first:
+    Scale shape: embarrassingly parallel per FILE. With a live session the
+    listing becomes an RDD and each Python WORKER PROCESS stamps its slice
+    directly on OS paths (no py4j, no driver GIL) — the 100 TB shape
+    verbatim; without one, a driver thread pool.
 
-    1. **Spark job over the file listing** (local paths + a live session):
-       ``parallelize(paths).foreachPartition(rewrite)`` — each Python
-       WORKER PROCESS rewrites its slice with pyarrow directly on OS
-       paths. This is the 100 TB shape verbatim (the listing is the RDD;
-       executors rewrite the files they can see) and locally it sidesteps
-       both the py4j gateway and the driver GIL — the gateway byte API
-       measured 4× the whole conversion, a driver thread pool still ~3.7 s
-       of GIL-serialized pyarrow calls for ~1,700 per-geohash files, the
-       Spark job ~an order less.
-    2. Driver thread pool on OS paths (local, no session handed in).
-    3. FsClient byte API (remote schemes — works anywhere Hadoop sees).
-
-    Crash safety on every path: local writes go to a temp file +
-    ``os.replace``; remote writes go to a sibling temp object that is
-    renamed into place, with a recovery pre-pass that promotes or drops
-    leftover temps — so a crash at any point never leaves a torn data
-    file and re-running the attach always heals.
-
-    Remote-branch cost note: crash-safety makes it 3 gateway-serialized
-    py4j calls per file (write temp / delete / rename) instead of 1 —
-    the thread pool cannot parallelize the single py4j gateway, so for
-    LARGE remote file counts this path should be replaced by the same
-    Spark-job shape as the local branch, with executors resolving the
-    filesystem via ``pyarrow.fs.FileSystem.from_uri`` (no py4j on
-    executors); kept driver-side here because no remote scheme exists in
-    this environment to validate that path against."""
+    Remote schemes (no append on object stores): each file is read and
+    rewritten IN MEMORY through the FsClient byte API via a sibling temp
+    object + delete + rename, with a recovery pre-pass that promotes or
+    drops leftover temps — 3 gateway-serialized py4j calls per file, so
+    for LARGE remote file counts this path should become the same Spark-job
+    shape with executors resolving ``pyarrow.fs.FileSystem.from_uri``; kept
+    driver-side because no remote scheme exists in this environment to
+    validate that path against."""
     from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     geo = json.dumps(geo_footer_dict()).encode()
-
-    def rewrite(table, write_sink) -> None:
-        meta = dict(table.schema.metadata or {})
-        meta[b"geo"] = geo
-        pq.write_table(
-            table.replace_schema_metadata(meta),
-            write_sink,
-            compression="snappy",
-            # Preserve Spark's INT96 timestamp encoding: a plain re-encode
-            # turns INT96 → TIMESTAMP(NANOS)/INT64, which Spark then
-            # refuses to read back as timestamp (regression-tested in
-            # test_convert_e2e.py::test_geoparquet_footer_readable).
-            use_deprecated_int96_timestamps=True,
-        )
 
     local_root = _local_path(out_dir)
     if local_root is not None:
@@ -183,36 +161,18 @@ def attach_geo_footer(fs, out_dir: str, max_workers: int = 16, spark=None) -> in
         if spark is not None and paths:
             geo_bytes = geo
 
-            def _rewrite_slice(it):
-                import os as _os
-
-                import pyarrow.parquet as _pq
-
+            def _stamp_slice(it):
                 for path in it:
-                    t = _pq.read_table(path, use_threads=False)
-                    meta = dict(t.schema.metadata or {})
-                    meta[b"geo"] = geo_bytes
-                    tmp = path + "._geo_tmp"
-                    _pq.write_table(
-                        t.replace_schema_metadata(meta),
-                        tmp,
-                        compression="snappy",
-                        use_deprecated_int96_timestamps=True,
-                    )
-                    _os.replace(tmp, path)
-                    _drop_stale_crc(path)
+                    _append_footer_with_geo(path, geo_bytes)
 
             n = max(1, min(len(paths), spark.sparkContext.defaultParallelism))
             spark.sparkContext.parallelize(paths, n).foreachPartition(
-                _rewrite_slice
+                _stamp_slice
             )
             return len(paths)
 
         def one(path: str) -> None:
-            tmp = path + "._geo_tmp"
-            rewrite(pq.read_table(path), tmp)
-            os.replace(tmp, path)
-            _drop_stale_crc(path)
+            _append_footer_with_geo(path, geo)
 
     else:
         # Recovery pre-pass: a prior attach that crashed between the
@@ -234,8 +194,18 @@ def attach_geo_footer(fs, out_dir: str, max_workers: int = 16, spark=None) -> in
 
         def one(path: str) -> None:
             table = pq.read_table(pa.BufferReader(fs.read_bytes(path)))
+            meta = dict(table.schema.metadata or {})
+            meta[b"geo"] = geo
             sink = pa.BufferOutputStream()
-            rewrite(table, sink)
+            pq.write_table(
+                table.replace_schema_metadata(meta),
+                sink,
+                compression="snappy",
+                # Preserve Spark's INT96 timestamp encoding: a plain
+                # re-encode turns INT96 → TIMESTAMP(NANOS)/INT64, which
+                # Spark then refuses to read back as timestamp.
+                use_deprecated_int96_timestamps=True,
+            )
             # Never rewrite the data file in place: a crash mid-write
             # would tear it and the heal re-run would then fail reading
             # it. Write a sibling temp object, drop the original, rename
@@ -263,6 +233,81 @@ def attach_geo_footer(fs, out_dir: str, max_workers: int = 16, spark=None) -> in
 #: Suffix for the crash-safe sibling object used on remote schemes. Not
 #: ``.parquet``-suffixed, so a leftover temp never shows up as data.
 _REMOTE_TMP_SUFFIX = "._geo_tmp"
+
+
+def _append_footer_with_geo(path: str, geo: bytes) -> None:
+    """Stamp ``geo`` into one local parquet file by APPENDING a superseding
+    footer (O(footer bytes); data pages untouched). Idempotent: skips a
+    file whose current footer already carries this exact value. Heals a
+    tail torn by a previous crashed append before re-appending. Runs on
+    Spark Python workers (module-level so the closure pickles by
+    reference) and on the driver alike."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.read_metadata(path)
+    except Exception:
+        _recover_torn_tail(path)
+        md = pq.read_metadata(path)
+    if (md.metadata or {}).get(b"geo") == geo:
+        return
+    schema = pq.read_schema(path)
+    meta = dict(schema.metadata or {})
+    meta[b"geo"] = geo
+    buf = io.BytesIO()
+    # write_metadata(schema, collector=[md]) serializes a footer-only
+    # parquet file: [PAR1][footer thrift][len][PAR1]. The row-group
+    # metadata (offsets, physical types — INT96 included) is the file's
+    # OWN, re-serialized verbatim; only the schema's key-value metadata
+    # gains the geo entry. Strip the leading magic and append the rest.
+    pq.write_metadata(
+        schema.with_metadata(meta),
+        buf,
+        metadata_collector=[md],
+        use_deprecated_int96_timestamps=True,
+    )
+    with open(path, "ab") as fh:
+        fh.write(buf.getvalue()[4:])
+    _drop_stale_crc(path)
+
+
+def _recover_torn_tail(path: str, window: int = 8 << 20) -> None:
+    """Truncate ``path`` back to its last valid footer boundary.
+
+    A crashed footer-append leaves trailing garbage after a fully valid
+    parquet file (appends never modify existing bytes), so scanning the
+    tail for the rightmost ``PAR1`` whose preceding footer parses — and
+    truncating there — always recovers a readable file; worst case that
+    boundary is the original end-of-file. ``window`` bounds the scan
+    (footers here are tens of KB; 8 MB is orders beyond any of them)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    size = os.path.getsize(path)
+    tail_len = min(size, window)
+    with open(path, "rb") as fh:
+        fh.seek(size - tail_len)
+        tail = fh.read()
+    pos = len(tail)
+    while True:
+        p = tail.rfind(b"PAR1", 0, pos)
+        if p < 0:
+            raise OSError(
+                f"{path}: no valid parquet footer within the last "
+                f"{tail_len} bytes — file is not recoverable by truncation"
+            )
+        end = p + 4
+        try:
+            pq.read_metadata(pa.BufferReader(tail[:end]))
+        except Exception:
+            pos = p + 3  # overlapping occurrences: keep scanning left
+            continue
+        os.truncate(path, size - tail_len + end)
+        return
 
 
 def _local_path(path: str) -> str | None:
