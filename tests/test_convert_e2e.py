@@ -226,3 +226,67 @@ def test_converted_output_prunes_spatially(spark, converted):
     assert part_files
     ghs = pq.read_table(part_files[0], columns=["geohash"])["geohash"].to_pylist()
     assert len(ghs) > 1 and ghs == sorted(ghs)
+
+
+def test_wkb_geometry_arm_geoparquet_10(spark, tmp_path):
+    """``geometry_encoding='wkb'`` writes spec WKB point bytes with a
+    GeoParquet **1.0.0** footer — the interop arm for readers that predate
+    1.1's native encoding (and the byte shape of the reference's Sedona
+    output, DatasetYearTrain.java:41-43). Decoded with an independent
+    from-the-spec struct decoder, every geometry must equal the
+    (longitude, latitude) columns bit-for-bit."""
+    import pyarrow.parquet as pq
+
+    from wod_ascii_to_parquet_spark_spark.functions.wkb import parse_wkb_point
+
+    out = str(tmp_path / "wkb_out")
+    task = FileTask(
+        "XBT", "OBS", os.path.join(WOD, "XBT/OBS/XBTO1967.gz"), out, out
+    )
+    assert convert_file(spark, task, geometry_encoding="wkb") == "converted"
+    base = os.path.join(out, "yearly/XBT/OBS/XBTO1967.parquet")
+    files = sorted(glob.glob(os.path.join(base, "geohash3=*", "*.parquet")))
+    assert files
+    checked = 0
+    for f in files[:3] + files[-1:]:
+        md = pq.read_schema(f).metadata
+        geo = json.loads(md[b"geo"])
+        assert geo["version"] == "1.0.0"
+        col = geo["columns"]["geometry"]
+        assert col["encoding"] == "WKB"
+        assert col["crs"]["id"] == {"authority": "EPSG", "code": 4326}
+        for row in pq.read_table(
+            f, columns=["geometry", "longitude", "latitude"]
+        ).to_pylist():
+            x, y = parse_wkb_point(row["geometry"])
+            assert (x, y) == (row["longitude"], row["latitude"])
+            checked += 1
+    assert checked > 0
+    # sidecar advertises the 1.0 footer too
+    meta = json.loads(open(os.path.join(base, "_geo_metadata.json")).read())
+    assert meta["geoparquet_version"] == "1.0.0"
+    # Spark reads the binary column back unharmed
+    df = spark.read.parquet(base)
+    assert df.schema["geometry"].dataType.simpleString() == "binary"
+    assert df.filter(F.col("geometry").isNull()).count() == 0
+
+
+def test_wkb_kernel_matches_independent_decoder():
+    """Vectorized numpy encoder ↔ struct-based spec decoder round trip,
+    including nulls and non-finite coordinates."""
+    import math
+
+    import pandas as pd
+
+    from wod_ascii_to_parquet_spark_spark.functions.wkb import (
+        parse_wkb_point,
+        wkb_point_bytes,
+    )
+
+    lon = pd.Series([0.0, -179.999999, 42.123456789, None, math.inf])
+    lat = pd.Series([0.0, 89.5, -89.999, 1.0, -1.5])
+    out = wkb_point_bytes(lon, lat)
+    assert out[3] is None  # null coordinate → null geometry
+    for i in (0, 1, 2, 4):
+        x, y = parse_wkb_point(out[i])
+        assert x == lon[i] and y == lat[i]

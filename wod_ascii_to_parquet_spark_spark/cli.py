@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--s3-path-style", action="store_true",
         help="fs.s3a.path.style.access=true (required by most mock servers)",
     )
+    p.add_argument(
+        "--geo-encoding", choices=("point", "wkb"), default="point",
+        help="geometry encoding: GeoParquet 1.1 native point (default) or "
+        "1.0 WKB for readers that predate native encoding",
+    )
     return p
 
 
@@ -117,6 +122,7 @@ def main(argv: list[str] | None = None) -> int:
         subset=tuple(args.subset or ()),
         overwrite=args.overwrite,
         max_concurrent=args.max_concurrent,
+        geometry_encoding=args.geo_encoding,
     )
     print(
         json.dumps(

@@ -171,12 +171,24 @@ def _write_error_channel(
         errs.coalesce(1).write.mode("overwrite").parquet(task.error_path)
 
 
-def convert_file(spark: SparkSession, task: FileTask, overwrite: bool = False) -> str:
+def convert_file(
+    spark: SparkSession,
+    task: FileTask,
+    overwrite: bool = False,
+    geometry_encoding: str = "point",
+) -> str:
     """Convert one WOD file; returns 'converted' or 'skipped'.
 
     Idempotence contract (``DatasetYearTrain.java:89-94``): a complete
     output (``_SUCCESS``) is skipped unless ``overwrite``; a partial output
     (stale ``_temporary``) is removed and rebuilt.
+
+    ``geometry_encoding``: ``"point"`` (default) writes GeoParquet 1.1
+    native-point geometry (``struct<x=lon, y=lat>`` — pure Catalyst);
+    ``"wkb"`` writes spec WKB bytes with a 1.0 footer for readers that
+    predate native encoding (the byte-level shape of the reference's
+    Sedona output, ``DatasetYearTrain.java:41-43``) — opt-in because the
+    encode needs an Arrow round-trip (``functions/wkb.py``).
     """
     fs = FsClient(spark)
     out = task.output_path
@@ -193,8 +205,9 @@ def convert_file(spark: SparkSession, task: FileTask, overwrite: bool = False) -
         sidecar = _join(out, SIDECAR_NAME)
         if not fs.exists(sidecar):
             _write_error_channel(spark, fs, task)
-            attach_geo_footer(fs, out, spark=spark)
-            fs.write_bytes(sidecar, geo_sidecar_bytes())
+            enc = _footer_encoding(geometry_encoding)
+            attach_geo_footer(fs, out, spark=spark, encoding=enc)
+            fs.write_bytes(sidecar, geo_sidecar_bytes(enc))
         return "skipped"
 
     # Scatter-parse (gunzip+frame in the file task, field-decode fanned out
@@ -246,14 +259,10 @@ def convert_file(spark: SparkSession, task: FileTask, overwrite: bool = False) -
         # in tests/test_geohash.py — but costs an Arrow round-trip)
         .withColumn("geohash", geohash_col(F.col("latitude"), F.col("longitude")))
         .withColumn("geohash3", F.substring("geohash", 1, 3))
-        # GeoParquet 1.1 native-point geometry (struct<x=lon, y=lat>) —
-        # pure Catalyst, declared in the `geo` footer attached at publish
-        .withColumn(
-            "geometry",
-            F.struct(
-                F.col("longitude").alias("x"), F.col("latitude").alias("y")
-            ),
-        )
+        # geometry, declared in the `geo` footer attached at publish:
+        # default GeoParquet 1.1 native point (struct<x=lon, y=lat>, pure
+        # Catalyst); opt-in 1.0 WKB bytes for pre-native readers.
+        .withColumn("geometry", _geometry_col(geometry_encoding))
     )
     # Writer-task count: capped at 16 per file-job. Beyond that, many
     # concurrently-open parquet writers in one JVM contend (local[32]
@@ -289,9 +298,34 @@ def convert_file(spark: SparkSession, task: FileTask, overwrite: bool = False) -
     # (the Sedona-free mirror of the reference's geoparquet.version/crs
     # writer options, DatasetYearTrain.java:132-134), THEN the sidecar —
     # its presence marks the footer pass complete for crash-healing.
-    attach_geo_footer(fs, out, spark=spark)
-    fs.write_bytes(_join(out, SIDECAR_NAME), geo_sidecar_bytes())
+    enc = _footer_encoding(geometry_encoding)
+    attach_geo_footer(fs, out, spark=spark, encoding=enc)
+    fs.write_bytes(_join(out, SIDECAR_NAME), geo_sidecar_bytes(enc))
     return "converted"
+
+
+def _footer_encoding(geometry_encoding: str) -> str:
+    """CLI spelling → GeoParquet footer spelling (the spec capitalizes
+    ``WKB``; the native encoding is lowercase ``point``)."""
+    if geometry_encoding == "point":
+        return "point"
+    if geometry_encoding == "wkb":
+        return "WKB"
+    raise ValueError(
+        f"geometry_encoding must be 'point' or 'wkb', got {geometry_encoding!r}"
+    )
+
+
+def _geometry_col(geometry_encoding: str):
+    """The geometry column expression for the chosen encoding."""
+    _footer_encoding(geometry_encoding)  # validate early, before any job runs
+    if geometry_encoding == "point":
+        return F.struct(
+            F.col("longitude").alias("x"), F.col("latitude").alias("y")
+        )
+    from ..functions.wkb import wkb_point_col
+
+    return wkb_point_col(F.col("longitude"), F.col("latitude"))
 
 
 def convert(
@@ -304,6 +338,7 @@ def convert(
     overwrite: bool = False,
     max_concurrent: int = 4,
     retries: int = 2,
+    geometry_encoding: str = "point",
 ) -> ConvertResult:
     """Run the full conversion job (the ``SparklerExecutor.execute`` mirror,
     test-facing API per ``SparklerExecutorLocalTest.java:56-74``).
@@ -328,7 +363,12 @@ def convert(
         last_err: Exception | None = None
         for _attempt in range(retries + 1):
             try:
-                status = convert_file(spark, task, overwrite=overwrite)
+                status = convert_file(
+                    spark,
+                    task,
+                    overwrite=overwrite,
+                    geometry_encoding=geometry_encoding,
+                )
                 (result.converted if status == "converted" else result.skipped).append(
                     task.output_path
                 )

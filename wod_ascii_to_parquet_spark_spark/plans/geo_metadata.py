@@ -85,17 +85,28 @@ SIDECAR_NAME = "_geo_metadata.json"
 GEOMETRY_COLUMN = "geometry"
 
 
-def geo_footer_dict() -> dict:
-    """The GeoParquet ``geo`` footer entry (spec v1.1.0): primary geometry
-    column with native ``point`` encoding (struct fields x=longitude,
-    y=latitude) and the WGS-84 PROJJSON CRS — the footer the reference has
-    Sedona write (DatasetYearTrain.java:132-134)."""
+def geo_footer_dict(encoding: str = "point") -> dict:
+    """The GeoParquet ``geo`` footer entry: primary geometry column with
+    the WGS-84 PROJJSON CRS — the footer the reference has Sedona write
+    (DatasetYearTrain.java:132-134).
+
+    ``encoding="point"`` (default): spec v1.1.0 native point — a
+    ``struct<x=lon, y=lat>`` column, expressible in pure Catalyst.
+    ``encoding="WKB"``: spec v1.0.0 well-known-binary — the only encoding
+    1.0-era readers (GDAL < 3.8, pre-1.1 GeoPandas) accept, and the
+    byte-level shape of the reference's Sedona output."""
+    if encoding == "point":
+        version = GEOPARQUET_VERSION  # 1.1: native point encoding
+    elif encoding == "WKB":
+        version = "1.0.0"  # cf. DatasetYearTrain.java:43 — the ref's version
+    else:
+        raise ValueError(f"encoding must be 'point' or 'WKB', got {encoding!r}")
     return {
-        "version": GEOPARQUET_VERSION,
+        "version": version,
         "primary_column": GEOMETRY_COLUMN,
         "columns": {
             GEOMETRY_COLUMN: {
-                "encoding": "point",
+                "encoding": encoding,
                 "geometry_types": ["Point"],
                 "crs": WGS84_PROJJSON,
             }
@@ -103,7 +114,9 @@ def geo_footer_dict() -> dict:
     }
 
 
-def attach_geo_footer(fs, out_dir: str, max_workers: int = 16, spark=None) -> int:
+def attach_geo_footer(
+    fs, out_dir: str, max_workers: int = 16, spark=None, encoding: str = "point"
+) -> int:
     """Attach the ``geo`` key to every data file footer under ``out_dir``;
     returns the number of files stamped.
 
@@ -146,7 +159,7 @@ def attach_geo_footer(fs, out_dir: str, max_workers: int = 16, spark=None) -> in
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    geo = json.dumps(geo_footer_dict()).encode()
+    geo = json.dumps(geo_footer_dict(encoding)).encode()
 
     local_root = _local_path(out_dir)
     if local_root is not None:
@@ -334,15 +347,16 @@ def _drop_stale_crc(path: str) -> None:
         os.remove(crc)
 
 
-def geo_sidecar_bytes() -> bytes:
+def geo_sidecar_bytes(encoding: str = "point") -> bytes:
     """Serialized sidecar content (static — independent of the data, so
     (re)writing it is idempotent and safe at any point in the commit
     sequence)."""
+    footer = geo_footer_dict(encoding)
     return json.dumps(
         {
-            "geoparquet_version": GEOPARQUET_VERSION,
+            "geoparquet_version": footer["version"],
             "crs": WGS84_PROJJSON,
-            "geo_footer": geo_footer_dict(),
+            "geo_footer": footer,
             "coordinates": {"latitude": "latitude", "longitude": "longitude"},
             "covering": {"geohash": "geohash", "partition": "geohash3"},
         },
