@@ -206,7 +206,7 @@ def main() -> None:
             "equal 1-thread probe. See cpu_probe_par_sec."
         ),
     )
-    prev, prev_probe = _previous_round()
+    prev, prev_probe, prev_par_probe = _previous_round()
     if prev:
         detail["previous_round"] = prev
         # Regression gate, PROBE-NORMALIZED: this host's available CPU
@@ -220,6 +220,16 @@ def main() -> None:
             # that merely held steady while the host sped up regressed
             # in CPU-normalized terms), a slower host loosens it
             ratio = out_doc["cpu_probe_sec"] / prev_probe
+        if prev_par_probe and out_doc["cpu_probe_par_sec"]:
+            # Prefer the PARALLEL probe ratio when both rounds carry it:
+            # queries run on all cores, so multi-core contention (which
+            # the 1-thread probe cannot see — the r6 false alarm) is the
+            # contention that actually inflates them. Take the larger of
+            # the two ratios: whichever resource got scarcer bounds how
+            # much slowdown the host alone explains.
+            ratio = max(
+                ratio, out_doc["cpu_probe_par_sec"] / prev_par_probe
+            )
         detail["probe_ratio_vs_prev"] = round(ratio, 3)
         detail["regressions"] = {
             name: {
@@ -240,10 +250,11 @@ def main() -> None:
     print(json.dumps(out_doc))
 
 
-def _previous_round() -> tuple[dict[str, float] | None, float | None]:
-    """(per-query timings, cpu_probe_sec) from the latest parseable
-    BENCH_r*.json next to this script (the external record of the prior
-    round), for probe-normalized regression reporting."""
+def _previous_round() -> tuple[dict[str, float] | None, float | None, float | None]:
+    """(per-query timings, cpu_probe_sec, cpu_probe_par_sec) from the
+    latest parseable BENCH_r*.json next to this script (the external
+    record of the prior round), for probe-normalized regression
+    reporting."""
     import glob
     import re
 
@@ -266,10 +277,14 @@ def _previous_round() -> tuple[dict[str, float] | None, float | None]:
             parsed = doc.get("parsed", doc)
             queries = parsed.get("queries") if isinstance(parsed, dict) else None
             if queries:
-                return queries, parsed.get("cpu_probe_sec")
+                return (
+                    queries,
+                    parsed.get("cpu_probe_sec"),
+                    parsed.get("cpu_probe_par_sec"),
+                )
         except (OSError, ValueError):
             continue
-    return None, None
+    return None, None, None
 
 
 if __name__ == "__main__":

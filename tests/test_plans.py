@@ -227,9 +227,9 @@ def test_convert_schedules_largest_files_first(spark, tmp_path, monkeypatch):
     seen = []
     real = C.convert_file
 
-    def spy(spark_, task, overwrite=False):
+    def spy(spark_, task, overwrite=False, **kw):
         seen.append(os.path.getsize(task.input_path))
-        return real(spark_, task, overwrite=overwrite)
+        return real(spark_, task, overwrite=overwrite, **kw)
 
     monkeypatch.setattr(C, "convert_file", spy)
     C.convert(
