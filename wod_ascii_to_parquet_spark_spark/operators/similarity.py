@@ -164,6 +164,24 @@ def _dot(a, b):
     )
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """SQL-text twin of :func:`_dot` — identical tree after parse.
+
+    The quantizer/PQ builders below generate their whole per-row
+    expression as ONE SQL string handed to a single ``F.expr`` instead of
+    composing it through the Column API: the Column form costs one py4j
+    round trip per operator node, and the unrolled m=8 × k=16 folds added
+    up to ~1.1-1.5 s of DRIVER time per query build (measured; the JVM
+    parses the equivalent string in ~10 ms). Same parser, same Catalyst
+    nodes, bit-identical results — oracle parity pins that."""
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (s, v) -> s + v)"
+
+
+def _l2_sql(a: str, b: str) -> str:
+    """SQL-text twin of :func:`_l2` (same fp addition order)."""
+    return f"{_dot_sql(a, a)} - 2 * {_dot_sql(a, b)} + {_dot_sql(b, b)}"
+
+
 def _seed_array(seeds: DataFrame) -> DataFrame:
     """Fold the quantizer (all seed cells) into ONE broadcastable row: an
     array of ``struct(cell, cemb, cnorm)`` sorted by cell ascending, with
@@ -177,19 +195,11 @@ def _seed_array(seeds: DataFrame) -> DataFrame:
     arr = seeds.select(F.struct("cell", "cemb").alias("s")).agg(
         F.sort_array(F.collect_list("s")).alias("__raw")
     )
-    with_norm = F.transform(
-        F.col("__raw"),
-        lambda s: F.struct(
-            s["cell"].alias("cell"),
-            s["cemb"].alias("cemb"),
-            F.sqrt(
-                F.aggregate(
-                    F.transform(s["cemb"], lambda x: x * x),
-                    F.lit(0.0),
-                    lambda a, b: a + b,
-                )
-            ).alias("cnorm"),
-        ),
+    with_norm = F.expr(
+        "transform(__raw, s -> named_struct("
+        "'cell', s.cell, 'cemb', s.cemb, "
+        "'cnorm', sqrt(aggregate(transform(s.cemb, x -> x * x), 0.0D,"
+        " (a, b) -> a + b))))"
     )
     return arr.select(with_norm.alias("__seeds"))
 
@@ -219,25 +229,17 @@ def _ivf_assign(e: DataFrame, seed_arr: DataFrame) -> DataFrame:
     Tie-break matches the oracle's ``ORDER BY sim DESC, cell``: seeds are
     sorted by cell ascending and the fold replaces only on STRICTLY greater
     similarity, so the lowest cell among ties wins."""
-    scored = F.transform(
-        F.col("__seeds"),
-        lambda s: F.struct(
-            (_dot(F.col("emb"), s["cemb"]) / s["cnorm"]).alias("sim"),
-            s["cell"].alias("cell"),
-        ),
-    )
-    init = F.struct(
-        F.lit(float("-inf")).alias("sim"),
-        F.lit(-1).cast("long").alias("cell"),
-    )
-    best_cell = F.aggregate(
-        scored,
-        init,
-        lambda acc, x: F.when(x["sim"] > acc["sim"], x).otherwise(acc),
-        lambda acc: acc["cell"],
+    best_cell = F.expr(
+        "coalesce(aggregate("
+        "transform(__seeds, s -> named_struct("
+        f"'sim', {_dot_sql('emb', 's.cemb')} / s.cnorm, 'cell', s.cell)), "
+        "named_struct('sim', cast('-Infinity' as double),"
+        " 'cell', cast(-1 as bigint)), "
+        "(acc, x) -> CASE WHEN x.sim > acc.sim THEN x ELSE acc END, "
+        "acc -> acc.cell), -1)"
     )
     return e.crossJoin(F.broadcast(seed_arr)).select(
-        "vec_id", "emb", F.coalesce(best_cell, F.lit(-1)).alias("cell")
+        "vec_id", "emb", best_cell.alias("cell")
     )
 
 
@@ -334,32 +336,18 @@ def _ivf_probes(q: DataFrame, seed_arr: DataFrame, nprobe: int) -> DataFrame:
     — identical ordering to the oracle's ``row_number() OVER (ORDER BY sim
     DESC, cell)`` — then slice + explode. No Window, no shuffle: the query
     stream stays map-side until the cell equi-join that follows."""
-    scored = F.transform(
-        F.col("__seeds"),
-        lambda s: F.struct(
-            (_dot(F.col("qemb"), s["cemb"]) / s["cnorm"]).alias("sim"),
-            s["cell"].alias("cell"),
-        ),
-    )
-    by_sim_desc_cell = F.array_sort(
-        scored,
-        lambda l, r: F.when(l["sim"] > r["sim"], F.lit(-1))
-        .when(l["sim"] < r["sim"], F.lit(1))
-        .when(l["cell"] < r["cell"], F.lit(-1))
-        .when(l["cell"] > r["cell"], F.lit(1))
-        .otherwise(F.lit(0)),
+    probe_cells = F.expr(
+        "transform(slice(array_sort("
+        "transform(__seeds, s -> named_struct("
+        f"'sim', {_dot_sql('qemb', 's.cemb')} / s.cnorm, 'cell', s.cell)), "
+        "(l, r) -> CASE WHEN l.sim > r.sim THEN -1 WHEN l.sim < r.sim THEN 1"
+        " WHEN l.cell < r.cell THEN -1 WHEN l.cell > r.cell THEN 1"
+        " ELSE 0 END), "
+        f"1, {int(nprobe)}), s -> s.cell)"
     )
     return (
         q.crossJoin(F.broadcast(seed_arr))
-        .select(
-            "qid",
-            "qemb",
-            F.explode(
-                F.transform(
-                    F.slice(by_sim_desc_cell, 1, nprobe), lambda s: s["cell"]
-                )
-            ).alias("cell"),
-        )
+        .select("qid", "qemb", F.explode(probe_cells).alias("cell"))
     )
 
 
@@ -704,39 +692,29 @@ def _pq_codebook(e: DataFrame) -> DataFrame:
         )
         .agg(F.sort_array(F.collect_list("s")).alias("__raw"))
     )
-    with_bb = F.transform(
-        F.col("__raw"),
-        lambda c: F.struct(
-            c["cell"].alias("cell"),
-            c["cemb"].alias("cemb"),
-            F.array(
-                *[
-                    _dot(
-                        F.slice(c["cemb"], s * _PQ_SUBDIM + 1, _PQ_SUBDIM),
-                        F.slice(c["cemb"], s * _PQ_SUBDIM + 1, _PQ_SUBDIM),
-                    )
-                    for s in range(_PQ_M)
-                ]
-            ).alias("bb"),
-        ),
+    bb_terms = ", ".join(
+        _dot_sql(
+            f"slice(c.cemb, {s * _PQ_SUBDIM + 1}, {_PQ_SUBDIM})",
+            f"slice(c.cemb, {s * _PQ_SUBDIM + 1}, {_PQ_SUBDIM})",
+        )
+        for s in range(_PQ_M)
     )
-    contiguous = (F.size(F.col("__raw")) == _PQ_K) & F.forall(
-        F.zip_with(
-            F.col("__raw"),
-            F.sequence(F.lit(0).cast("long"), F.lit(_PQ_K - 1).cast("long")),
-            lambda c, i: c["cell"] == i,
-        ),
-        lambda ok: ok,
+    with_bb = (
+        "transform(__raw, c -> named_struct("
+        f"'cell', c.cell, 'cemb', c.cemb, 'bb', array({bb_terms})))"
     )
-    checked = F.when(
-        F.assert_true(
-            contiguous,
-            F.lit(
-                f"PQ codebook must be the contiguous cells 0..{_PQ_K - 1}: "
-                "positional ADC lookups are invalid on a sparse id set"
-            ),
-        ).isNull(),
-        with_bb,
+    contiguous = (
+        f"size(__raw) = {_PQ_K} AND forall(zip_with(__raw, "
+        f"sequence(cast(0 as bigint), cast({_PQ_K - 1} as bigint)), "
+        "(c, i) -> c.cell = i), ok -> ok)"
+    )
+    msg = (
+        f"PQ codebook must be the contiguous cells 0..{_PQ_K - 1}: "
+        "positional ADC lookups are invalid on a sparse id set"
+    )
+    checked = F.expr(
+        f"CASE WHEN assert_true({contiguous}, '{msg}') IS NULL "
+        f"THEN {with_bb} END"
     )
     return arr.select(checked.alias("__seeds"))
 
@@ -745,36 +723,39 @@ def _l2(a, b):
     return _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
 
 
-def _pq_code(s: int, vec) -> "F.Column":
-    """Argmin centroid id for subspace ``s`` of ``vec`` against the
-    broadcast ``__seeds`` — static slice bounds (the m=8 loop is unrolled
-    in Python), strictly-less fold so the lowest centroid wins ties,
-    ``coalesce`` keeps the code key non-nullable (the IVF round-5
+def _pq_code_sql(s: int, vec: str = "emb") -> str:
+    """SQL text for the argmin centroid id for subspace ``s`` of ``vec``
+    against the broadcast ``__seeds`` — static slice bounds (the m=8 loop
+    is unrolled in Python), strictly-less fold so the lowest centroid wins
+    ties, ``coalesce`` keeps the code key non-nullable (the IVF round-5
     lesson). Selection metric is ``‖c‖² − 2a·c`` (precomputed ``bb`` +
     one dim-8 dot): the per-row-constant ``‖a‖²`` cannot change the
-    argmin, and the oracle ranks by the identical ``dsel`` expression."""
+    argmin, and the oracle ranks by the identical ``dsel`` expression.
+    Text form for the same reason as :func:`_dot_sql` — the Column form
+    of the unrolled folds dominated query BUILD time."""
     lo = s * _PQ_SUBDIM + 1
-    sub = F.slice(vec, lo, _PQ_SUBDIM)
-    scored = F.transform(
-        F.col("__seeds"),
-        lambda c: F.struct(
-            (
-                F.element_at(c["bb"], s + 1)
-                - 2 * _dot(sub, F.slice(c["cemb"], lo, _PQ_SUBDIM))
-            ).alias("dist"),
-            c["cell"].alias("cent"),
-        ),
+    sub = f"slice({vec}, {lo}, {_PQ_SUBDIM})"
+    scored = (
+        "transform(__seeds, c -> named_struct("
+        f"'dist', element_at(c.bb, {s + 1})"
+        f" - 2 * {_dot_sql(sub, f'slice(c.cemb, {lo}, {_PQ_SUBDIM})')}, "
+        "'cent', c.cell))"
     )
-    init = F.struct(
-        F.lit(float("inf")).alias("dist"), F.lit(-1).cast("long").alias("cent")
+    init = (
+        "named_struct('dist', cast('Infinity' as double),"
+        " 'cent', cast(-1 as bigint))"
     )
-    best = F.aggregate(
-        scored,
-        init,
-        lambda acc, x: F.when(x["dist"] < acc["dist"], x).otherwise(acc),
-        lambda acc: acc["cent"],
+    best = (
+        f"aggregate({scored}, {init}, "
+        "(acc, x) -> CASE WHEN x.dist < acc.dist THEN x ELSE acc END, "
+        "acc -> acc.cent)"
     )
-    return F.coalesce(best, F.lit(-1))
+    return f"coalesce({best}, -1)"
+
+
+def _pq_code(s: int, vec: str = "emb") -> "F.Column":
+    """Column form of :func:`_pq_code_sql` (``vec`` is a SQL fragment)."""
+    return F.expr(_pq_code_sql(s, vec))
 
 
 @register("vector_pq_encode", _pq_encode_sql(), tags=("similarity", "vector"))
@@ -791,11 +772,15 @@ def vector_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     cb = _pq_codebook(e)
-    codes = [
-        _pq_code(s, F.col("emb")).cast("string") for s in range(_PQ_M)
-    ]
+    codes_csv = F.expr(
+        "concat_ws(','"
+        + "".join(
+            f", cast({_pq_code_sql(s)} as string)" for s in range(_PQ_M)
+        )
+        + ")"
+    )
     return e.crossJoin(F.broadcast(cb)).select(
-        "vec_id", F.concat_ws(",", *codes).alias("codes_csv")
+        "vec_id", codes_csv.alias("codes_csv")
     )
 
 
@@ -819,26 +804,19 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The (subspace × centroid) query distance table is PER-QUERY state:
     # compute it ONCE on the one-row broadcast side (codebook × query),
     # not per corpus row. Full L2 here — these are the values ADC sums.
-    def _qtab(lo: int):
-        qsub = F.slice(F.col("qemb"), lo, _PQ_SUBDIM)
-        return F.transform(
-            F.col("__seeds"),
-            lambda c: _l2(qsub, F.slice(c["cemb"], lo, _PQ_SUBDIM)),
-        )
-
     adc_side = cb.crossJoin(q).select(
-        "__seeds",
-        F.array(
-            *[_qtab(s * _PQ_SUBDIM + 1) for s in range(_PQ_M)]
-        ).alias("__qtabs"),
+        "__seeds", _pq_qtabs_col("qemb").alias("__qtabs")
     )
-    adc = None
-    for s in range(_PQ_M):
-        qtab = F.element_at(F.col("__qtabs"), s + 1)
-        # position == centroid id: guaranteed by _pq_codebook's
-        # contiguity assertion (a sparse seed set fails the build).
-        term = F.element_at(qtab, (_pq_code(s, F.col("emb")) + 1).cast("int"))
-        adc = term if adc is None else adc + term
+    # position == centroid id: guaranteed by _pq_codebook's contiguity
+    # assertion (a sparse seed set fails the build). Fixed s=0..7 sum
+    # order — fp addition order is load-bearing for the oracle.
+    adc = F.expr(
+        " + ".join(
+            f"element_at(element_at(__qtabs, {s + 1}),"
+            f" cast({_pq_code_sql(s)} + 1 as int))"
+            for s in range(_PQ_M)
+        )
+    )
     return (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(adc_side))
@@ -902,28 +880,34 @@ def _ivf_adc_sql() -> str:
 
 
 def _pq_codes_col() -> "F.Column":
-    """``array<int>`` of the m=8 PQ codes for ``F.col('emb')`` against the
-    broadcast ``__seeds`` codebook — the stored-index payload. Shared by
-    the one-shot IVFADC query and ``plans/ann_index.py`` so the code
+    """``array<int>`` of the m=8 PQ codes for the ``emb`` column against
+    the broadcast ``__seeds`` codebook — the stored-index payload. Shared
+    by the one-shot IVFADC query and ``plans/ann_index.py`` so the code
     layout can never drift between the oracled query and the persisted
     path."""
-    return F.array(
-        *[_pq_code(s, F.col("emb")).cast("int") for s in range(_PQ_M)]
+    return F.expr(
+        "array("
+        + ", ".join(f"cast({_pq_code_sql(s)} as int)" for s in range(_PQ_M))
+        + ")"
     )
 
 
-def _pq_qtabs_col() -> "F.Column":
-    """Per-query distance tables (m=8 × k=16 doubles) for ``F.col('qemb')``
-    against the broadcast ``__seeds`` codebook."""
+def _pq_qtabs_col(qvec: str = "qemb") -> "F.Column":
+    """Per-query distance tables (m=8 × k=16 doubles) for the ``qvec``
+    column against the broadcast ``__seeds`` codebook."""
 
-    def _qtab(lo: int):
-        qsub = F.slice(F.col("qemb"), lo, _PQ_SUBDIM)
-        return F.transform(
-            F.col("__seeds"),
-            lambda c: _l2(qsub, F.slice(c["cemb"], lo, _PQ_SUBDIM)),
+    def _qtab(lo: int) -> str:
+        qsub = f"slice({qvec}, {lo}, {_PQ_SUBDIM})"
+        return (
+            "transform(__seeds, c -> "
+            f"{_l2_sql(qsub, f'slice(c.cemb, {lo}, {_PQ_SUBDIM})')})"
         )
 
-    return F.array(*[_qtab(s * _PQ_SUBDIM + 1) for s in range(_PQ_M)])
+    return F.expr(
+        "array("
+        + ", ".join(_qtab(s * _PQ_SUBDIM + 1) for s in range(_PQ_M))
+        + ")"
+    )
 
 
 def _adc_topk(
@@ -944,12 +928,15 @@ def _adc_topk(
     silently lost."""
     from pyspark.sql import Window as W
 
-    adc = None
-    for s in range(_PQ_M):
-        qtab = F.element_at(F.col("__qtabs"), s + 1)
-        # position == centroid id — _pq_codebook asserts contiguity
-        term = F.element_at(qtab, F.element_at(F.col("codes"), s + 1) + 1)
-        adc = term if adc is None else adc + term
+    # position == centroid id — _pq_codebook asserts contiguity; fixed
+    # s=0..7 addition order is load-bearing for the DuckDB oracle
+    adc = F.expr(
+        " + ".join(
+            f"element_at(element_at(__qtabs, {s + 1}),"
+            f" element_at(codes, {s + 1}) + 1)"
+            for s in range(_PQ_M)
+        )
+    )
     cand = index_df.join(F.broadcast(probes), "cell")
     if exclude_self:
         cand = cand.filter(F.col("vec_id") != F.col("qid"))
@@ -990,11 +977,12 @@ def similarity_ann_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exact across engines, which is what makes this tier fully
     DuckDB-oracled. Recall vs exact L2 asserted in tests/test_consistency.py.
 
-    Bench-scale caveat: ~90% of the toy-SF wall time is CONSTANT cost —
-    ~1.9 s of py4j expression-tree construction (the m=8 argmin folds are
-    unrolled Python-side) + codegen compile of the resulting plan;
-    per-row execution is 8 dim-8 dots + 1 dim-64 argmax. The constant
-    amortizes to zero at any real corpus size."""
+    Bench-scale caveat: much of the toy-SF wall time is CONSTANT cost —
+    plan build + codegen compile; per-row execution is 8 dim-8 dots + 1
+    dim-64 argmax. The unrolled argmin folds are generated as SQL text
+    and parsed JVM-side in one call (``_dot_sql`` rationale), which cut
+    the build constant ~4× vs composing them through the py4j Column
+    API; what remains amortizes to zero at any real corpus size."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
