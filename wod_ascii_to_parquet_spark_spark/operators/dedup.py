@@ -399,24 +399,25 @@ def simhash_bits(
     bucket — a 50M-pair candidate blowup at a 5k-doc test scale.)
 
     ``token_hash`` overrides the per-token hash (default ``xxhash64``) —
-    the md5-based oracled arm passes a cross-engine hash here."""
-    hasher = token_hash if token_hash is not None else (lambda t: F.xxhash64(t))
-    hashes = F.transform(F.split(F.col("text"), " "), hasher)
-    counts = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0).cast("bigint"), nbits),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1
-                    for i in range(nbits)
-                ]
-            ),
-            lambda a, b: a + b,
-        ),
+    a SQL fragment with a ``{t}`` placeholder for the token; the
+    md5-based oracled arms pass a cross-engine hash here. The whole
+    fingerprint is generated as ONE SQL string for a single ``F.expr``
+    (the ``similarity._dot_sql`` rationale: the 64 unrolled bit
+    extractions cost ~0.5 s of driver py4j time per query build as
+    Column objects, ~10 ms as parsed text; same Catalyst tree)."""
+    h = (token_hash or "xxhash64({t})").format(t="t")
+    bit_terms = ", ".join(
+        f"(shiftright(h, {i}) & 1) * 2 - 1" for i in range(nbits)
     )
-    bits = F.transform(counts, lambda c: F.when(c >= 0, 1).otherwise(0).cast("int"))
+    counts = (
+        f"aggregate(transform(split(text, ' '), t -> {h}), "
+        f"array_repeat(cast(0 as bigint), {nbits}), "
+        f"(acc, h) -> zip_with(acc, array({bit_terms}), (a, b) -> a + b))"
+    )
+    bits = F.expr(
+        f"transform({counts},"
+        " c -> cast(CASE WHEN c >= 0 THEN 1 ELSE 0 END as int))"
+    )
     return d.select("doc_id", "lang", "source", bits.alias("bits")).repartition(
         F.col("doc_id")
     )
@@ -455,19 +456,17 @@ def _simhash_pairs(
     et al., WWW'07)."""
     segs = _segment_starts(nbits, max_hamming + 1)
     # seg value = the segment's bits folded into one int; explode to
-    # (key..., seg_idx, seg_val, doc_id, bits).
-    seg_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("seg_idx"),
-                F.aggregate(
-                    F.slice(F.col("bits"), start + 1, width),
-                    F.lit(0),
-                    lambda acc, b: acc * 2 + b,
-                ).alias("seg_val"),
-            )
+    # (key..., seg_idx, seg_val, doc_id, bits). Generated as one SQL
+    # string (the simhash_bits / similarity._dot_sql build-time rationale).
+    seg_structs = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('seg_idx', {i}, 'seg_val', "
+            f"aggregate(slice(bits, {start + 1}, {width}), 0, "
+            "(acc, b) -> acc * 2 + b))"
             for i, (start, width) in enumerate(segs)
-        ]
+        )
+        + ")"
     )
     e = s.select(
         "doc_id", "bits", *key_cols, F.explode(seg_structs).alias("seg")
@@ -605,8 +604,7 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked gate, with ``dedup_simhash64`` remaining the engine-side
     scale default."""
 
-    def h32(t):
-        return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+    h32 = "cast(conv(substring(md5({t}), 1, 8), 16, 10) as bigint)"
     s = simhash_bits(
         spread(load(spark, sf_dir, "documents")), nbits=32, token_hash=h32
     )
@@ -642,11 +640,10 @@ def dedup_simhash64_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only gap in the dedup family (the 32-bit md5 arm covered only the
     pedagogical parameters)."""
 
-    def h64(t):
-        hi = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
-        lo = F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("bigint")
-        return F.shiftleft(hi, 32).bitwiseOR(lo)
-
+    h64 = (
+        "shiftleft(cast(conv(substring(md5({t}), 1, 8), 16, 10) as bigint),"
+        " 32) | cast(conv(substring(md5({t}), 9, 8), 16, 10) as bigint)"
+    )
     s = simhash_bits(
         spread(load(spark, sf_dir, "documents")), nbits=64, token_hash=h64
     )
