@@ -96,7 +96,17 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("string"),
         F.lit('],"maybe":null}'),
     )
-    v = o.select("o_orderkey", F.parse_json(js).alias("v"))
+    # Shuffle barrier (the minhash/simhash discipline): six downstream
+    # consumers reference ``v``, and project collapsing would inline — i.e.
+    # re-run — the parse_json at every reference (measured 6× the parse
+    # cost; the conditional consumers sit in CASE branches, so codegen
+    # subexpression elimination cannot rescue them). The Exchange
+    # materializes the parsed VARIANT once, which is the documented
+    # semantics — and the right trade at scale: variant binary is about
+    # json-sized, so one shuffle of it is far cheaper than five re-parses.
+    v = o.select("o_orderkey", F.parse_json(js).alias("v")).repartition(
+        F.col("o_orderkey")
+    )
     return v.select(
         "o_orderkey",
         F.variant_get("v", "$.id", "bigint").alias("vid"),
