@@ -477,13 +477,24 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
     )
     assign = _ivf_assign(e, _seed_array(seeds))
+    # Per-row norm hoisted out of the per-pair kernel (see
+    # dedup_semdedup_prune): bit-same value, ~3× less pair arithmetic.
+    norm = F.expr(f"sqrt({_dot_sql('emb', 'emb')})")
     a = assign.select(
-        F.col("vec_id").alias("vec_a"), "cell", F.col("emb").alias("emb_a")
+        F.col("vec_id").alias("vec_a"),
+        "cell",
+        F.col("emb").alias("emb_a"),
+        norm.alias("norm_a"),
     )
     b = assign.select(
-        F.col("vec_id").alias("vec_b"), "cell", F.col("emb").alias("emb_b")
+        F.col("vec_id").alias("vec_b"),
+        "cell",
+        F.col("emb").alias("emb_b"),
+        norm.alias("norm_b"),
     )
-    sim = cosine(F.col("emb_a"), F.col("emb_b"))
+    sim = F.expr(_dot_sql("emb_a", "emb_b")) / (
+        F.col("norm_a") * F.col("norm_b")
+    )
     return (
         a.join(b, "cell")
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -1064,18 +1075,34 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
     )
     assign = _ivf_assign(e, _seed_array(seeds))
+    # Per-ROW norm, computed once on each join side: cosine's denominator
+    # factors sqrt(Σx²) depend on one vector each, so hoisting them out of
+    # the per-PAIR expression cuts the Σ|cell|² kernel's arithmetic ~3×
+    # (one dot per pair instead of three) while producing the bit-same
+    # value — the norm fold is the identical expression, just evaluated
+    # |cell| times instead of |cell|² times.
+    norm = F.expr(
+        f"sqrt({_dot_sql('emb', 'emb')})"
+    )
     a = assign.select(
-        F.col("vec_id").alias("vec_a"), "cell", F.col("emb").alias("emb_a")
+        F.col("vec_id").alias("vec_a"),
+        "cell",
+        F.col("emb").alias("emb_a"),
+        norm.alias("norm_a"),
     )
     b = assign.select(
-        F.col("vec_id").alias("vec_b"), "cell", F.col("emb").alias("emb_b")
+        F.col("vec_id").alias("vec_b"),
+        "cell",
+        F.col("emb").alias("emb_b"),
+        norm.alias("norm_b"),
     )
-    from .dedup import cosine
-
+    sim = F.expr(_dot_sql("emb_a", "emb_b")) / (
+        F.col("norm_a") * F.col("norm_b")
+    )
     dropped = (
         a.join(b, "cell")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(cosine(F.col("emb_a"), F.col("emb_b")) >= 0.4)
+        .filter(sim >= 0.4)
         .select("cell", "vec_b")
         .distinct()
         .groupBy("cell")
