@@ -468,19 +468,23 @@ def _simhash_pairs(
         )
         + ")"
     )
+    # Candidate stream carries ONLY (doc_id, key..., seg_idx, seg_val) —
+    # the 64-element bits array stays OUT of the (max_hamming+1)×-exploded
+    # shuffle (the `_band_candidates` discipline: signatures/shingles never
+    # ride the band stream) and is joined back onto the tiny de-duplicated
+    # candidate set for the exact verify. Pair dedup ALSO moves before the
+    # verify this way — each colliding pair pays the Hamming fold once.
     e = s.select(
-        "doc_id", "bits", *key_cols, F.explode(seg_structs).alias("seg")
-    ).select("doc_id", "bits", *key_cols, "seg.seg_idx", "seg.seg_val")
+        "doc_id", *key_cols, F.explode(seg_structs).alias("seg")
+    ).select("doc_id", *key_cols, "seg.seg_idx", "seg.seg_val")
     a = e.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("bits").alias("bits_a"),
         *[F.col(c).alias(f"{c}_a") for c in key_cols],
         "seg_idx",
         "seg_val",
     )
     b = e.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("bits").alias("bits_b"),
         *[F.col(c).alias(f"{c}_b") for c in key_cols],
         "seg_idx",
         "seg_val",
@@ -488,17 +492,33 @@ def _simhash_pairs(
     cond = (F.col("doc_a") < F.col("doc_b"))
     for c in key_cols:
         cond &= F.col(f"{c}_a") == F.col(f"{c}_b")
+    cand = (
+        a.join(b, ["seg_idx", "seg_val"])
+        .filter(cond)
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    bits_only = s.select("doc_id", "bits")
     hamming = F.aggregate(
         F.zip_with(F.col("bits_a"), F.col("bits_b"), lambda x, y: F.abs(x - y)),
         F.lit(0),
         lambda acc, v: acc + v,
     )
     return (
-        a.join(b, ["seg_idx", "seg_val"])
-        .filter(cond)
+        cand.join(
+            bits_only.select(
+                F.col("doc_id").alias("doc_a"), F.col("bits").alias("bits_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            bits_only.select(
+                F.col("doc_id").alias("doc_b"), F.col("bits").alias("bits_b")
+            ),
+            "doc_b",
+        )
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()  # a pair can collide on several segments
     )
 
 
