@@ -372,3 +372,31 @@ def test_semdedup_confined_to_cell_join(spark):
             assert "strategy=broadcast" in l, l
     plan = plan_of(spark, "dedup_semdedup_prune")
     assert "CartesianProduct" not in plan
+
+
+def test_variant_parsed_exactly_once(spark):
+    """json_variant_extract's documented parse-ONCE semantics, pinned at
+    the plan level: project collapsing would inline the parse_json into
+    all six consumers (measured 6x the parse cost) unless the Exchange
+    barrier holds. The optimized plan must evaluate parse_json exactly
+    once, below a repartition, with every variant_get above it."""
+    df = QUERIES["json_variant_extract"].fn(spark, SF_DIR)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("parseJson") + opt.count("parse_json") == 1, opt
+    assert "RepartitionByExpression" in opt or "Repartition" in opt, opt
+
+
+def test_simhash_candidates_exclude_fingerprint_payload(spark):
+    """The segment-candidate self-join must not carry the 64-element bits
+    array through the exploded shuffle: bits may only enter the plan at
+    the post-dedup verify joins (the _band_candidates discipline). The
+    explode-side projections therefore contain seg fields but no bits."""
+    df = QUERIES["dedup_simhash64"].fn(spark, SF_DIR)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    explode_lines = [
+        l for l in opt.splitlines() if "Generate explode" in l
+    ]
+    assert explode_lines, opt
+    for l in explode_lines:
+        # explode retains only doc_id (+ keys); bits must be pruned away
+        assert "bits" not in l.split("[")[-1], l
