@@ -52,17 +52,6 @@ BUILD_CONFS: dict[str, str] = {
     # 8g heap while keeping stop-the-world pauses out of most runs.
     "spark.driver.memory": "8g",
     "spark.cleaner.periodicGC.interval": "5min",
-    # file:// writes go through Hadoop's ChecksumFileSystem by default,
-    # which creates a hidden .crc sidecar for EVERY file — for a
-    # partitioned write producing thousands of small files (the WOD
-    # geohash3 layout: 1,652 partition dirs per input file) that doubles
-    # the file creations and was measured as ~30% of the write stage
-    # (3.25s → 2.26s on the XBTO1967 bench write). Client-side CRC
-    # sidecars are a local-FS legacy: HDFS checksums server-side, object
-    # stores checksum per-PUT, and parquet carries its own column-chunk
-    # integrity — so this conf is a no-op on real clusters and pure win
-    # locally.
-    "spark.hadoop.fs.file.impl": "org.apache.hadoop.fs.RawLocalFileSystem",
 }
 
 
@@ -85,7 +74,40 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _disable_local_write_checksums(spark)
     return spark
+
+
+def _disable_local_write_checksums(spark: SparkSession) -> None:
+    """Turn off client-side .crc sidecars for file:// writes.
+
+    file:// writes go through Hadoop's ChecksumFileSystem, which creates
+    a hidden .crc sidecar for EVERY file — for a partitioned write
+    producing thousands of small files (the WOD geohash3 layout: 1,652
+    partition dirs per input file) that doubles the file creations and
+    was measured as ~30% of the write stage (3.25 s → 2.26 s on the
+    XBTO1967 bench write). Client-side CRC sidecars are a local-FS
+    legacy: HDFS checksums server-side, object stores checksum per-PUT,
+    and parquet carries its own column-chunk integrity.
+
+    Done by flipping ``setWriteChecksum`` on the CACHED local FileSystem
+    instance (every later ``path.getFileSystem`` call in this JVM gets
+    the same cached object) rather than swapping ``fs.file.impl`` to
+    RawLocalFileSystem — the impl swap breaks ``FileSystem.getLocal``
+    callers (copyFromLocalFile casts to LocalFileSystem). Local-mode
+    executors share the driver JVM, so the cached instance covers the
+    write path; on a real cluster outputs are not file:// and this is a
+    no-op."""
+    try:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            jvm.java.net.URI("file:///"), hconf
+        )
+        fs.setWriteChecksum(False)
+        fs.setVerifyChecksum(False)
+    except Exception:  # pragma: no cover - non-JVM sessions (Connect)
+        pass
 
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
