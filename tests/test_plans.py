@@ -187,13 +187,21 @@ def test_domain_mix_threshold_is_windowless(spark):
 
 
 def test_no_unbounded_cartesian_in_any_registered_plan(spark):
-    """Global plan lint over the ENTIRE registry: no query may plan a
-    CartesianProduct — every cross-shaped join must be broadcast-bounded
-    (BroadcastNestedLoopJoin over a one-row/dim-sized side) or keyed.
-    This is the scale contract's catch-all: a future query that
-    accidentally crosses two fact-sized inputs fails here at sf0.001
-    instead of at 100 TB. Side-effecting / streaming-run queries are
-    excluded (they execute rather than plan); ~1 min for ~160 plans."""
+    """Global plan lint over the ENTIRE registry, two rules in one sweep:
+
+    1. No CartesianProduct — every cross-shaped join must be
+       broadcast-bounded (BroadcastNestedLoopJoin over a one-row/
+       dim-sized side) or keyed. The scale contract's catch-all: a query
+       that accidentally crosses two fact-sized inputs fails here at
+       sf0.001 instead of at 100 TB.
+    2. No BatchEvalPython — row-at-a-time Python UDFs are banned from
+       every registered plan; Python may appear only behind Arrow
+       batching (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas /
+       MapInArrow / PythonMapInArrow), which is the 10-100× boundary the
+       engine's UDF discipline promises.
+
+    Side-effecting / streaming-run queries are excluded (they execute
+    rather than plan); ~1 min for the full registry."""
     from wod_ascii_to_parquet_spark_spark.registry import load_all_operators
 
     EXECUTING = {
@@ -204,7 +212,7 @@ def test_no_unbounded_cartesian_in_any_registered_plan(spark):
         "stream_custom_stateful",
         "sample_deterministic",
     }
-    offenders = []
+    cartesian, rowwise_python = [], []
     for name, q in load_all_operators().items():
         if name in EXECUTING or name.startswith(("wod", "source")):
             continue
@@ -213,8 +221,11 @@ def test_no_unbounded_cartesian_in_any_registered_plan(spark):
             df._jdf.queryExecution(), "formatted"
         )
         if "CartesianProduct" in plan:
-            offenders.append(name)
-    assert not offenders, offenders
+            cartesian.append(name)
+        if "BatchEvalPython" in plan:
+            rowwise_python.append(name)
+    assert not cartesian, cartesian
+    assert not rowwise_python, rowwise_python
 
 
 def test_convert_schedules_largest_files_first(spark, tmp_path, monkeypatch):

@@ -364,18 +364,20 @@ def udtf_ngram_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A REAL Python UDTF (Spark 4 ``@udtf``) invoked via LATERAL join —
     the table-function API surface itself, distinct from the
     ``mapInPandas`` decoder (`udtf_parse_casts`): one input row yields
-    n−2 output rows of word 3-grams, planned as ``Generate`` over a
-    ``BatchEvalPythonUDTF`` node.
+    n−2 output rows of word 3-grams, planned as an
+    ``ArrowEvalPythonUDTF`` node (``useArrow=True`` — rows cross the
+    Python boundary in Arrow batches, not pickled one at a time; the
+    registry-wide plan lint bans ``BatchEvalPython``).
 
-    Scale note: a row-at-a-time Python UDTF is the SLOW path — it exists
-    here as API parity (and for logic that is genuinely per-row
+    Scale note: even Arrow-batched, a Python UDTF is the SLOW path — it
+    exists here as API parity (and for logic that is genuinely per-row
     generative); the same expansion in the hot path is the pure-Catalyst
     explode in ``corpus_ngram_topk``/`rag_chunk_documents`, and the
     oracle below is exactly that formulation — so the UDTF is verified
     against the JVM-side equivalent."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="doc_id: bigint, gram: string")
+    @udtf(returnType="doc_id: bigint, gram: string", useArrow=True)
     class NGrams:
         def eval(self, doc_id, text):  # noqa: ANN001 — UDTF protocol
             if text is None:
@@ -510,7 +512,7 @@ def udtf_analyze_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             terms = [t for t, _ in top] + [None] * (k - len(top))
             yield (doc_id, *terms[:k])
 
-    spark.udtf.register("wg_top_terms_udtf", udtf(TopTerms))
+    spark.udtf.register("wg_top_terms_udtf", udtf(TopTerms, useArrow=True))
     spread(load(spark, sf_dir, "documents")).createOrReplaceTempView(
         "wg_udtf_docs2"
     )
