@@ -528,3 +528,46 @@ def test_create_exclusive_is_kernel_atomic_for_local(spark, tmp_path):
     assert fs.create_exclusive(target, b"two") is False
     with open(target, "rb") as fh:
         assert fh.read() == b"one"  # the loser must not truncate the winner
+
+
+def test_hundred_commit_log_stays_bounded(spark, tmp_path, monkeypatch):
+    """VERDICT r6 #6 'done' criterion: 100+ commits with segment spill and
+    checkpoint merges active — per-commit manifest writes stay O(batch),
+    segment count stays below the checkpoint threshold, and reads (latest
+    + sampled time travel) remain exact throughout the log's life."""
+    import json as _json
+
+    import wod_ascii_to_parquet_spark_spark.sources.lakehouse as LH
+
+    monkeypatch.setattr(LH, "_SEGMENT_SPILL_FILES", 6)
+    monkeypatch.setattr(LH, "_CHECKPOINT_SEGMENTS", 4)
+    t = LogTable(spark, str(tmp_path / "t"))
+    n = 110
+    # one-row single-file commits: the log machinery (not Spark write
+    # throughput) is what this exercises
+    for i in range(n):
+        t.write(_df(spark, [(i, f"v{i}")]).coalesce(1), mode="append")
+
+    latest = t.manifest()
+    # inline tail bounded by spill threshold + one batch, NOT by history
+    assert len(latest["files"]) <= 7, len(latest["files"])
+    # checkpoint merges keep the segment count bounded
+    assert len(latest.get("segments", [])) <= 4, latest.get("segments")
+    # every file still reachable, exactly once
+    files, stats = t.resolve_files(latest)
+    assert len(files) == n and len(set(files)) == n
+    assert len(stats) == n
+    # the manifest document itself stays O(batch + segments), far below
+    # one entry per historical file
+    raw = (tmp_path / "t" / "_log").glob("v*.json")
+    sizes = {p.name: len(p.read_bytes()) for p in raw}
+    worst = max(sizes.values())
+    one_file_doc = len(_json.dumps(latest["files"][:1]))
+    assert worst < n * one_file_doc / 2, (worst, one_file_doc)
+    # reads stay exact: latest + sampled time travel across the log
+    assert {r.k for r in t.read().collect()} == set(range(n))
+    for v in (0, 1, 17, 63, n - 2):
+        assert {r.k for r in t.read(version=v).collect()} == set(range(v + 1))
+    # data skipping still prunes from manifest metadata alone
+    pruned = t.read(between=("k", 100, 104))
+    assert {r.k for r in pruned.collect()} >= set(range(100, 105))
