@@ -411,3 +411,42 @@ def test_simhash_candidates_exclude_fingerprint_payload(spark):
     for l in explode_lines:
         # explode retains only doc_id (+ keys); bits must be pruned away
         assert "bits" not in l.split("[")[-1], l
+
+
+def _live_plan_lines(df) -> list[str]:
+    """Executed-plan lines with cached-relation subtrees stripped:
+    InMemoryTableScan prints its whole cached plan nested below it, so a
+    naive string search sees the CACHED pipeline's exchanges as if they
+    re-ran. Keep only the live operators (anything not indented under an
+    InMemoryTableScan node)."""
+    df.write.format("noop").mode("overwrite").save()
+    text = df._jdf.queryExecution().executedPlan().toString()
+    out, skip_beyond = [], None
+    for line in text.splitlines():
+        # tree indentation mixes spaces and ':' branch bars — both count
+        indent = len(line) - len(line.lstrip(" :"))
+        if skip_beyond is not None:
+            if indent > skip_beyond:
+                continue
+            skip_beyond = None
+        out.append(line)
+        if "InMemoryTableScan" in line:
+            skip_beyond = indent
+    return out
+
+
+def test_pagerank_iterations_reuse_cached_edge_partitioning(spark):
+    """The static PageRank graph is cached hash-partitioned on ``src``;
+    every iteration's rank join must read it WITHOUT an edge-side
+    Exchange (only the rank vector and the groupBy(dst) contributions
+    may shuffle). localCheckpoint silently loses the partitioning under
+    AQE — this gate pins the persist()-based shape so a refactor back to
+    a checkpoint (k extra full-graph shuffles) fails loudly."""
+    df = QUERIES["graph_pagerank"].fn(spark, SF_DIR)
+    live = _live_plan_lines(df)
+    assert any("InMemoryTableScan" in l for l in live), "\n".join(live)
+    offenders = [
+        l for l in live
+        if "Exchange hashpartitioning(src#" in l
+    ]
+    assert not offenders, offenders

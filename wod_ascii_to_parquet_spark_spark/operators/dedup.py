@@ -715,9 +715,24 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     same join shape per round, O(log² n) rounds on any diameter.
     DuckDB oracle: recursive-CTE transitive closure + min per node."""
     pairs = dedup_minhash_lsh_md5(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst")
+    # The edge list is STATIC across rounds — cache it once so the
+    # propagation loop (and the per-round convergence probe) joins a
+    # materialized dataset instead of re-running the whole LSH
+    # signature/band/verify pipeline every round. Hash-partitioned on
+    # ``dst`` BEFORE the persist: the cache scan advertises that
+    # partitioning (a localCheckpoint would not, under AQE), so the
+    # per-round join shuffles only the label vector, never the edges —
+    # same discipline as graph_pagerank.
+    edges = (
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .toDF("src", "dst")
+        .repartition("dst")
+        .persist()
+    )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

@@ -12,10 +12,13 @@ so the double round-trip is lossless), which lets a 3-iteration run be
 verified bit-for-bit against a fully unrolled SQL oracle. Float PageRank
 would drift by summation order and could never be hash-checked.
 
-Scale notes (100 TB): edges are hash-partitioned by ``src`` once; each
-iteration is one shuffle (the ``groupBy(dst)`` of contributions) — rank and
-degree ride the same ``src`` partitioning as the edge list. For deep
-iteration counts, ``localCheckpoint`` every ~5 rounds truncates lineage
+Scale notes (100 TB): the static graph is hash-partitioned by ``src`` once
+and cached (``repartition("src").persist()`` — the cache scan advertises
+the partitioning, so EnsureRequirements inserts no edge-side Exchange);
+each iteration is then one shuffle (the ``groupBy(dst)`` of contributions)
+plus a rank-vector-sized exchange. Degree rides the same ``src``
+partitioning as the edge list. For deep iteration counts,
+``localCheckpoint`` on the RANK vector every ~5 rounds truncates lineage
 exactly as ``dedup_cluster_assign`` does; 3 rounds doesn't need it.
 """
 
@@ -110,7 +113,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # don't re-run the lineitem⋈orders distinct (same discipline as
     # dedup_cluster_assign); keeping it to a single compact all-BIGINT
     # dataset bounds driver/storage memory across repeated invocations.
-    ew = edges.join(deg, "src").localCheckpoint()
+    # Cached ALREADY hash-partitioned on ``src``: InMemoryRelation
+    # advertises its child's outputPartitioning, so the per-iteration
+    # rank join needs no Exchange on the edge side — only the
+    # |nodes|-sized rank vector moves, and the single full-width shuffle
+    # per iteration is the contribution ``groupBy(dst)``. (localCheckpoint
+    # would truncate lineage too, but its LogicalRDD reports unknown
+    # partitioning under AQE, reintroducing a full edge-list shuffle per
+    # iteration — measured, not guessed.) Without this, every iteration
+    # re-shuffles the entire edge list: at 100 TB that is the difference
+    # between moving the graph k times and moving it once. MEMORY_AND_DISK
+    # default storage spills gracefully when the graph outgrows memory.
+    ew = edges.join(deg, "src").repartition("src").persist()
     nodes = ew.select(F.col("src").alias("id")).distinct()
     # N is a single scalar — one driver action on the checkpointed graph
     # (same budget as dedup_cluster_assign's convergence probe). floor of
