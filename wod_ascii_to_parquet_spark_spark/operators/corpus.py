@@ -130,15 +130,28 @@ def corpus_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream is aggregated in the same stage it is exploded."""
     d = spread(load(spark, sf_dir, "documents"))
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
-    total = freq.agg(F.sum("tf")).first()[0]
+    # The vocabulary table is consumed twice (corpus total + broadcast
+    # join side) — cache it so the token explode+groupBy runs ONCE.
+    # Without the persist each consumer re-executes the full corpus
+    # shuffle: ReuseExchange does not fire here because attribute
+    # de-duplication gives the two freq references different expr ids.
+    # Vocabulary is the bounded side (≪ corpus; it must fit to broadcast
+    # at all), so pinning it is free relative to the double shuffle.
+    freq = (
+        tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    )
+    # Corpus total as a 1-row broadcast (the corpus_heavy_hitters
+    # pattern), NOT a driver-side .first() probe — one job, no second
+    # lineage execution.
+    total_row = freq.agg(F.sum("tf").alias("total"))
     return (
         tok.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(total_row))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(
-                F.sum(-F.log(F.col("tf") / F.lit(float(total))))
+                F.sum(-F.log(F.col("tf") / F.col("total")))
                 / F.count(F.lit(1)),
                 6,
             ).alias("avg_surprisal"),
