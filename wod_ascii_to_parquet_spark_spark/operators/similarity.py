@@ -31,7 +31,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import load, register
-from .dedup import cosine
 
 _DIM = 64
 _NBITS = 8
@@ -63,8 +62,15 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qemb"))
-    sim = cosine(F.col("emb"), F.col("qemb"))
+    # Query norm hoisted into the broadcast 1-row side (computed once, not
+    # once per corpus row); bit-same value — see the norm-hoist note on
+    # dedup_semdedup_prune. The corpus-row norm stays inline (each row is
+    # scored exactly once here, so there is nothing to share).
+    norm = F.expr(f"sqrt({_dot_sql('emb', 'emb')})")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("qemb"), norm.alias("qnorm")
+    )
+    sim = F.expr(_dot_sql("emb", "qemb")) / (norm * F.col("qnorm"))
     return (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
@@ -105,10 +111,20 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+    # Both norms hoisted out of the per-pair kernel: each corpus row meets
+    # Q=10 queries and each query meets N rows, so cosine's two sqrt-folds
+    # would be recomputed Q× / N× — hoisting leaves one dot per pair
+    # (bit-same value; see dedup_semdedup_prune).
+    norm = F.expr(f"sqrt({_dot_sql('emb', 'emb')})")
     q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("qemb"),
+        norm.alias("qnorm"),
     )
-    sim = cosine(F.col("emb"), F.col("qemb"))
+    e = e.select("vec_id", "emb", norm.alias("enorm"))
+    sim = F.expr(_dot_sql("emb", "qemb")) / (
+        F.col("enorm") * F.col("qnorm")
+    )
     from pyspark.sql import Window as W
 
     w = W.partitionBy("qid").orderBy(F.desc("__raw"), F.asc("vec_id"))
@@ -313,8 +329,16 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
     )
-    probes = _ivf_probes(q, seed_arr, nprobe=4)
-    rerank = cosine(F.col("emb"), F.col("qemb"))
+    probes = _ivf_probes(q, seed_arr, nprobe=4).withColumn(
+        "qnorm", F.expr(f"sqrt({_dot_sql('qemb', 'qemb')})")
+    )
+    # Norms hoisted out of the rerank kernel: a probed cell's rows meet
+    # every query probing that cell, so per-pair sqrt-folds are wasted
+    # work — one dot per candidate pair instead (bit-same value).
+    assign = assign.withColumn("enorm", F.expr(f"sqrt({_dot_sql('emb', 'emb')})"))
+    rerank = F.expr(_dot_sql("emb", "qemb")) / (
+        F.col("enorm") * F.col("qnorm")
+    )
     w_top = W.partitionBy("qid").orderBy(F.desc("__raw"), F.asc("vec_id"))
     return (
         assign.join(F.broadcast(probes), "cell")
@@ -417,10 +441,18 @@ def similarity_ann_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
     )
-    probes = _ivf_probes(q, seed_arr, nprobe=4)
+    probes = _ivf_probes(q, seed_arr, nprobe=4).withColumn(
+        "qnorm", F.expr(f"sqrt({_dot_sql('qemb', 'qemb')})")
+    )
     from pyspark.sql import Window as W
 
-    rerank = cosine(F.col("emb"), F.col("qemb"))
+    # Same norm hoist as similarity_ann_ivf — here BOTH sides are large,
+    # so the per-row norms ride the cell equi-join's shuffle (+8 bytes/row)
+    # instead of being re-folded per candidate pair.
+    assign = assign.withColumn("enorm", F.expr(f"sqrt({_dot_sql('emb', 'emb')})"))
+    rerank = F.expr(_dot_sql("emb", "qemb")) / (
+        F.col("enorm") * F.col("qnorm")
+    )
     w_top = W.partitionBy("qid").orderBy(F.desc("__raw"), F.asc("vec_id"))
     return (
         assign.join(probes, "cell")
@@ -565,8 +597,12 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s, v: s + v,
         )
         bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(0)
-    bucketed = e.withColumn("bucket", bucket.cast("int")).repartition(
-        F.col("bucket")
+    bucketed = (
+        e.withColumn("bucket", bucket.cast("int"))
+        .repartition(F.col("bucket"))
+        # Row norm computed once post-shuffle (not per candidate pair);
+        # the query side inherits it as qnorm below. Bit-same value.
+        .withColumn("enorm", F.expr(f"sqrt({_dot_sql('emb', 'emb')})"))
     )
     masks = F.array(*[F.lit(m) for m in _probe_masks()])
     q = (
@@ -574,12 +610,15 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("qid"),
             F.col("emb").alias("qemb"),
+            F.col("enorm").alias("qnorm"),
             F.explode(
                 F.transform(masks, lambda m: F.col("bucket").bitwiseXOR(m))
             ).alias("bucket"),
         )
     )
-    sim = cosine(F.col("emb"), F.col("qemb"))
+    sim = F.expr(_dot_sql("emb", "qemb")) / (
+        F.col("enorm") * F.col("qnorm")
+    )
     from pyspark.sql import Window as W
 
     w = W.partitionBy("qid").orderBy(F.desc("__raw"), F.asc("vec_id"))
