@@ -269,6 +269,13 @@ def convert_file(
     # measured: 32 tasks ≈ 10 s vs 16 tasks ≈ 4 s for 1652 partition
     # dirs); cluster-wide parallelism comes from running file-jobs
     # concurrently, not from more writers per file.
+    # Committer: FileOutputCommitter v1 (default) measured BEST here —
+    # v2's direct-to-destination task commit was no faster at any task
+    # count (16 tasks: 2.79 s v1 vs 2.91 s v2; 32: 2.83 vs 3.23) because
+    # local-FS directory renames are O(1) — v1's job-commit rename batch
+    # is cheap, and v2 only trades it for weaker failure atomicity. The
+    # residual write cost is the floor: 1,652 parquet file creations
+    # (header + nested-schema footer each), which IS the layout contract.
     n_write_tasks = min(16, spark.sparkContext.defaultParallelism)
     (
         casts.repartition(n_write_tasks, F.col("geohash3"))
