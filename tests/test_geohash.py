@@ -73,6 +73,31 @@ def test_udf_and_column_expression_parity(spark):
     assert all(r.g_udf == r.g_col for r in rows)
 
 
+def test_string_arm_matches_column_arm(spark):
+    """geohash_col's generated-SQL build path (string inputs → one F.expr,
+    the fast driver-side build the write path uses) must be bit-identical
+    to the py4j Column composition — including nulls, poles, and the
+    antimeridian."""
+    rng = np.random.default_rng(13)
+    coords = [
+        (0.0, 0.0),
+        (90.0, 180.0),
+        (-90.0, -180.0),
+        (89.9999999, 179.9999999),
+        (None, 20.0),
+        (20.0, None),
+    ] + [
+        (float(la), float(lo))
+        for la, lo in zip(rng.uniform(-90, 90, 500), rng.uniform(-180, 180, 500))
+    ]
+    df = spark.createDataFrame(coords, "lat double, lon double")
+    rows = df.select(
+        geohash_col(F.col("lat"), F.col("lon")).alias("a"),
+        geohash_col("lat", "lon").alias("b"),
+    ).collect()
+    assert all(r.a == r.b for r in rows)
+
+
 def test_null_propagation(spark):
     df = spark.createDataFrame(
         [(1.0, None), (None, 2.0), (10.0, 20.0)], "lat double, lon double"

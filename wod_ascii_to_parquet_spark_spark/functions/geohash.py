@@ -114,14 +114,67 @@ def geohash_sql_parts(
     return lat_q, lon_q, " || ".join(chars)
 
 
+def geohash_spark_sql(
+    lat_expr: str, lon_expr: str, precision: int = DEFAULT_PRECISION
+) -> str:
+    """Spark-SQL text form of :func:`geohash_col` — the identical quantize /
+    interleave / base-32 arithmetic (same operations, same order, same
+    double literals via the ``D`` suffix, so the values are bit-exact; value
+    parity with the Column arm is asserted in tests/test_geohash.py).
+
+    Exists for BUILD time, not run time: the unrolled Column form costs
+    ~0.45 s of driver py4j round-trips per query build (12 chars × 5 bits ×
+    several calls each), while parsing one generated SQL string JVM-side is
+    ~10 ms — the ``simhash_bits`` / ``similarity._dot_sql`` rationale. The
+    write path builds this expression on every per-file job, so at a
+    many-file ``convert`` run the py4j build tax was per FILE."""
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    # ((x + off)/span * 2^n) with D-suffixed literals: Spark parses bare
+    # decimal literals as DECIMAL, which would change the arithmetic — the
+    # D suffix pins DOUBLE, matching F.lit(90.0) in the Column arm.
+    lat_q = (
+        f"least(floor((({lat_expr}) + 90.0D) / 180.0D * "
+        f"{float(1 << nlat)!r}D), {(1 << nlat) - 1}L)"
+    )
+    lon_q = (
+        f"least(floor((({lon_expr}) + 180.0D) / 360.0D * "
+        f"{float(1 << nlon)!r}D), {(1 << nlon) - 1}L)"
+    )
+    chars = []
+    for c in range(precision):
+        terms = []
+        for b in range(5):
+            g = 5 * c + b  # global interleaved bit index, MSB first
+            src, pos = (
+                (lon_q, nlon - 1 - g // 2)
+                if g % 2 == 0
+                else (lat_q, nlat - 1 - g // 2)
+            )
+            terms.append(f"(shiftright({src}, {pos}) & 1) * {1 << (4 - b)}")
+        chars.append(
+            f"substring('{_BASE32}', "
+            f"cast({' + '.join(terms)} as int) + 1, 1)"
+        )
+    return "concat(" + ", ".join(chars) + ")"
+
+
 def geohash_col(
-    lat: Column, lon: Column, precision: int = DEFAULT_PRECISION
+    lat: Column | str, lon: Column | str, precision: int = DEFAULT_PRECISION
 ) -> Column:
     """Geohash as a pure Catalyst expression (unrolled over base-32 chars).
 
     Quantizes to bigint, then per output char extracts 5 interleaved bits
     with shift/and arithmetic and indexes the base-32 alphabet — stays
-    inside whole-stage codegen, no Python worker round-trip."""
+    inside whole-stage codegen, no Python worker round-trip.
+
+    Pass STRING column names / SQL fragments to get the expression via one
+    JVM-side parse of generated SQL (:func:`geohash_spark_sql`) — the fast
+    build path; Column inputs keep the py4j composition for callers holding
+    computed Columns. Both produce bit-identical values."""
+    if isinstance(lat, str) and isinstance(lon, str):
+        return F.expr(geohash_spark_sql(lat, lon, precision))
     nbits = 5 * precision
     nlon = (nbits + 1) // 2
     nlat = nbits // 2

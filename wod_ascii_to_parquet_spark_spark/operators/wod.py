@@ -143,7 +143,7 @@ def udf_geohash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select(
             "c_custkey", lat.alias("lat"), lon.alias("lon")
         )
-        .withColumn("geohash", geohash_col(F.col("lat"), F.col("lon")))
+        .withColumn("geohash", geohash_col("lat", "lon"))
         .withColumn("geohash3", F.substring("geohash", 1, 3))
     )
 

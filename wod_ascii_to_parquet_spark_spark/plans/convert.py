@@ -256,8 +256,10 @@ def convert_file(
         )
         # pure-Catalyst geohash: the write path stays entirely JVM-side
         # (the numpy pandas_udf variant is equivalent — parity asserted
-        # in tests/test_geohash.py — but costs an Arrow round-trip)
-        .withColumn("geohash", geohash_col(F.col("latitude"), F.col("longitude")))
+        # in tests/test_geohash.py — but costs an Arrow round-trip).
+        # String-name form = generated-SQL build path (one JVM parse,
+        # ~0.4 s/py4j-build saved PER FILE JOB; see geohash_spark_sql).
+        .withColumn("geohash", geohash_col("latitude", "longitude"))
         .withColumn("geohash3", F.substring("geohash", 1, 3))
         # geometry, declared in the `geo` footer attached at publish:
         # default GeoParquet 1.1 native point (struct<x=lon, y=lat>, pure
