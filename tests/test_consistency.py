@@ -132,19 +132,15 @@ def test_simhash_segments_equal_block_quadratic(spark):
         F.col("doc_id").alias("doc_a"),
         F.col("lang").alias("lang_a"),
         F.col("source").alias("src_a"),
-        F.col("bits").alias("bits_a"),
+        F.col("fp").alias("fp_a"),
     )
     b = s.select(
         F.col("doc_id").alias("doc_b"),
         F.col("lang").alias("lang_b"),
         F.col("source").alias("src_b"),
-        F.col("bits").alias("bits_b"),
+        F.col("fp").alias("fp_b"),
     )
-    hamming = F.aggregate(
-        F.zip_with(F.col("bits_a"), F.col("bits_b"), lambda x, y: F.abs(x - y)),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
+    hamming = F.expr("cast(bit_count(fp_a ^ fp_b) as int)")
     brute = {
         (r.doc_a, r.doc_b, r.hamming)
         for r in a.join(
@@ -186,13 +182,9 @@ def test_simhash64_equals_unblocked_brute_force(spark):
     assert {tuple(r) for r in rows} == {tuple(r) for r in rows2}
 
     s = simhash_bits(spread(load(spark, SF_DIR, "documents")), nbits=64)
-    a = s.select(F.col("doc_id").alias("doc_a"), F.col("bits").alias("bits_a"))
-    b = s.select(F.col("doc_id").alias("doc_b"), F.col("bits").alias("bits_b"))
-    hamming = F.aggregate(
-        F.zip_with(F.col("bits_a"), F.col("bits_b"), lambda x, y: F.abs(x - y)),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
+    hamming = F.expr("cast(bit_count(fp_a ^ fp_b) as int)")
     brute = {
         (r.doc_a, r.doc_b, r.hamming)
         for r in a.join(b, F.col("doc_a") < F.col("doc_b"))

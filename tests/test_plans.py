@@ -398,10 +398,10 @@ def test_variant_parsed_exactly_once(spark):
 
 
 def test_simhash_candidates_exclude_fingerprint_payload(spark):
-    """The segment-candidate self-join must not carry the 64-element bits
-    array through the exploded shuffle: bits may only enter the plan at
-    the post-dedup verify joins (the _band_candidates discipline). The
-    explode-side projections therefore contain seg fields but no bits."""
+    """The segment-candidate self-join must not carry the packed
+    fingerprint through the exploded shuffle: fp may only enter the plan
+    at the post-dedup verify joins (the _band_candidates discipline). The
+    explode-side projections therefore contain seg fields but no fp."""
     df = QUERIES["dedup_simhash64"].fn(spark, SF_DIR)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     explode_lines = [
@@ -409,8 +409,8 @@ def test_simhash_candidates_exclude_fingerprint_payload(spark):
     ]
     assert explode_lines, opt
     for l in explode_lines:
-        # explode retains only doc_id (+ keys); bits must be pruned away
-        assert "bits" not in l.split("[")[-1], l
+        # explode retains only doc_id (+ keys); fp must be pruned away
+        assert "fp" not in l.split("[")[-1], l
 
 
 def _live_plan_lines(df) -> list[str]:

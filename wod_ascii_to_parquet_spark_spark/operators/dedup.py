@@ -385,11 +385,26 @@ def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_bits(
     d: DataFrame, nbits: int = 32, token_hash=None
 ) -> DataFrame:
-    """``(doc_id, lang, source, bits)`` — per-token hash, bit-majority vote.
+    """``(doc_id, lang, source, fp)`` — per-token hash, bit-majority vote,
+    fingerprint PACKED into one BIGINT (``bits[i]`` at fp position
+    ``nbits-1-i``, i.e. bit 0 of the vote vector is the MSB end).
+
+    Packed-scalar representation (round 7): the fingerprint used to be an
+    ``array<int>`` of 0/1 votes, which then rode the verify joins as a
+    ~64-element payload and paid a 64-step ``zip_with`` fold PER CANDIDATE
+    PAIR for the Hamming distance. As one bigint the verify payload is 8
+    bytes and Hamming is ``bit_count(fp_a ^ fp_b)`` — one instruction.
+    Segment extraction becomes shift+mask (see ``_simhash_pairs``). Values
+    are unchanged: segments and Hamming distances are bit-identical to the
+    array formulation (the md5 twins' DuckDB oracles, which compute per-bit
+    columns independently, pin that).
 
     One fold over the token hashes computes all ``nbits`` counters (same
     loop-inversion discipline as ``minhash_signature`` — per-bit aggregates
-    would re-evaluate the tokenize+hash per bit).
+    would re-evaluate the tokenize+hash per bit); a second fold packs the
+    counter signs (``shiftleft``, not ``*2`` — at bit 63 the multiply
+    overflows signed range and ANSI mode makes that an error, while shifts
+    are defined to wrap).
 
     Bits come straight off the full signed 64-bit ``xxhash64`` via integer
     ``shiftright``/``&1`` — every position 0..63 is a well-mixed bit. (An
@@ -421,12 +436,25 @@ def simhash_bits(
         f"array_repeat(cast(0 as bigint), {nbits}), "
         f"(acc, h) -> zip_with(acc, array({bit_terms}), (a, b) -> a + b))"
     )
-    bits = F.expr(
-        f"transform({counts},"
-        " c -> cast(CASE WHEN c >= 0 THEN 1 ELSE 0 END as int))"
+    # coalesce → provably NON-NULLABLE fp (the _ivf_assign cell lesson, new
+    # face): the downstream Hamming filter bit_count(fp_a ^ fp_b) <= d is
+    # null-intolerant, so constraint inference adds isnotnull(fp) to the
+    # verify sides, pushes it below the repartition, and SUBSTITUTES THE
+    # WHOLE TOKEN FOLD into the pushed Filter — the fold then evaluates
+    # twice per row AND the verify-side exchange subtrees stop matching
+    # the candidate-side ones (observed: 8 fold sites instead of 4, +40%
+    # query time). With fp non-nullable the inferred filter constant-folds
+    # away. The explicit text-not-null filter keeps semantics identical:
+    # a null-text doc produced null bits → no candidate pairs before; it
+    # must not surface with fp=0 via the coalesce.
+    fp = F.expr(
+        f"coalesce(aggregate({counts}, 0L, (acc, c) -> "
+        "shiftleft(acc, 1) | (CASE WHEN c >= 0 THEN 1L ELSE 0L END)), 0L)"
     )
-    return d.select("doc_id", "lang", "source", bits.alias("bits")).repartition(
-        F.col("doc_id")
+    return (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", "lang", "source", fp.alias("fp"))
+        .repartition(F.col("doc_id"))
     )
 
 
@@ -462,25 +490,26 @@ def _simhash_pairs(
     (64-bit, distance 3, 16-bit segments → N/65536 per bucket; Manku
     et al., WWW'07)."""
     segs = _segment_starts(nbits, max_hamming + 1)
-    # seg value = the segment's bits folded into one int; explode to
-    # (key..., seg_idx, seg_val, doc_id, bits). Generated as one SQL
-    # string (the simhash_bits / similarity._dot_sql build-time rationale).
+    # seg value = the segment's bits as shift+mask off the PACKED bigint
+    # fingerprint (bits[start..start+width) sit at fp positions
+    # nbits-1-start .. nbits-start-width, MSB-first — same integer value
+    # as the old array-slice fold). The & mask also kills the sign bits an
+    # arithmetic shiftright smears in when fp is negative.
     seg_structs = F.expr(
         "array("
         + ", ".join(
             f"named_struct('seg_idx', {i}, 'seg_val', "
-            f"aggregate(slice(bits, {start + 1}, {width}), 0, "
-            "(acc, b) -> acc * 2 + b))"
+            f"shiftright(fp, {nbits - start - width}) & {(1 << width) - 1})"
             for i, (start, width) in enumerate(segs)
         )
         + ")"
     )
     # Candidate stream carries ONLY (doc_id, key..., seg_idx, seg_val) —
-    # the 64-element bits array stays OUT of the (max_hamming+1)×-exploded
-    # shuffle (the `_band_candidates` discipline: signatures/shingles never
-    # ride the band stream) and is joined back onto the tiny de-duplicated
+    # the fingerprint stays OUT of the (max_hamming+1)×-exploded shuffle
+    # (the `_band_candidates` discipline: signatures/shingles never ride
+    # the band stream) and is joined back onto the tiny de-duplicated
     # candidate set for the exact verify. Pair dedup ALSO moves before the
-    # verify this way — each colliding pair pays the Hamming fold once.
+    # verify this way — each colliding pair pays the Hamming check once.
     e = s.select(
         "doc_id", *key_cols, F.explode(seg_structs).alias("seg")
     ).select("doc_id", *key_cols, "seg.seg_idx", "seg.seg_val")
@@ -505,22 +534,21 @@ def _simhash_pairs(
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    bits_only = s.select("doc_id", "bits")
-    hamming = F.aggregate(
-        F.zip_with(F.col("bits_a"), F.col("bits_b"), lambda x, y: F.abs(x - y)),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
+    fp_only = s.select("doc_id", "fp")
+    # Exact verify on the packed fingerprints: XOR + popcount — the same
+    # Hamming value the 64-step per-pair array fold produced, as one
+    # codegen'd instruction over an 8-byte join payload.
+    hamming = F.expr("cast(bit_count(fp_a ^ fp_b) as int)")
     return (
         cand.join(
-            bits_only.select(
-                F.col("doc_id").alias("doc_a"), F.col("bits").alias("bits_a")
+            fp_only.select(
+                F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a")
             ),
             "doc_a",
         )
         .join(
-            bits_only.select(
-                F.col("doc_id").alias("doc_b"), F.col("bits").alias("bits_b")
+            fp_only.select(
+                F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b")
             ),
             "doc_b",
         )

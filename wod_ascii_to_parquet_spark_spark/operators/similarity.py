@@ -508,21 +508,29 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = e.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
     )
-    assign = _ivf_assign(e, _seed_array(seeds))
     # Per-row norm hoisted out of the per-pair kernel (see
     # dedup_semdedup_prune): bit-same value, ~3× less pair arithmetic.
+    # repartition(cell) = the same materialization barrier as
+    # dedup_semdedup_prune: both pair-join sides read `assign`, and the
+    # barrier makes the argmin kernel evaluate once while supplying the
+    # hash partitioning the cell equi-join needed anyway.
     norm = F.expr(f"sqrt({_dot_sql('emb', 'emb')})")
+    assign = (
+        _ivf_assign(e, _seed_array(seeds))
+        .select("vec_id", "cell", "emb", norm.alias("norm"))
+        .repartition(F.col("cell"))
+    )
     a = assign.select(
         F.col("vec_id").alias("vec_a"),
         "cell",
         F.col("emb").alias("emb_a"),
-        norm.alias("norm_a"),
+        F.col("norm").alias("norm_a"),
     )
     b = assign.select(
         F.col("vec_id").alias("vec_b"),
         "cell",
         F.col("emb").alias("emb_b"),
-        norm.alias("norm_b"),
+        F.col("norm").alias("norm_b"),
     )
     sim = F.expr(_dot_sql("emb_a", "emb_b")) / (
         F.col("norm_a") * F.col("norm_b")
@@ -1113,27 +1121,40 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = e.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
     )
-    assign = _ivf_assign(e, _seed_array(seeds))
-    # Per-ROW norm, computed once on each join side: cosine's denominator
-    # factors sqrt(Σx²) depend on one vector each, so hoisting them out of
-    # the per-PAIR expression cuts the Σ|cell|² kernel's arithmetic ~3×
-    # (one dot per pair instead of three) while producing the bit-same
-    # value — the norm fold is the identical expression, just evaluated
-    # |cell| times instead of |cell|² times.
+    # Per-ROW norm, computed once per row: cosine's denominator factors
+    # sqrt(Σx²) depend on one vector each, so hoisting them out of the
+    # per-PAIR expression cuts the Σ|cell|² kernel's arithmetic ~3× (one
+    # dot per pair instead of three) while producing the bit-same value —
+    # the norm fold is the identical expression, just evaluated |cell|
+    # times instead of |cell|² times.
     norm = F.expr(
         f"sqrt({_dot_sql('emb', 'emb')})"
+    )
+    # repartition(cell) = a MATERIALIZATION BARRIER for the assignment:
+    # three consumers read `assign` (both pair-join sides and the cell
+    # sizes), and without the barrier each re-evaluates the argmin fold
+    # over every corpus row (3× the quantizer kernel; with a real √N-cell
+    # quantizer at 100 TB that triples the most expensive map stage). The
+    # identical exchange subtree is built once and reused (ReuseExchange),
+    # and it doubles as the hash partitioning the pair equi-join and the
+    # sizes aggregate need on `cell` — so the barrier does not add a
+    # shuffle, it hoists the one the join already required.
+    assign = (
+        _ivf_assign(e, _seed_array(seeds))
+        .select("vec_id", "cell", "emb", norm.alias("norm"))
+        .repartition(F.col("cell"))
     )
     a = assign.select(
         F.col("vec_id").alias("vec_a"),
         "cell",
         F.col("emb").alias("emb_a"),
-        norm.alias("norm_a"),
+        F.col("norm").alias("norm_a"),
     )
     b = assign.select(
         F.col("vec_id").alias("vec_b"),
         "cell",
         F.col("emb").alias("emb_b"),
-        norm.alias("norm_b"),
+        F.col("norm").alias("norm_b"),
     )
     sim = F.expr(_dot_sql("emb_a", "emb_b")) / (
         F.col("norm_a") * F.col("norm_b")
