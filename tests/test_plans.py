@@ -413,6 +413,28 @@ def test_simhash_candidates_exclude_fingerprint_payload(spark):
         assert "fp" not in l.split("[")[-1], l
 
 
+def test_simhash_token_fold_never_inlined_into_filters(spark):
+    """The expensive per-token fingerprint fold must appear ONLY in
+    Project nodes (one per exchange subtree), never inside a Filter: the
+    null-intolerant Hamming predicate bit_count(fp_a ^ fp_b) <= d makes
+    constraint inference add isnotnull(fp), and with a NULLABLE fp that
+    filter pushes below the barrier and substitutes the WHOLE token fold
+    into itself — doubling the fold per row and desynchronizing the
+    exchange subtrees runtime stage-reuse dedupes (observed +40% on
+    dedup_simhash64 before fp was made provably non-nullable via
+    coalesce). This pins the fix for every simhash arm."""
+    for name in ("dedup_simhash", "dedup_simhash64", "dedup_simhash64_md5"):
+        df = QUERIES[name].fn(spark, SF_DIR)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        bad = [
+            l
+            for l in opt.splitlines()
+            if l.lstrip(" :+-").startswith("Filter")
+            and "aggregate(transform(split" in l
+        ]
+        assert not bad, (name, bad)
+
+
 def _live_plan_lines(df) -> list[str]:
     """Executed-plan lines with cached-relation subtrees stripped:
     InMemoryTableScan prints its whole cached plan nested below it, so a
