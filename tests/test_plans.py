@@ -200,6 +200,16 @@ def test_no_unbounded_cartesian_in_any_registered_plan(spark):
        MapInArrow / PythonMapInArrow), which is the 10-100× boundary the
        engine's UDF discipline promises.
 
+    3. No higher-order FOLD inside a Filter condition — the
+       constraint-inference trap: a null-intolerant predicate over a
+       computed column (Hamming/cosine thresholds) infers isnotnull(col),
+       and if the column is nullable the pushed filter re-materializes
+       the column's whole defining fold per row and desynchronizes the
+       exchange subtrees runtime stage-reuse dedupes (the simhash/norm
+       +40% regressions, round 7). Expensive computed columns must be
+       provably non-nullable (coalesce) so the inferred filter
+       constant-folds away.
+
     Side-effecting / streaming-run queries are excluded (they execute
     rather than plan); ~1 min for the full registry."""
     from wod_ascii_to_parquet_spark_spark.registry import load_all_operators
@@ -212,7 +222,8 @@ def test_no_unbounded_cartesian_in_any_registered_plan(spark):
         "stream_custom_stateful",
         "sample_deterministic",
     }
-    cartesian, rowwise_python = [], []
+    FOLDS = ("aggregate(transform(", "aggregate(zip_with(", "aggregate(slice(")
+    cartesian, rowwise_python, fold_filters = [], [], []
     for name, q in load_all_operators().items():
         if name in EXECUTING or name.startswith(("wod", "source")):
             continue
@@ -224,8 +235,15 @@ def test_no_unbounded_cartesian_in_any_registered_plan(spark):
             cartesian.append(name)
         if "BatchEvalPython" in plan:
             rowwise_python.append(name)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        if any(
+            l.lstrip(" :+-").startswith("Filter") and any(m in l for m in FOLDS)
+            for l in opt.splitlines()
+        ):
+            fold_filters.append(name)
     assert not cartesian, cartesian
     assert not rowwise_python, rowwise_python
+    assert not fold_filters, fold_filters
 
 
 def test_convert_schedules_largest_files_first(spark, tmp_path, monkeypatch):

@@ -514,7 +514,13 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup_semdedup_prune: both pair-join sides read `assign`, and the
     # barrier makes the argmin kernel evaluate once while supplying the
     # hash partitioning the cell equi-join needed anyway.
-    norm = F.expr(f"sqrt({_dot_sql('emb', 'emb')})")
+    # coalesce → provably non-nullable norm (the simhash fp lesson): the
+    # null-intolerant `sim >= τ` filter otherwise infers isnotnull(norm),
+    # pushes it below the barrier, and re-materializes the norm fold
+    # inside the pushed Filter (and desynchronizes the exchange subtrees).
+    # A null-embedding row keeps its pre-fix fate: its pair dot is null,
+    # so `sim >= τ` is never satisfied regardless of the 0.0 sentinel.
+    norm = F.expr(f"coalesce(sqrt({_dot_sql('emb', 'emb')}), 0.0D)")
     assign = (
         _ivf_assign(e, _seed_array(seeds))
         .select("vec_id", "cell", "emb", norm.alias("norm"))
@@ -1126,9 +1132,13 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-PAIR expression cuts the Σ|cell|² kernel's arithmetic ~3× (one
     # dot per pair instead of three) while producing the bit-same value —
     # the norm fold is the identical expression, just evaluated |cell|
-    # times instead of |cell|² times.
+    # times instead of |cell|² times. coalesce → provably non-nullable
+    # (the simhash fp lesson): the null-intolerant `sim >= τ` filter
+    # otherwise infers isnotnull(norm) and re-materializes the fold inside
+    # a Filter pushed below the barrier; a null-embedding row's pair dot
+    # is null either way, so the 0.0 sentinel can never create a pair.
     norm = F.expr(
-        f"sqrt({_dot_sql('emb', 'emb')})"
+        f"coalesce(sqrt({_dot_sql('emb', 'emb')}), 0.0D)"
     )
     # repartition(cell) = a MATERIALIZATION BARRIER for the assignment:
     # three consumers read `assign` (both pair-join sides and the cell
