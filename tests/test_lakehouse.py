@@ -530,6 +530,44 @@ def test_create_exclusive_is_kernel_atomic_for_local(spark, tmp_path):
         assert fh.read() == b"one"  # the loser must not truncate the winner
 
 
+def _race_worker(args):
+    """One OS process trying the exclusive create (module-level for
+    pickling). No Spark in the worker: the local arm of create_exclusive
+    is pure os.open(O_CREAT|O_EXCL) and never touches the JVM, so the
+    instance is built uninitialised — exactly the code path a second
+    writer PROCESS (scheduled table_cli vacuum vs streaming ingest, the
+    multi-writer deployment the module advertises) would execute."""
+    target, payload, barrier = args
+    from wod_ascii_to_parquet_spark_spark.sources.filesystem import FsClient
+
+    fs = FsClient.__new__(FsClient)
+    barrier.wait(timeout=30)  # maximize simultaneity
+    return payload, fs.create_exclusive(target, payload.encode())
+
+
+def test_create_exclusive_multiprocess_race_single_winner(tmp_path):
+    """TRUE cross-process commit race: N processes hit the same manifest
+    path simultaneously; exactly one must win and the landed payload must
+    be the winner's, bytes intact (the pre-O_EXCL failure mode was both
+    writers passing Hadoop's exists-check and the loser truncating the
+    winner — a silent lost update)."""
+    import multiprocessing as mp
+
+    n = 8
+    target = str(tmp_path / "v0001.json")
+    ctx = mp.get_context("fork")
+    with ctx.Manager() as mgr:
+        barrier = mgr.Barrier(n)
+        with ctx.Pool(n) as pool:
+            results = pool.map(
+                _race_worker, [(target, f"writer-{i}", barrier) for i in range(n)]
+            )
+    winners = [payload for payload, won in results if won]
+    assert len(winners) == 1, results
+    with open(target) as fh:
+        assert fh.read() == winners[0]
+
+
 def test_hundred_commit_log_stays_bounded(spark, tmp_path, monkeypatch):
     """VERDICT r6 #6 'done' criterion: 100+ commits with segment spill and
     checkpoint merges active — per-commit manifest writes stay O(batch),
