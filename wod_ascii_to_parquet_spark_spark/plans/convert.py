@@ -270,7 +270,10 @@ def convert_file(
     # concurrently-open parquet writers in one JVM contend (local[32]
     # measured: 32 tasks ≈ 10 s vs 16 tasks ≈ 4 s for 1652 partition
     # dirs); cluster-wide parallelism comes from running file-jobs
-    # concurrently, not from more writers per file.
+    # concurrently, not from more writers per file. Re-measured after the
+    # .crc sidecar removal halved file creations (r7s3): 8/16/24/32 tasks
+    # → 3.6/2.8/2.7/2.9 s — the curve flattened but 16 remains on the
+    # plateau; not worth retuning into host noise.
     # Committer: FileOutputCommitter v1 (default) measured BEST here —
     # v2's direct-to-destination task commit was no faster at any task
     # count (16 tasks: 2.79 s v1 vs 2.91 s v2; 32: 2.83 vs 3.23) because
