@@ -143,10 +143,18 @@ def main() -> None:
         cold[name] = round(time.perf_counter() - t0, 3)
         steady = []
         for _ in range(3):
+            # A few operators persist() intermediates (pagerank's edge
+            # list, minhash shingles, corpus vocabulary) and Spark's
+            # CacheManager matches by LOGICAL PLAN — so without this,
+            # runs 2-4 of those queries would read run 1's cache and
+            # time a cached scan instead of the pipeline. Clearing
+            # between measured runs keeps every run the full pipeline.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             steady.append(time.perf_counter() - t0)
         timings[name] = round(min(steady), 3)
+    spark.catalog.clearCache()
 
     # WOD conversion throughput (the reference's core workload) — min of
     # two full runs into fresh output dirs (same noise reasoning; the

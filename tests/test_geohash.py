@@ -106,6 +106,44 @@ def test_null_propagation(spark):
     assert [r.g is None for r in rows] == [True, True, False]
 
 
+def test_null_parity_udf_vs_catalyst_arms(spark):
+    """UDF ↔ Catalyst null parity: Spark's least() SKIPS nulls, so an
+    ungated Catalyst arm would clamp a null coordinate to the max cell
+    index and emit a garbage NON-null geohash (convert.py partitions by
+    geohash3 — such rows would land in a real-looking partition). Both
+    Catalyst arms must instead produce NULL, exactly like geohash_udf."""
+    df = spark.createDataFrame(
+        [(1.0, None), (None, 2.0), (None, None), (10.0, 20.0)],
+        "lat double, lon double",
+    )
+    rows = df.select(
+        geohash_udf("lat", "lon").alias("g_udf"),
+        geohash_col(F.col("lat"), F.col("lon")).alias("g_col"),
+        geohash_col("lat", "lon").alias("g_sql"),
+    ).collect()
+    for r in rows:
+        assert r.g_udf == r.g_col == r.g_sql
+    assert [r.g_udf is None for r in rows] == [True, True, True, False]
+
+
+def test_mixed_string_column_args(spark):
+    """geohash_col with ONE string and ONE Column argument must behave
+    exactly like the all-Column call — previously the string fell into
+    Column arithmetic via __radd__ as lit("lat") → double-cast null →
+    silently wrong non-null geohashes."""
+    df = spark.createDataFrame(
+        [(57.64911, 10.40744), (-33.9, 151.2)], "lat double, lon double"
+    )
+    rows = df.select(
+        geohash_col(F.col("lat"), F.col("lon")).alias("ref"),
+        geohash_col("lat", F.col("lon")).alias("m1"),
+        geohash_col(F.col("lat"), "lon").alias("m2"),
+    ).collect()
+    assert rows[0].ref == "u4pruydqqvj8"
+    for r in rows:
+        assert r.ref == r.m1 == r.m2
+
+
 def test_sql_mirror_matches_column_expression(spark):
     """The generated DuckDB mirror (geohash_sql_parts) must agree with the
     Catalyst expression char-for-char, including range edges and cell
@@ -126,6 +164,9 @@ def test_sql_mirror_matches_column_expression(spark):
         (-89.9999999, -179.9999999),
         (45.0, -90.0),  # exact cell boundaries at several precisions
         (31.33, -140.58),
+        (None, 20.0),  # null coords: both engines must yield NULL
+        (20.0, None),
+        (None, None),
     ] + [
         (float(la), float(lo))
         for la, lo in zip(

@@ -89,13 +89,20 @@ def geohash_sql_parts(
     nbits = 5 * precision
     nlon = (nbits + 1) // 2
     nlat = nbits // 2
+    # Explicit null gate: DuckDB's least() (like Spark's) SKIPS nulls, so
+    # without it a null coordinate would quantize to the max cell index and
+    # emit a garbage non-null geohash. With the gate the null quant rides
+    # the bit arithmetic (null >> p → null) into a null char, and DuckDB's
+    # `||` propagates it to a null geohash — matching geohash_udf.
     lat_q = (
+        f"CASE WHEN ({lat_expr}) IS NULL THEN NULL ELSE "
         f"least(floor(({lat_expr} + 90.0) / 180.0 * {float(1 << nlat)!r}),"
-        f" {float((1 << nlat) - 1)!r})::BIGINT"
+        f" {float((1 << nlat) - 1)!r})::BIGINT END"
     )
     lon_q = (
+        f"CASE WHEN ({lon_expr}) IS NULL THEN NULL ELSE "
         f"least(floor(({lon_expr} + 180.0) / 360.0 * {float(1 << nlon)!r}),"
-        f" {float((1 << nlon) - 1)!r})::BIGINT"
+        f" {float((1 << nlon) - 1)!r})::BIGINT END"
     )
     chars = []
     for c in range(precision):
@@ -134,13 +141,21 @@ def geohash_spark_sql(
     # ((x + off)/span * 2^n) with D-suffixed literals: Spark parses bare
     # decimal literals as DECIMAL, which would change the arithmetic — the
     # D suffix pins DOUBLE, matching F.lit(90.0) in the Column arm.
+    # Null gate (Spark's least() skips nulls — without it a null coordinate
+    # clamps to the max cell index and yields a garbage NON-null geohash;
+    # convert.py partitions on geohash3, so such rows would land in a
+    # real-looking partition). A null quant propagates through shiftright/
+    # &/+ to a null char, and concat() returns null on any null input —
+    # matching geohash_udf's null-propagation contract.
     lat_q = (
+        f"if(({lat_expr}) IS NULL, CAST(NULL AS BIGINT), "
         f"least(floor((({lat_expr}) + 90.0D) / 180.0D * "
-        f"{float(1 << nlat)!r}D), {(1 << nlat) - 1}L)"
+        f"{float(1 << nlat)!r}D), {(1 << nlat) - 1}L))"
     )
     lon_q = (
+        f"if(({lon_expr}) IS NULL, CAST(NULL AS BIGINT), "
         f"least(floor((({lon_expr}) + 180.0D) / 360.0D * "
-        f"{float(1 << nlon)!r}D), {(1 << nlon) - 1}L)"
+        f"{float(1 << nlon)!r}D), {(1 << nlon) - 1}L))"
     )
     chars = []
     for c in range(precision):
@@ -172,19 +187,40 @@ def geohash_col(
     Pass STRING column names / SQL fragments to get the expression via one
     JVM-side parse of generated SQL (:func:`geohash_spark_sql`) — the fast
     build path; Column inputs keep the py4j composition for callers holding
-    computed Columns. Both produce bit-identical values."""
+    computed Columns. Both produce bit-identical values, and both propagate
+    a null lat OR lon to a null geohash (matching :func:`geohash_udf`)."""
     if isinstance(lat, str) and isinstance(lon, str):
         return F.expr(geohash_spark_sql(lat, lon, precision))
+    # Mixed str/Column: normalize strings to Columns. Without this, a call
+    # like geohash_col("lat", F.col("lon")) would hit `lat + F.lit(90.0)`
+    # below via Column.__radd__, which wraps the STRING as lit("lat") —
+    # cast to double → null → silently wrong geohashes for every row.
+    if isinstance(lat, str):
+        lat = F.col(lat)
+    if isinstance(lon, str):
+        lon = F.col(lon)
     nbits = 5 * precision
     nlon = (nbits + 1) // 2
     nlat = nbits // 2
-    lat_q = F.least(
-        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << nlat))),
-        F.lit((1 << nlat) - 1),
+    # F.when with no otherwise → null: the null gate mirroring the SQL arm
+    # (F.least skips nulls, so an ungated null coord clamps to max index).
+    lat_q = F.when(
+        lat.isNotNull(),
+        F.least(
+            F.floor(
+                (lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << nlat))
+            ),
+            F.lit((1 << nlat) - 1),
+        ),
     ).cast("bigint")
-    lon_q = F.least(
-        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << nlon))),
-        F.lit((1 << nlon) - 1),
+    lon_q = F.when(
+        lon.isNotNull(),
+        F.least(
+            F.floor(
+                (lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << nlon))
+            ),
+            F.lit((1 << nlon) - 1),
+        ),
     ).cast("bigint")
 
     def bit(col: Column, pos: int) -> Column:  # pos from MSB=0

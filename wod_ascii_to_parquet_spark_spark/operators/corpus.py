@@ -137,6 +137,8 @@ def corpus_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # de-duplication gives the two freq references different expr ids.
     # Vocabulary is the bounded side (≪ corpus; it must fit to broadcast
     # at all), so pinning it is free relative to the double shuffle.
+    # Session-scoped by design (the returned DataFrame references the
+    # cache lazily); bench.py clearCache()s between measured runs.
     freq = (
         tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf")).persist()
     )

@@ -389,6 +389,13 @@ def simhash_bits(
     fingerprint PACKED into one BIGINT (``bits[i]`` at fp position
     ``nbits-1-i``, i.e. bit 0 of the vote vector is the MSB end).
 
+    ROW CONTRACT: documents with null ``text`` are DROPPED from the
+    output entirely (they can never form candidate pairs, and a null fp
+    would defeat the non-nullable-fp constraint-folding below). A caller
+    joining this output back to documents by ``doc_id``, or counting
+    fingerprinted docs, sees only non-null-text rows; left-join against
+    the source table if row preservation matters.
+
     Packed-scalar representation (round 7): the fingerprint used to be an
     ``array<int>`` of 0/1 votes, which then rode the verify joins as a
     ~64-element payload and paid a 64-step ``zip_with`` fold PER CANDIDATE
@@ -757,7 +764,9 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ``dst`` BEFORE the persist: the cache scan advertises that
     # partitioning (a localCheckpoint would not, under AQE), so the
     # per-round join shuffles only the label vector, never the edges —
-    # same discipline as graph_pagerank.
+    # same discipline as graph_pagerank. Session-scoped by design (the
+    # returned DataFrame references the cache lazily, so it cannot be
+    # unpersisted here); bench.py clearCache()s between measured runs.
     edges = (
         pairs.union(
             pairs.select(

@@ -117,7 +117,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # advertises its child's outputPartitioning, so the per-iteration
     # rank join needs no Exchange on the edge side — only the
     # |nodes|-sized rank vector moves, and the single full-width shuffle
-    # per iteration is the contribution ``groupBy(dst)``. (localCheckpoint
+    # per iteration is the contribution ``groupBy(dst)``. The cache is
+    # SESSION-SCOPED by design: the returned DataFrame references it
+    # lazily, so it cannot be unpersisted here; CacheManager matches by
+    # logical plan, so a repeat invocation reuses (and re-populates after
+    # clearCache) the same entry rather than accumulating. Measured
+    # harnesses call spark.catalog.clearCache() between runs (bench.py)
+    # so steady-state timings exercise the full pipeline. (localCheckpoint
     # would truncate lineage too, but its LogicalRDD reports unknown
     # partitioning under AQE, reintroducing a full edge-list shuffle per
     # iteration — measured, not guessed.) Without this, every iteration
