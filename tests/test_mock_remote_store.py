@@ -181,3 +181,103 @@ def test_remote_attach_crash_heal_on_store(spark, mock_store):
     attach_geo_footer(fs, base_dir)
     assert not fs.exists(victim + _REMOTE_TMP_SUFFIX)
     assert spark.read.parquet(base_dir).count() > 0
+
+
+class _CountingFs:
+    """FsClient proxy recording per-file BYTE traffic through the driver —
+    the distributed attach must do none (listing + temp healing only)."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self.byte_calls: list[tuple[str, str]] = []
+
+    def file_sizes(self, *a, **k):
+        return self._inner.file_sizes(*a, **k)
+
+    def read_bytes(self, path, *a):
+        self.byte_calls.append(("read", path))
+        return self._inner.read_bytes(path, *a)
+
+    def write_bytes(self, path, data):
+        self.byte_calls.append(("write", path))
+        return self._inner.write_bytes(path, data)
+
+    def delete(self, path):
+        return self._inner.delete(path)
+
+    def rename(self, src, dst):
+        return self._inner.rename(src, dst)
+
+
+def test_remote_attach_runs_as_spark_job(spark, mock_store):
+    """The remote footer attach with a live session is a SPARK JOB: the
+    driver issues one listing RPC and zero per-file byte RPCs — executors
+    resolve the store themselves (viewfs mount map shipped as data) and
+    do all read/rewrite/rename I/O. This is the 100 TB shape: per-file
+    work scales with executors, not with driver py4j round-trips."""
+    fs = FsClient(spark)
+    task = FileTask(
+        "XBT", "OBS", f"{WOD}/XBT/OBS/XBTO1967.gz",
+        mock_store + "/dist-root", mock_store + "/dist-root",
+    )
+    assert convert_file(spark, task) == "converted"
+    base_dir = task.output_path
+    data_files = [
+        p for p in fs.file_sizes(base_dir) if p.endswith(".parquet")
+    ]
+    assert data_files
+    # convert_file already attached (distributed); verify every file is
+    # stamped, then re-run the attach through a counting proxy: the
+    # Spark-job arm must touch ZERO file bytes via the driver client
+    # (the idempotency re-check happens executor-side too).
+    for p in data_files:
+        md = pq.read_metadata(pa.BufferReader(fs.read_bytes(p)))
+        assert b"geo" in md.metadata, p
+    counting = _CountingFs(fs)
+    n = attach_geo_footer(counting, base_dir, spark=spark)
+    assert n == len(data_files)
+    assert counting.byte_calls == []
+    assert spark.read.parquet(base_dir).count() > 0
+
+
+def test_pyarrow_store_rewrite(tmp_path):
+    """_PyArrowStore (the production s3/gs executor arm) exercised over a
+    pyarrow-resolvable base URI: byte round-trip, rename, and the full
+    _rewrite_with_geo protocol — superseding footer appended in memory,
+    original data pages byte-identical, idempotent on re-run."""
+    import pandas as pd
+
+    from wod_ascii_to_parquet_spark_spark.plans.geo_metadata import (
+        _PyArrowStore,
+        _rewrite_with_geo,
+        geo_footer_dict,
+    )
+
+    base = f"file://{tmp_path}"
+    store = _PyArrowStore(base)
+    store.write_bytes(f"{base}/a.bin", b"hello")
+    assert store.read_bytes(f"{base}/a.bin") == b"hello"
+    store.rename(f"{base}/a.bin", f"{base}/b.bin")
+    assert store.read_bytes(f"{base}/b.bin") == b"hello"
+    store.delete(f"{base}/b.bin")
+
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame({"x": [1, 2, 3]})),
+        tmp_path / "d.parquet",
+    )
+    original = (tmp_path / "d.parquet").read_bytes()
+    geo = json.dumps(geo_footer_dict()).encode()
+    _rewrite_with_geo(store, f"{base}/d.parquet", geo)
+    stamped = (tmp_path / "d.parquet").read_bytes()
+    assert stamped[: len(original)] == original  # pages + old footer intact
+    md = pq.read_metadata(tmp_path / "d.parquet")
+    assert md.metadata[b"geo"] == geo
+    assert pq.read_table(tmp_path / "d.parquet").column("x").to_pylist() == [1, 2, 3]
+    _rewrite_with_geo(store, f"{base}/d.parquet", geo)  # idempotent
+    assert (tmp_path / "d.parquet").read_bytes() == stamped
+
+    # pickling ships only the URI (executors re-resolve lazily)
+    import pickle
+
+    clone = pickle.loads(pickle.dumps(store))
+    assert clone.read_bytes(f"{base}/d.parquet") == stamped

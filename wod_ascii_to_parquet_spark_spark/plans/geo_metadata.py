@@ -146,18 +146,22 @@ def attach_geo_footer(
     directly on OS paths (no py4j, no driver GIL) — the 100 TB shape
     verbatim; without one, a driver thread pool.
 
-    Remote schemes (no append on object stores): each file is read and
-    rewritten IN MEMORY through the FsClient byte API via a sibling temp
-    object + delete + rename, with a recovery pre-pass that promotes or
-    drops leftover temps — 3 gateway-serialized py4j calls per file, so
-    for LARGE remote file counts this path should become the same Spark-job
-    shape with executors resolving ``pyarrow.fs.FileSystem.from_uri``; kept
-    driver-side because no remote scheme exists in this environment to
-    validate that path against."""
+    Remote schemes (no append on object stores): each object is rebuilt
+    IN MEMORY as ``old bytes + superseding footer`` (same O(footer) CPU as
+    the local append — data pages are never re-encoded) and PUT via a
+    sibling temp object + delete + rename, with a recovery pre-pass that
+    promotes or drops leftover temps. With a live session this runs as a
+    SPARK JOB: the path list is parallelized and each executor slice
+    resolves its own store client (:func:`_resolve_executor_store` —
+    ``pyarrow.fs.FileSystem.from_uri`` for s3/gs/hdfs with credentials
+    from the worker environment, or a viewfs mount map shipped as plain
+    data), so the driver does ONE listing RPC total, never per-file byte
+    traffic — validated against the viewfs mock store in
+    ``tests/test_mock_remote_store.py``. Without a session, or for a
+    scheme no executor-side client can reach, a driver thread pool over
+    the FsClient byte API is the fallback (3 gateway-serialized py4j
+    calls per file — fine for test-scale layouts, not for 100 TB)."""
     from concurrent.futures import ThreadPoolExecutor
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     geo = json.dumps(geo_footer_dict(encoding)).encode()
 
@@ -204,30 +208,28 @@ def attach_geo_footer(
                     fs.rename(p, base)
                     listing[base] = listing.pop(p)
         paths = sorted(p for p in listing if p.endswith(".parquet"))
+        store = (
+            _resolve_executor_store(spark, out_dir)
+            if spark is not None
+            else None
+        )
+        if store is not None and paths:
+            geo_bytes = geo
+
+            def _stamp_remote_slice(it):
+                for path in it:
+                    _rewrite_with_geo(store, path, geo_bytes)
+
+            n = max(1, min(len(paths), spark.sparkContext.defaultParallelism))
+            spark.sparkContext.parallelize(paths, n).foreachPartition(
+                _stamp_remote_slice
+            )
+            return len(paths)
 
         def one(path: str) -> None:
-            table = pq.read_table(pa.BufferReader(fs.read_bytes(path)))
-            meta = dict(table.schema.metadata or {})
-            meta[b"geo"] = geo
-            sink = pa.BufferOutputStream()
-            pq.write_table(
-                table.replace_schema_metadata(meta),
-                sink,
-                compression="snappy",
-                # Preserve Spark's INT96 timestamp encoding: a plain
-                # re-encode turns INT96 → TIMESTAMP(NANOS)/INT64, which
-                # Spark then refuses to read back as timestamp.
-                use_deprecated_int96_timestamps=True,
-            )
-            # Never rewrite the data file in place: a crash mid-write
-            # would tear it and the heal re-run would then fail reading
-            # it. Write a sibling temp object, drop the original, rename
-            # the temp into place; every intermediate state is healed by
-            # the pre-pass above.
-            tmp = path + _REMOTE_TMP_SUFFIX
-            fs.write_bytes(tmp, sink.getvalue().to_pybytes())
-            fs.delete(path)
-            fs.rename(tmp, path)
+            # Fallback: driver-threaded, FsClient as the byte store (it
+            # satisfies the same read/write/delete/rename protocol).
+            _rewrite_with_geo(fs, path, geo)
 
     if paths:
         with ThreadPoolExecutor(max_workers=max_workers) as pool:
@@ -248,6 +250,247 @@ def attach_geo_footer(
 _REMOTE_TMP_SUFFIX = "._geo_tmp"
 
 
+def _footer_suffix(md, geo: bytes) -> bytes:
+    """The superseding-footer byte suffix for one parquet file: appending
+    it (local) or PUTting ``old_bytes + suffix`` (remote) yields a valid
+    file whose footer carries ``geo``. ``write_metadata(schema,
+    collector=[md])`` serializes a footer-only parquet file
+    ``[PAR1][footer thrift][len][PAR1]``; the row-group metadata (offsets,
+    physical types — INT96 included) is the file's OWN, re-serialized
+    verbatim, and only the schema's key-value metadata gains the geo
+    entry. The leading magic is stripped; data pages are never touched."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    schema = md.schema.to_arrow_schema()
+    meta = dict(schema.metadata or {})
+    meta[b"geo"] = geo
+    buf = io.BytesIO()
+    pq.write_metadata(
+        schema.with_metadata(meta),
+        buf,
+        metadata_collector=[md],
+        use_deprecated_int96_timestamps=True,
+    )
+    return buf.getvalue()[4:]
+
+
+def _rewrite_with_geo(store, path: str, geo: bytes) -> None:
+    """Stamp ``geo`` into one REMOTE object through a byte store exposing
+    ``read_bytes / write_bytes / delete / rename`` (an executor-side store
+    from :func:`_resolve_executor_store`, or the driver FsClient in the
+    fallback arm). Idempotent: an object whose footer already carries this
+    exact value is skipped. Never rewrites the object under its final key
+    in one step: the new bytes land in a sibling temp, then delete + rename
+    — every intermediate state is healed by the attach's recovery pre-pass,
+    so task retries and crashes at any point are safe. Runs on Spark Python
+    workers (module-level, pickles by reference)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    data = store.read_bytes(path)
+    md = pq.read_metadata(pa.BufferReader(data))
+    if (md.metadata or {}).get(b"geo") == geo:
+        return
+    tmp = path + _REMOTE_TMP_SUFFIX
+    store.write_bytes(tmp, data + _footer_suffix(md, geo))
+    store.delete(path)
+    store.rename(tmp, path)
+
+
+class _PyArrowStore:
+    """Executor-side byte store over ``pyarrow.fs`` — the production arm
+    for object stores. Resolved lazily IN the worker process from the base
+    URI (S3/GCS credentials come from the worker environment / instance
+    profile, exactly like the s3a connector's default provider chain), so
+    the pickled closure ships only the URI string. Hadoop's ``s3a``/
+    ``s3n`` scheme spellings are aliased to pyarrow's ``s3``."""
+
+    _SCHEME_ALIASES = {"s3a": "s3", "s3n": "s3"}
+
+    def __init__(self, base_uri: str):
+        self._base_uri = base_uri.rstrip("/")
+        self._fs = None
+        self._base_inner = None
+
+    def __getstate__(self):
+        return {"_base_uri": self._base_uri}
+
+    def __setstate__(self, state):
+        self._base_uri = state["_base_uri"]
+        self._fs = None
+        self._base_inner = None
+
+    def _resolve(self):
+        if self._fs is None:
+            from urllib.parse import urlsplit
+
+            import pyarrow.fs as pafs
+
+            parts = urlsplit(self._base_uri)
+            scheme = self._SCHEME_ALIASES.get(parts.scheme, parts.scheme)
+            self._fs, inner = pafs.FileSystem.from_uri(
+                parts._replace(scheme=scheme).geturl()
+            )
+            self._base_inner = inner.rstrip("/")
+        return self._fs
+
+    def _inner(self, path: str) -> str:
+        self._resolve()
+        if path == self._base_uri:
+            return self._base_inner
+        if not path.startswith(self._base_uri + "/"):
+            raise ValueError(
+                f"{path!r} is outside the store base {self._base_uri!r}"
+            )
+        return self._base_inner + path[len(self._base_uri):]
+
+    def read_bytes(self, path: str) -> bytes:
+        with self._resolve().open_input_stream(self._inner(path)) as fh:
+            return fh.read()
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        with self._resolve().open_output_stream(self._inner(path)) as fh:
+            fh.write(data)
+
+    def delete(self, path: str) -> None:
+        self._resolve().delete_file(self._inner(path))
+
+    def rename(self, src: str, dst: str) -> None:
+        # pyarrow `move`: a true rename on filesystems that have one, a
+        # copy+delete on object stores — the same non-atomicity the s3a
+        # rename has; the recovery pre-pass heals either half.
+        self._resolve().move(self._inner(src), self._inner(dst))
+
+
+class _MountStore:
+    """Executor-side byte store for ``viewfs://`` URIs: the mount table is
+    read from the Hadoop conf ON THE DRIVER and shipped to executors as a
+    plain ``{uri prefix: target uri}`` dict — workers then hit the backing
+    store directly (OS I/O for ``file://`` targets, a nested
+    :class:`_PyArrowStore` otherwise), no driver round-trip. This is the
+    same trust shape as an S3 client: the driver ships the *resolution
+    config*, the workers do the I/O."""
+
+    def __init__(self, mounts: dict[str, str]):
+        self._mounts = sorted(
+            ((k.rstrip("/"), v.rstrip("/")) for k, v in mounts.items()),
+            key=lambda kv: -len(kv[0]),
+        )
+        self._sub: dict[str, "_PyArrowStore"] = {}
+
+    def __getstate__(self):
+        return {"_mounts": self._mounts}
+
+    def __setstate__(self, state):
+        self._mounts = state["_mounts"]
+        self._sub = {}
+
+    def _rewrite(self, path: str) -> str:
+        for prefix, target in self._mounts:
+            if path == prefix or path.startswith(prefix + "/"):
+                return target + path[len(prefix):]
+        raise ValueError(f"{path!r}: no viewfs mount link covers it")
+
+    def _local_or_store(self, path: str):
+        """(os_path, None) for file-backed targets, (None, store) else."""
+        from ..sources.filesystem import local_os_path
+
+        t = self._rewrite(path)
+        local = local_os_path(t)
+        if local is not None:
+            return local, None
+        base = t.rsplit("/", 1)[0]
+        if base not in self._sub:
+            self._sub[base] = _PyArrowStore(base)
+        return None, self._sub[base]
+
+    def read_bytes(self, path: str) -> bytes:
+        local, store = self._local_or_store(path)
+        if local is not None:
+            with open(local, "rb") as fh:
+                return fh.read()
+        return store.read_bytes(self._rewrite(path))
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        local, store = self._local_or_store(path)
+        if local is not None:
+            with open(local, "wb") as fh:
+                fh.write(data)
+            # Writing BEHIND Hadoop's back: the mount target is Hadoop's
+            # ChecksumFileSystem, so a `.crc` sidecar a JVM writer left
+            # for this name is now stale and would fail every later
+            # Hadoop read — drop it (reads without crc skip verification).
+            _drop_stale_crc(local)
+            return
+        store.write_bytes(self._rewrite(path), data)
+
+    def delete(self, path: str) -> None:
+        local, store = self._local_or_store(path)
+        if local is not None:
+            import os
+
+            os.remove(local)
+            _drop_stale_crc(local)
+            return
+        store.delete(self._rewrite(path))
+
+    def rename(self, src: str, dst: str) -> None:
+        local_src, store = self._local_or_store(src)
+        if local_src is not None:
+            import os
+
+            local_dst, _ = self._local_or_store(dst)
+            os.replace(local_src, local_dst)
+            # both names' crc sidecars are invalid now (src's points at a
+            # gone file, dst's at replaced content)
+            _drop_stale_crc(local_src)
+            _drop_stale_crc(local_dst)
+            return
+        store.rename(self._rewrite(src), self._rewrite(dst))
+
+
+def _viewfs_mount_map(spark, authority: str) -> dict[str, str]:
+    """``{viewfs://<authority><mountpoint>: target uri}`` from the live
+    session's Hadoop conf (``fs.viewfs.mounttable.<authority>.link.*``) —
+    one driver-side conf read; the result is plain data for the closure."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jmap = hconf.getPropsWithPrefix(
+        f"fs.viewfs.mounttable.{authority}.link."
+    )
+    mounts: dict[str, str] = {}
+    it = jmap.entrySet().iterator()
+    while it.hasNext():
+        e = it.next()
+        mounts[f"viewfs://{authority}{e.getKey()}"] = e.getValue()
+    return mounts
+
+
+def _resolve_executor_store(spark, base_uri: str):
+    """A picklable byte store whose I/O runs ON EXECUTORS for ``base_uri``,
+    or None when no executor-reachable client exists for the scheme (the
+    caller then falls back to the driver-threaded FsClient arm).
+
+    - ``viewfs://`` → :class:`_MountStore` over the conf's mount table.
+    - anything ``pyarrow.fs.FileSystem.from_uri`` accepts (s3/gs/hdfs…) →
+      :class:`_PyArrowStore`; probed HERE on the driver so a scheme
+      pyarrow cannot open (e.g. no libhdfs) degrades to the fallback
+      instead of failing 32 tasks."""
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(base_uri)
+    if parts.scheme == "viewfs":
+        mounts = _viewfs_mount_map(spark, parts.netloc)
+        return _MountStore(mounts) if mounts else None
+    probe = _PyArrowStore(base_uri)
+    try:
+        probe._resolve()
+    except Exception:
+        return None
+    return _PyArrowStore(base_uri)
+
+
 def _append_footer_with_geo(path: str, geo: bytes) -> None:
     """Stamp ``geo`` into one local parquet file by APPENDING a superseding
     footer (O(footer bytes); data pages untouched). Idempotent: skips a
@@ -255,8 +498,6 @@ def _append_footer_with_geo(path: str, geo: bytes) -> None:
     tail torn by a previous crashed append before re-appending. Runs on
     Spark Python workers (module-level so the closure pickles by
     reference) and on the driver alike."""
-    import io
-
     import pyarrow.parquet as pq
 
     try:
@@ -266,26 +507,12 @@ def _append_footer_with_geo(path: str, geo: bytes) -> None:
         md = pq.read_metadata(path)
     if (md.metadata or {}).get(b"geo") == geo:
         return
-    # The arrow schema comes off the footer ALREADY READ — pq.read_schema
-    # would open and parse the same footer a second time (measured ~25% of
-    # the per-file stamp cost across a 1,652-file layout).
-    schema = md.schema.to_arrow_schema()
-    meta = dict(schema.metadata or {})
-    meta[b"geo"] = geo
-    buf = io.BytesIO()
-    # write_metadata(schema, collector=[md]) serializes a footer-only
-    # parquet file: [PAR1][footer thrift][len][PAR1]. The row-group
-    # metadata (offsets, physical types — INT96 included) is the file's
-    # OWN, re-serialized verbatim; only the schema's key-value metadata
-    # gains the geo entry. Strip the leading magic and append the rest.
-    pq.write_metadata(
-        schema.with_metadata(meta),
-        buf,
-        metadata_collector=[md],
-        use_deprecated_int96_timestamps=True,
-    )
+    # The arrow schema comes off the footer ALREADY READ (inside
+    # _footer_suffix) — pq.read_schema would open and parse the same
+    # footer a second time (measured ~25% of the per-file stamp cost
+    # across a 1,652-file layout).
     with open(path, "ab") as fh:
-        fh.write(buf.getvalue()[4:])
+        fh.write(_footer_suffix(md, geo))
     _drop_stale_crc(path)
 
 
