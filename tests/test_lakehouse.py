@@ -568,6 +568,177 @@ def test_create_exclusive_multiprocess_race_single_winner(tmp_path):
         assert fh.read() == winners[0]
 
 
+class _PutOnClose:
+    """An output stream whose bytes land only at close() — truthful to
+    S3: the object materializes when the PUT completes, not per write."""
+
+    def __init__(self, key: str):
+        self._key, self._buf = key, bytearray()
+
+    def write(self, data):
+        self._buf += data
+
+    def close(self):
+        with open(self._key, "wb") as fh:  # unconditional PUT: replaces
+            fh.write(self._buf)
+
+
+class _PlainS3Fs:
+    """The Hadoop-FileSystem surface the plain-create arm touches, with
+    object-store-without-conditional-writes semantics: create(path,
+    overwrite=false) is HEAD (exists check) then, after a deliberate
+    scheduling window, an UNCONDITIONAL PUT at close — so every racer
+    that passes HEAD before anyone PUTs "succeeds" and the last PUT
+    silently replaces the rest. This is the s3a degradation
+    create_exclusive's docstring warns about, made maximally racy."""
+
+    def __init__(self, window_sec: float):
+        self._window = window_sec
+
+    def create(self, key: str, overwrite: bool):
+        assert overwrite is False
+        if os.path.exists(key):  # the HEAD
+            raise FileExistsError(key)
+        import time
+
+        time.sleep(self._window)  # check-to-PUT window
+        return _PutOnClose(key)
+
+    def exists(self, key: str) -> bool:
+        return os.path.exists(key)
+
+
+class _S3SemanticsFs:
+    """FsClient over an in-process S3 behavioral model (no JVM): the
+    create_exclusive logic under test is the REAL FsClient method
+    (inherited below) — only the two storage primitives are modeled:
+
+    - plain ``create(overwrite=false)`` → :class:`_PlainS3Fs` —
+      deliberately NON-atomic (HEAD-then-PUT),
+    - ``_conditional_create`` → kernel ``O_EXCL``, standing in for the
+      server-arbitrated ``If-None-Match: *`` PUT (same atomicity
+      contract: exactly one creator, loser sees the conflict).
+
+    ``conditional=False`` models a legacy connector: the probe raises
+    ConditionalCreateUnsupported and the racy plain arm is all there is."""
+
+    def __init__(self, root: str, conditional: bool, window_sec: float = 0.2):
+        self._root = root
+        self._conditional = conditional
+        self._window = window_sec
+        self._cond_create_support: dict[str, bool] = {}
+
+    def _key(self, path: str) -> str:
+        assert path.startswith("mock://bucket/")
+        return os.path.join(self._root, path[len("mock://bucket/"):])
+
+    def _fs_path(self, path: str):
+        return _PlainS3Fs(self._window), self._key(path)
+
+    def _conditional_create(self, path: str, data: bytes) -> bool:
+        from wod_ascii_to_parquet_spark_spark.sources.filesystem import (
+            ConditionalCreateUnsupported,
+        )
+
+        if not self._conditional:
+            raise ConditionalCreateUnsupported(path)
+        try:
+            fd = os.open(
+                self._key(path), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(data)
+        return True
+
+    # the real method under test
+    def create_exclusive(self, path: str, data: bytes) -> bool:
+        from wod_ascii_to_parquet_spark_spark.sources.filesystem import FsClient
+
+        return FsClient.create_exclusive(self, path, data)
+
+
+def _s3_race_worker(args):
+    root, payload, conditional, barrier = args
+    store = _S3SemanticsFs(root, conditional=conditional)
+    barrier.wait(timeout=30)
+    return payload, store.create_exclusive(
+        "mock://bucket/v0001.json", payload.encode()
+    )
+
+
+def _run_s3_race(tmp_path, conditional: bool, n: int = 8):
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    with ctx.Manager() as mgr:
+        barrier = mgr.Barrier(n)
+        with ctx.Pool(n) as pool:
+            results = pool.map(
+                _s3_race_worker,
+                [
+                    (str(tmp_path), f"writer-{i}", conditional, barrier)
+                    for i in range(n)
+                ],
+            )
+    return results
+
+
+def test_commit_race_on_nonatomic_store_single_winner(tmp_path):
+    """VERDICT r7 #2 'done' criterion: the 8-process commit race stays
+    single-winner over a store whose ``create(overwrite=false)`` is
+    DELIBERATELY non-atomic — because create_exclusive engages the
+    conditional-create arm first, never the racy plain create. A
+    regression that reordered the arms (or dropped the conditional
+    attempt) makes every racer win via HEAD-then-PUT and this fails."""
+    results = _run_s3_race(tmp_path, conditional=True)
+    winners = [payload for payload, won in results if won]
+    assert len(winners) == 1, results
+    with open(tmp_path / "v0001.json") as fh:
+        assert fh.read() == winners[0]
+
+
+def test_nonatomic_plain_create_is_actually_racy(tmp_path):
+    """Power check for the test above: on the SAME store with the
+    conditional capability absent (legacy connector), the plain
+    HEAD-then-PUT arm lets multiple racers 'win' — proving the
+    single-winner assertion genuinely depends on the conditional arm,
+    not on the model being accidentally atomic. (This lost update is
+    what lakehouse._commit's post-commit payload verification then
+    catches: every writer re-reads, and only the one whose bytes landed
+    reports success — asserted in
+    test_lost_update_caught_by_payload_verification.)"""
+    results = _run_s3_race(tmp_path, conditional=False)
+    winners = [payload for payload, won in results if won]
+    assert len(winners) >= 2, results
+
+
+def test_lost_update_caught_by_payload_verification(spark, tmp_path, monkeypatch):
+    """Tier-3 protocol (rename-less store, no conditional writes): two
+    writers both pass the non-atomic create; the one whose payload was
+    replaced must report CommitConflict from the post-commit read-back,
+    and the survivor's manifest must be intact."""
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="append")
+
+    real = t.fs.create_exclusive
+
+    def lossy_create(path, data):
+        won = real(path, data)
+        if won and path.endswith("v1.json"):
+            # another writer's unconditional PUT lands right after ours
+            with open(_local(path), "wb") as fh:
+                fh.write(b'{"intruder": true}')
+        return won
+
+    monkeypatch.setattr(t.fs, "create_exclusive", lossy_create)
+    with pytest.raises(CommitConflict, match="another writer"):
+        t.write(_df(spark, [(2, "b")]), mode="append")
+    # the surviving manifest is the intruder's, untouched by the loser
+    assert t.fs.read_bytes(t._log_path(1)) == b'{"intruder": true}'
+
+
 def test_hundred_commit_log_stays_bounded(spark, tmp_path, monkeypatch):
     """VERDICT r6 #6 'done' criterion: 100+ commits with segment spill and
     checkpoint merges active — per-commit manifest writes stay O(batch),

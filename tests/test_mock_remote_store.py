@@ -240,6 +240,30 @@ def test_remote_attach_runs_as_spark_job(spark, mock_store):
     assert spark.read.parquet(base_dir).count() > 0
 
 
+def test_conditional_create_probe_degrades_on_mock_store(spark, mock_store):
+    """create_exclusive on a remote scheme first attempts the Hadoop
+    conditional-create builder (HADOOP-19256). viewfs/local connectors
+    reject the mandatory key — the probe must (a) degrade cleanly to the
+    plain-create arm (winner/loser semantics intact, winner's bytes
+    never truncated by the loser) and (b) cache the rejection per
+    filesystem URI so later commits skip the doomed builder attempt."""
+    from wod_ascii_to_parquet_spark_spark.sources.filesystem import (
+        ConditionalCreateUnsupported,
+    )
+
+    fs = FsClient(spark)
+    target = mock_store + "/tbl/_log/v0.json"
+    fs.mkdirs(mock_store + "/tbl/_log")
+    assert fs.create_exclusive(target, b"winner") is True
+    assert fs._cond_create_support == {
+        uri: False for uri in fs._cond_create_support
+    } and fs._cond_create_support  # probed exactly this store: rejected
+    assert fs.create_exclusive(target, b"loser") is False
+    assert fs.read_bytes(target) == b"winner"
+    with pytest.raises(ConditionalCreateUnsupported):
+        fs._conditional_create(mock_store + "/tbl/_log/v1.json", b"x")
+
+
 def test_pyarrow_store_rewrite(tmp_path):
     """_PyArrowStore (the production s3/gs executor arm) exercised over a
     pyarrow-resolvable base URI: byte round-trip, rename, and the full

@@ -93,6 +93,20 @@ def s3a_confs(
     return confs
 
 
+def _is_unknown_builder_option(e: Exception) -> bool:
+    """True when a createFile() build failed because the store rejected
+    the mandatory conditional-create key — the spec-mandated rejection is
+    ``IllegalArgumentException("Unknown mandatory key ...")`` (verified
+    against Hadoop 3.4.2's local/viewfs builders); an
+    UnsupportedOperationException is the other documented spelling."""
+    msg = str(e)
+    return (
+        "Unknown mandatory key" in msg
+        or "UnsupportedOperationException" in msg
+        or _CONDITIONAL_CREATE_OPT in msg
+    )
+
+
 def apply_s3a_confs(spark: SparkSession, confs: dict[str, str]) -> None:
     """Set ``spark.hadoop.*`` entries onto a LIVE session's Hadoop conf.
 
@@ -116,6 +130,23 @@ def s3a_available(spark: SparkSession) -> bool:
         return False
 
 
+#: Hadoop 3.4.2+ createFile() builder option (HADOOP-19256): on connectors
+#: that implement it (s3a against real S3), exclusivity is enforced by the
+#: SERVER — the PUT at close() carries ``If-None-Match: *`` and fails with
+#: 412 when any object landed meanwhile — instead of the HEAD-then-PUT
+#: check the plain ``create(overwrite=false)`` path degrades to on object
+#: stores. Passed via ``must(...)`` so a store that does not understand
+#: conditional-create semantics REJECTS the build (the spec-mandated
+#: "Unknown mandatory key" IllegalArgumentException) rather than silently
+#: running the racy check-then-act.
+_CONDITIONAL_CREATE_OPT = "fs.option.create.conditional.overwrite"
+
+
+class ConditionalCreateUnsupported(Exception):
+    """The path's filesystem rejected the conditional-create builder
+    option — the caller must fall back to the plain-create protocol."""
+
+
 class FsClient:
     """Driver-side filesystem operations through Hadoop's ``FileSystem``.
 
@@ -129,6 +160,10 @@ class FsClient:
     def __init__(self, spark: SparkSession):
         self._jvm = spark.sparkContext._jvm
         self._hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        #: filesystem URI -> whether it accepted _CONDITIONAL_CREATE_OPT
+        #: (probed on first exclusive create; a rejection is permanent for
+        #: the session, so later commits skip the doomed builder attempt)
+        self._cond_create_support: dict[str, bool] = {}
 
     def _fs_path(self, path: str):
         jpath = self._jvm.org.apache.hadoop.fs.Path(path)
@@ -229,7 +264,7 @@ class FsClient:
         """Write ``path`` only if it does not already exist; False when the
         create loses (target present). Used by the LogTable manifest commit.
 
-        Exclusivity by scheme:
+        Exclusivity by scheme, strongest available primitive first:
 
         - **Local paths**: ``os.open(O_CREAT|O_EXCL)`` — a real kernel-level
           exclusive create, atomic ACROSS PROCESSES. Hadoop's
@@ -238,8 +273,21 @@ class FsClient:
           processes — e.g. a scheduled ``table_cli optimize`` racing a
           streaming ingest job — could both pass the check and the loser
           would truncate the winner's manifest (silent lost update).
-        - **Remote schemes**: the filesystem's ``create(overwrite=false)``
-          — atomic on HDFS (namenode-arbitrated).
+        - **Remote schemes with conditional-create** (s3a on Hadoop 3.4.2+
+          against real S3 — conditional PUT is GA since 2024-11): the
+          builder's mandatory ``fs.option.create.conditional.overwrite``
+          option makes the server arbitrate via ``If-None-Match: *`` — the
+          only true cross-writer exclusive create an object store has
+          (:meth:`_conditional_create`).
+        - **Remaining remote schemes**: plain ``create(overwrite=false)``
+          — atomic on HDFS (namenode-arbitrated), but HEAD-then-PUT on
+          object-store connectors without conditional writes: two writers
+          can both pass the check and the later PUT silently replaces the
+          earlier. On those stores exclusivity is best-effort and the
+          LogTable commit's post-commit payload verification
+          (``lakehouse._commit``) is the arbiter: every writer re-reads
+          the manifest and only the one whose bytes durably landed reports
+          success — see the rename-less-store protocol note there.
 
         Never rename-based: posix ``rename(2)`` SILENTLY REPLACES an
         existing target, so rename cannot provide mutual exclusion."""
@@ -254,6 +302,10 @@ class FsClient:
             with os.fdopen(fd, "wb") as fh:
                 fh.write(data)
             return True
+        try:
+            return self._conditional_create(path, data)
+        except ConditionalCreateUnsupported:
+            pass
         fs, p = self._fs_path(path)
         try:
             stream = fs.create(p, False)
@@ -268,6 +320,50 @@ class FsClient:
             stream.write(bytearray(data))
         finally:
             stream.close()
+        return True
+
+    def _conditional_create(self, path: str, data: bytes) -> bool:
+        """Exclusive create through Hadoop's conditional-create builder
+        option (HADOOP-19256, 3.4.2+). Returns False when the condition
+        fails — the target existed, or another writer's conditional PUT
+        landed first (s3a surfaces the 412 at ``close()``, where the
+        actual PUT happens). Raises :class:`ConditionalCreateUnsupported`
+        when the connector does not implement the option; the verdict is
+        cached per filesystem URI so only the first commit pays the
+        rejected-builder round-trip."""
+        fs, p = self._fs_path(path)
+        key = fs.getUri().toString()
+        if self._cond_create_support.get(key) is False:
+            raise ConditionalCreateUnsupported(key)
+        try:
+            stream = (
+                fs.createFile(p)
+                .overwrite(False)
+                .must(_CONDITIONAL_CREATE_OPT, False)
+                .build()
+            )
+        except Exception as e:
+            if _is_unknown_builder_option(e):
+                self._cond_create_support[key] = False
+                raise ConditionalCreateUnsupported(key) from None
+            if fs.exists(p):
+                return False  # condition checked at build time: lost
+            raise
+        self._cond_create_support[key] = True
+        wrote = False
+        try:
+            stream.write(bytearray(data))
+            wrote = True
+        finally:
+            try:
+                stream.close()  # s3a: the If-None-Match PUT happens here
+            except Exception:
+                # A close-time failure WITH the target present is the
+                # conditional PUT losing (S3 412 PreconditionFailed);
+                # anything else is a real fault.
+                if wrote and fs.exists(p):
+                    return False
+                raise
         return True
 
     def mtime(self, path: str) -> int:

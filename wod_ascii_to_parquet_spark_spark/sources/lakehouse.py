@@ -304,11 +304,27 @@ class LogTable:
         raises :class:`CommitConflict`. Never rename: posix ``rename(2)``
         SILENTLY REPLACES an existing target, so a rename-based commit
         lets two racing writers both believe they won (the first one's
-        manifest is clobbered). ``create(overwrite=false)`` is atomic on
-        HDFS and an in-JVM check+create on the local FS. The write-
-        after-create window means a reader can glimpse a torn manifest;
-        :meth:`manifest` treats unparseable JSON as in-progress and
-        retries."""
+        manifest is clobbered). The write-after-create window means a
+        reader can glimpse a torn manifest; :meth:`manifest` treats
+        unparseable JSON as in-progress and retries.
+
+        **Rename-less-store commit protocol**, by exclusivity strength of
+        ``fs.create_exclusive`` (see its docstring for the per-scheme
+        arms): (1) local ``O_EXCL`` and HDFS-namenode creates are atomic —
+        the create alone decides the winner; (2) object stores with
+        conditional writes (s3a 3.4.2+ / S3 ``If-None-Match``) are
+        server-arbitrated — equally decisive; (3) on a store where
+        ``create(overwrite=false)`` degrades to HEAD-then-PUT, two
+        writers can BOTH return True and the later PUT replaces the
+        earlier — so success is never claimed on the create alone: the
+        post-create read-back below confirms OUR payload is what
+        durably landed, and a writer that finds another's bytes (or no
+        file) reports :class:`CommitConflict` exactly as a lost create
+        would. Residual on tier (3): a writer whose read-back lands
+        inside another writer's not-yet-visible PUT window can
+        transiently believe it won — closable only by a conditional
+        primitive, which is why tier (2) is attempted first and tier (3)
+        exists solely for legacy connectors."""
         version = 0 if base is None else base + 1
         target = self._log_path(version)
         doc = {
