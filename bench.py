@@ -253,6 +253,15 @@ def main() -> None:
             and timings[name] > 1.3 * prev[name] * ratio
         }
     here = os.path.dirname(os.path.abspath(__file__))
+    # Scale-up evidence (tools/bench_scaling.py: each headliner at sf0.1
+    # AND the synthesized sf1, with per-query scaling exponents) is run
+    # out-of-band — embedding its latest results keeps the per-round
+    # BENCH_DETAIL artifact carrying both SFs.
+    try:
+        with open(os.path.join(here, "SCALING.json")) as fh:
+            detail["scaling"] = json.load(fh)
+    except (OSError, ValueError):
+        pass
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=2)
     print(json.dumps(out_doc))

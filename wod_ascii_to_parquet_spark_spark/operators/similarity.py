@@ -220,6 +220,33 @@ def _seed_array(seeds: DataFrame) -> DataFrame:
     return arr.select(with_norm.alias("__seeds"))
 
 
+#: Oracle fragment for :func:`_sqrt_n_seeds` — MUST stay in lockstep with
+#: it (both engines pick seeds as ``vec_id < ceil(sqrt(N))``).
+_SQRT_N_SEEDS_SQL = (
+    "SELECT vec_id AS cell, emb AS cemb FROM e "
+    "WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e)"
+)
+
+
+def _sqrt_n_seeds(e: DataFrame) -> DataFrame:
+    """Seed cells sized to the corpus: the vectors with ``vec_id <
+    ceil(sqrt(N))`` — the FAISS √N-cell rule, so the Σ|cell|² pair
+    kernels stay subquadratic as data grows (cells ~√N wide ⇒ total
+    pair volume ~N^1.5, vs N²/16 with the fixed toy quantizer: the one
+    superlinear curve in the r8 sf0.1→sf1 scaling run, exponent 1.28).
+    The threshold is computed IN-PLAN (one-row count aggregate crossed
+    under the filter as a broadcast) so the query stays a single job
+    with no driver-side action, and the DuckDB oracle mirrors it with a
+    scalar subquery (:data:`_SQRT_N_SEEDS_SQL`) — both engines'
+    ``ceil(sqrt(double))`` agree on every count below 2^52."""
+    k = e.agg(F.ceil(F.sqrt(F.count(F.lit(1)))).alias("__k"))
+    return (
+        e.crossJoin(F.broadcast(k))
+        .filter(F.col("vec_id") < F.col("__k"))
+        .select(F.col("vec_id").alias("cell"), F.col("emb").alias("cemb"))
+    )
+
+
 def _ivf_assign(e: DataFrame, seed_arr: DataFrame) -> DataFrame:
     """MAP-ONLY IVF cell assignment: ``(vec_id, emb, cell)``.
 
@@ -468,7 +495,7 @@ def similarity_ann_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_ann",
     f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-    seeds AS (SELECT vec_id AS cell, emb AS cemb FROM e WHERE vec_id < 16),
+    seeds AS ({_SQRT_N_SEEDS_SQL}),
     assign AS (
         SELECT vec_id, emb, cell FROM (
             SELECT e.vec_id, e.emb, s.cell,
@@ -500,14 +527,13 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall loss (mitigated in production by multi-assign/residual books;
     measured here in tests vs the unblocked brute force). Deterministic
     medoid cells keep the whole arm — assignment, blocking, verification —
-    fully DuckDB-oracled; at scale the cell count tracks √N (the FAISS
-    rule), not the fixed 16 of the toy quantizer."""
+    fully DuckDB-oracled; the cell count tracks √N (the FAISS rule) via
+    :func:`_sqrt_n_seeds`, not a fixed toy quantizer — the r8 scaling
+    run caught the fixed-16 version growing as N²/16."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    seeds = e.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
-    )
+    seeds = _sqrt_n_seeds(e)
     # Per-row norm hoisted out of the per-pair kernel (see
     # dedup_semdedup_prune): bit-same value, ~3× less pair arithmetic.
     # repartition(cell) = the same materialization barrier as
@@ -1076,7 +1102,7 @@ def similarity_ann_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_semdedup_prune",
     f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-    seeds AS (SELECT vec_id AS cell, emb AS cemb FROM e WHERE vec_id < 16),
+    seeds AS ({_SQRT_N_SEEDS_SQL}),
     assign AS (
         SELECT vec_id, emb, cell FROM (
             SELECT e.vec_id, e.emb, s.cell,
@@ -1116,17 +1142,18 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs ``dedup_embedding_ann`` (same blocking, emits the PAIRS): this is
     the decision layer — a vector is dropped when ANY earlier same-cell
     vector covers it, so the grouped-distinct over pair right-sides is the
-    set-cover step. Scale shape is unchanged: Σ|cell|² cell-confined
-    comparisons, one extra |pairs|-sized distinct + two tiny aggregates;
-    at 100 TB cells come from a real √N-cell quantizer and the drop rate
-    (the paper's headline: ~50% of web corpora at τ≈0.95 with no quality
+    set-cover step. Scale shape: Σ|cell|² cell-confined comparisons with
+    the cell count tracking √N (:func:`_sqrt_n_seeds`) — the r8
+    sf0.1→sf1 scaling run measured the FIXED 16-cell version at
+    exponent 1.28 (1.6 s→31 s; pair volume N²/16) and this √N sizing
+    brought it back subquadratic (N^1.5 kernel asymptote) — plus one
+    |pairs|-sized distinct and two tiny aggregates. The drop rate (the
+    paper's headline: ~50% of web corpora at τ≈0.95 with no quality
     loss) is what this audit table measures per cell."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    seeds = e.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
-    )
+    seeds = _sqrt_n_seeds(e)
     # Per-ROW norm, computed once per row: cosine's denominator factors
     # sqrt(Σx²) depend on one vector each, so hoisting them out of the
     # per-PAIR expression cuts the Σ|cell|² kernel's arithmetic ~3× (one
