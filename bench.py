@@ -213,6 +213,27 @@ def main() -> None:
             "re-measured 28.17s at r6 HEAD on idle host vs r5's 27.96s, "
             "equal 1-thread probe. See cpu_probe_par_sec."
         ),
+        notes_r8={
+            "events_resample_gapfill": (
+                "r6 0.29->r7 0.35 root-caused as host noise on an "
+                "overhead-dominated query: code unchanged since creation "
+                "(git -S), probe-normalized ratio 1.07, scaling exponent "
+                "0.101 (sf0.1->sf1 wall time flat). A one-fact-scan rework "
+                "(persist the hourly agg, derive bounds/types from it) was "
+                "measured SLOWER (0.50->0.69s sf0.1, 0.38->0.68s sf1, "
+                "tools/exp_gapfill.py): the materialization barrier costs "
+                "more than three column-pruned scans; kept the 3-scan "
+                "shape, each scan pruned to 1-3 columns."
+            ),
+            "dedup_minhash_lsh": (
+                "shingle double-compute (SCALE.md r7 note) fixed by "
+                "replacing the repartition barrier with persist() on the "
+                "(doc_id, sh, sig) frame: per-branch pruning can no longer "
+                "split the barrier. Measured 2.1->1.8s sf0.1, 6.2->4.7s "
+                "sf1 (tools/exp_minhash_persist.py); applied to all three "
+                "_lsh_verified_pairs callers."
+            ),
+        },
     )
     prev, prev_probe, prev_par_probe = _previous_round()
     if prev:

@@ -218,7 +218,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hashes", shingle_hashes(F.col("sh")))
         .withColumn("sig", minhash_signature(F.col("hashes")))
         .drop("hashes")
-        .repartition(F.col("doc_id"))  # shuffle barrier, see _lsh_verified_pairs
+        .persist()  # materialization barrier, see _lsh_verified_pairs
     )
     return _lsh_verified_pairs(s)
 
@@ -227,11 +227,18 @@ def _lsh_verified_pairs(s: DataFrame) -> DataFrame:
     """Banded-LSH candidate generation + exact verify over a prepared
     ``(doc_id, sh, sig)`` frame: 8 bands × 4 rows → band-bucket equi-join →
     exact Jaccard ≥ 0.5 on candidates only. ``s`` must arrive behind a
-    shuffle barrier (see callers): the band keys below reference ``sig``
-    32 times and the verify stage reads ``sh`` twice — without an
-    Exchange, project collapsing would inline (= re-evaluate) the
-    signature expression at every reference; the Exchange materializes
-    ``(doc_id, sh, sig)`` once and ReuseExchange serves all consumers."""
+    materialization barrier (see callers): the band keys below reference
+    ``sig`` 32 times and the verify stage reads ``sh`` twice — without a
+    barrier, project collapsing would inline (= re-evaluate) the signature
+    expression at every reference. Callers use ``persist()`` rather than a
+    ``repartition`` Exchange: per-branch column pruning splits a reused
+    Exchange into per-consumer subtrees (band side keeps ``sig``, verify
+    sides keep ``sh``), so the shingle transform computed ~2x; the
+    InMemoryRelation serves all three consumers from one materialization
+    (measured: 2.1→1.8 s sf0.1, 6.2→4.7 s sf1, ~25%). Cache is
+    session-scoped by design — the bench harness clears it between
+    measured runs; a production pipeline reusing signatures across jobs
+    should write them out (``plans/ann_index.py`` is that pattern)."""
     cand = _band_candidates(s)
     sh_only = s.select("doc_id", "sh")
     verified = cand.join(
@@ -377,7 +384,7 @@ def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hashes", shingle_hashes_md5(F.col("sh")))
         .withColumn("sig", minhash_signature(F.col("hashes")))
         .drop("hashes")
-        .repartition(F.col("doc_id"))  # shuffle barrier, see _lsh_verified_pairs
+        .persist()  # materialization barrier, see _lsh_verified_pairs
     )
     return _lsh_verified_pairs(s)
 
@@ -1204,7 +1211,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hashes", shingle_hashes_md5(F.col("sh")))
         .withColumn("sig", minhash_signature(F.col("hashes")))
         .drop("hashes")
-        .repartition(F.col("doc_id"))  # shuffle barrier, see _lsh_verified_pairs
+        .persist()  # materialization barrier, see _lsh_verified_pairs
     )
     cand = _band_candidates(s)
     side = s.select("doc_id", "sh", "sig")
