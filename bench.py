@@ -156,13 +156,18 @@ def main() -> None:
         timings[name] = round(min(steady), 3)
     spark.catalog.clearCache()
 
-    # WOD conversion throughput (the reference's core workload) — min of
-    # two full runs into fresh output dirs (same noise reasoning; the
-    # first run additionally absorbs the write path's codegen).
+    # WOD conversion throughput (the reference's core workload) — same
+    # protocol as the headliners above: one cold run (recorded in
+    # cold_runs detail) + min of three steady runs, each into a fresh
+    # output dir. The previous min-of-2 never reached steady state: the
+    # partitioned-writer path (1,652 parquet file creations) takes ~4
+    # runs of JVM JIT before its per-file cost bottoms out (measured
+    # 8.2 -> 4.5 s over runs 1-5 warm, tools/exp_convert_stages.py), so
+    # min-of-2 reported mid-warmup numbers — the r7 driver-vs-warm gap
+    # (5.82 vs 3.24 s) was warmup, not plan cost.
     from wod_ascii_to_parquet_spark_spark.plans.convert import FileTask, convert_file
 
-    wod_runs = []
-    for _ in range(2):
+    def _wod_run() -> float:
         out = tempfile.mkdtemp(prefix="bench_wod_")
         try:
             task = FileTask(
@@ -174,10 +179,12 @@ def main() -> None:
             )
             t0 = time.perf_counter()
             convert_file(spark, task)
-            wod_runs.append(time.perf_counter() - t0)
+            return time.perf_counter() - t0
         finally:
             shutil.rmtree(out, ignore_errors=True)
-    timings["wod_convert_xbt"] = round(min(wod_runs), 3)
+
+    cold["wod_convert_xbt"] = round(_wod_run(), 3)
+    timings["wod_convert_xbt"] = round(min(_wod_run() for _ in range(3)), 3)
 
     total = round(sum(timings.values()), 3)
     # The ONE printed line stays compact: the driver captures only the last
@@ -232,6 +239,38 @@ def main() -> None:
                 "split the barrier. Measured 2.1->1.8s sf0.1, 6.2->4.7s "
                 "sf1 (tools/exp_minhash_persist.py); applied to all three "
                 "_lsh_verified_pairs callers."
+            ),
+            "wod_convert_xbt": (
+                "driver-cold 5.82 vs warm 3.24 gap root-caused as JVM JIT "
+                "warmup of the partitioned-writer path, not plan cost: "
+                "stage-timed warm runs descend 8.2->4.5s over runs 1-5 "
+                "(tools/exp_convert_stages.py; at 1.3x-slow probe). Steady "
+                "split: decode 0.9s (noop sink), write job ~3.5s (1,652 "
+                "file creations - the layout contract), footer 0.4s, plan "
+                "build 0.2s. Codec sweep: snappy best (zstd 2x, none "
+                "+20%); dictionary-off and page-size knobs within noise; "
+                "16 writer tasks re-confirmed vs 24/32 "
+                "(tools/exp_convert_write.py, exp_convert_writer_opts.py). "
+                "Fix: bench convert segment now matches the headliner "
+                "protocol (1 cold + min-of-3 steady) instead of min-of-2, "
+                "which always reported mid-warmup numbers."
+            ),
+            "clearCache_protocol": (
+                "r8 adds spark.catalog.clearCache() between steady runs "
+                "(advisor item): r7 steady numbers for persist-bearing "
+                "queries timed cached scans, and cached subtrees could "
+                "assist other queries sharing plan fragments. Honest "
+                "isolated A/B (cache cleared, min of 3-4) re-validated "
+                "both r8 persist changes ON the honest protocol: pagerank "
+                "persist 2.95s vs repartition 5.09s vs none 5.63s sf0.1 "
+                "(6.2/16.5/13.8 sf1, tools/exp_pagerank_barrier.py); "
+                "minhash LSH persist 1.72 vs repartition 1.87 sf0.1 "
+                "(4.4 vs 7.2 sf1, tools/exp_minhash_honest.py). A "
+                "clearCache-vs-not A/B on five non-persisting queries "
+                "showed the call itself is neutral (+-5%, "
+                "tools/exp_clearcache_ab.py). Expect r8 driver numbers "
+                "for pagerank/minhash to sit ABOVE r7's cache-assisted "
+                "readings while the honest pipeline got faster."
             ),
         },
     )
