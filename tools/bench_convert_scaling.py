@@ -1,0 +1,118 @@
+"""Scale-up evidence for the CORE workload (WOD convert): measure
+convert_file at 1x / 4x / 16x the bundled fixture and a multi-file
+``convert`` run, then append a ``convert`` section to SCALING.json.
+
+Input synthesis: the WOD ASCII format is a self-delimiting stream of
+cast records (each record carries its own byte length in the header),
+so concatenating the decompressed fixture N times is a valid N-times
+larger input — same cast distribution, same 1,652 geohash3 partition
+dirs, N-times the rows per output file. That makes the sweep isolate
+the two costs that grow with data: the single-file gunzip+frame scatter
+and the per-partition-file row volume, while the fixed per-file costs
+(1,652 parquet creations, footer attach) stay constant — exactly the
+amortization story a real multi-terabyte year file benefits from.
+
+Writes temp inputs under /tmp (never touches /root/testdata or the
+read-only reference tree).
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import math
+import os
+import shutil
+import tempfile
+import time
+
+from wod_ascii_to_parquet_spark_spark.session import get_spark
+
+spark = get_spark(app_name="convscale", master="local[32]", shuffle_partitions=32)
+
+from wod_ascii_to_parquet_spark_spark.plans.convert import FileTask, convert, convert_file
+
+SRC = "/root/reference/src/test/resources/wod/XBT/OBS/XBTO1967.gz"
+FACTORS = [1, 4, 16]
+
+workdir = tempfile.mkdtemp(prefix="convscale_")
+raw = gzip.decompress(open(SRC, "rb").read())
+inputs: dict[int, str] = {}
+for n in FACTORS:
+    p = os.path.join(workdir, f"XBTO1967x{n}.gz")
+    with gzip.open(p, "wb", compresslevel=1) as fh:
+        for _ in range(n):
+            fh.write(raw)
+    inputs[n] = p
+
+# JIT warmup: the write path needs ~4 runs to reach steady state
+# (tools/exp_convert_stages.py) — warm on the 1x input first.
+for _ in range(4):
+    out = tempfile.mkdtemp(prefix="convscale_w_")
+    try:
+        convert_file(spark, FileTask("XBT", "OBS", inputs[1], out, out))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+results: dict[str, dict] = {}
+for n in FACTORS:
+    runs = []
+    for _ in range(3):
+        out = tempfile.mkdtemp(prefix=f"convscale_{n}_")
+        try:
+            t0 = time.perf_counter()
+            convert_file(spark, FileTask("XBT", "OBS", inputs[n], out, out))
+            runs.append(time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+    results[f"x{n}"] = {"sec": round(min(runs), 3), "casts": 9390 * n}
+    print({"factor": n, "runs": [round(r, 2) for r in runs]}, flush=True)
+
+t1, t16 = results["x1"]["sec"], results["x16"]["sec"]
+exponent = round(math.log(t16 / t1) / math.log(16), 3)
+
+# Multi-file: 8 distinct 1x files through the `convert` plan, pooled vs
+# serial — evidence the thread pool pipelines scheduling gaps.
+multi_root = os.path.join(workdir, "multi")
+for i in range(8):
+    d = os.path.join(multi_root, "XBT", "OBS")
+    os.makedirs(d, exist_ok=True)
+    shutil.copy(inputs[1], os.path.join(d, f"XBTO{1960 + i}.gz"))
+
+multi: dict[str, float] = {}
+for conc in (1, 4):
+    out_root = tempfile.mkdtemp(prefix=f"convscale_m{conc}_")
+    try:
+        t0 = time.perf_counter()
+        convert(
+            spark,
+            multi_root,
+            out_root,
+            datasets=("XBT",),
+            levels=("OBS",),
+            max_concurrent=conc,
+        )
+        multi[f"concurrent_{conc}"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+print({"multi_file_8x1": multi}, flush=True)
+
+doc = json.load(open("/root/repo/SCALING.json"))
+doc["convert"] = {
+    "input": "XBTO1967 fixture repeated Nx (9,390 casts, 5.6 MB raw each)",
+    "method": "min of 3 warm runs per factor after 4-run JIT warmup; "
+    "fresh output dir per run; single convert_file job",
+    "factors": results,
+    "exponent_x1_to_x16": exponent,
+    "multi_file_8x1_sec": multi,
+    "note": (
+        "Sublinear exponent expected: the 1,652 parquet file creations "
+        "+ footer attach are fixed per file-job, so per-cast cost falls "
+        "as the input grows — the amortization real multi-GB year files "
+        "get. The multi-file pair evidences the convert pool (LPT + "
+        "ThreadPoolExecutor) pipelining independent file jobs."
+    ),
+}
+json.dump(doc, open("/root/repo/SCALING.json", "w"), indent=1)
+shutil.rmtree(workdir, ignore_errors=True)
+print("SCALING.json updated", flush=True)
