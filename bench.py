@@ -138,6 +138,11 @@ def main() -> None:
     cold: dict[str, float] = {}
     for name in HEADLINERS:
         q = queries[name]
+        # Clear BEFORE the cold run too: the previous query's last steady
+        # run leaves its persist()ed frames live, and CacheManager's
+        # plan-fragment matching would let them assist this query's cold
+        # number (e.g. sibling minhash arms sharing the shingle frame).
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)

@@ -23,7 +23,12 @@ TABLE = "test_ann_idx"
 
 @pytest.fixture(scope="module")
 def ann_index(spark):
-    build_ann_index(spark, SF_DIR, table=TABLE, n_buckets=8)
+    # n_cells pinned to the live similarity_ann_ivf_adc query's fixed
+    # 16-cell quantizer: the equivalence test below inherits the oracle's
+    # guarantee only through exact agreement with that query. The
+    # PRODUCTION default (n_cells=None -> ceil(sqrt(N))) is covered by
+    # test_default_cells_scale_sqrt_n.
+    build_ann_index(spark, SF_DIR, table=TABLE, n_buckets=8, n_cells=16)
     yield TABLE
     for t in (TABLE, f"{TABLE}__codebooks", "test_ann_idx2",
               "test_ann_idx2__codebooks"):
@@ -97,6 +102,34 @@ def test_index_schema_and_size(spark, ann_index):
     assert (
         books.first()["build_id"] == idx.select("build_id").first()["build_id"]
     )
+
+
+def test_default_cells_scale_sqrt_n(spark, ann_index):
+    """The production default (n_cells=None) sizes the IVF quantizer to
+    ceil(sqrt(N)) — the FAISS rule — so per-probe candidate volume stays
+    ~nprobe·√N as the corpus grows instead of degrading toward a full
+    scan at a fixed cell count. The persisted quantizer is what probes
+    read, so the default changes no existing probe's result."""
+    import math
+
+    build_ann_index(spark, SF_DIR, table="test_ann_sqrtn", n_buckets=8)
+    try:
+        n = load(spark, SF_DIR, "embeddings").count()
+        books = spark.table("test_ann_sqrtn__codebooks")
+        n_seeds = books.select(F.size("__seeds")).first()[0]
+        assert n_seeds == math.ceil(math.sqrt(n))
+        # every cell id is one of the seed vec_ids
+        cells = {
+            r[0]
+            for r in spark.table("test_ann_sqrtn")
+            .select("cell")
+            .distinct()
+            .collect()
+        }
+        assert cells <= set(range(n_seeds))
+    finally:
+        for t in ("test_ann_sqrtn", "test_ann_sqrtn__codebooks"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_probe_rejects_torn_index_codebook_pair(spark, ann_index):

@@ -207,3 +207,46 @@ def test_local_append_heals_torn_tail(tmp_path):
         t2 = pa.BufferReader(head)
         assert pq.read_metadata(t2).num_rows == original.num_rows
         os.truncate(f, size0)  # reset for the next garbage flavor
+
+
+def test_rewrite_with_geo_heals_torn_delete_rename_window():
+    """In-task retry safety (not just attach re-runs): a previous attempt
+    that crashed between delete(path) and rename(tmp, path) left only the
+    finished temp. The retry lands back in _rewrite_with_geo, which must
+    promote the temp in place and converge — NOT fail all its attempts on
+    the missing base object."""
+    from wod_ascii_to_parquet_spark_spark.plans.geo_metadata import (
+        _footer_suffix,
+        _rewrite_with_geo,
+        geo_footer_dict,
+    )
+
+    class Store(FakeFs):
+        def read_bytes(self, path: str, limit=None) -> bytes:
+            if path not in self.files:
+                raise FileNotFoundError(path)
+            return self.files[path]
+
+    geo = json.dumps(geo_footer_dict("point")).encode()
+    blob = _parquet_bytes()
+    md = pq.read_metadata(pa.BufferReader(blob))
+    stamped = blob + _footer_suffix(md, geo)
+
+    # State as left by a crash after delete, before rename:
+    path = "s3a://bucket/data/part-0.parquet"
+    store = Store({path + _REMOTE_TMP_SUFFIX: stamped})
+
+    _rewrite_with_geo(store, path, geo)
+    assert path in store.files
+    assert path + _REMOTE_TMP_SUFFIX not in store.files
+    assert _geo_of(store.files[path])["version"] == _geo_of(stamped)["version"]
+
+    # Converged: a further retry is a no-op (idempotent skip).
+    before = dict(store.files)
+    _rewrite_with_geo(store, path, geo)
+    assert store.files == before
+
+    # And a genuinely missing object (no temp either) surfaces the
+    # original not-found, not a rename error.
+    with pytest.raises(FileNotFoundError):
+        _rewrite_with_geo(store, "s3a://bucket/data/absent.parquet", geo)

@@ -780,3 +780,120 @@ def test_hundred_commit_log_stays_bounded(spark, tmp_path, monkeypatch):
     # data skipping still prunes from manifest metadata alone
     pruned = t.read(between=("k", 100, 104))
     assert {r.k for r in pruned.collect()} >= set(range(100, 105))
+
+
+class _RecordingBuilder:
+    """createFile() builder stub that records the must()-option calls —
+    pins the HADOOP-19256 option POLARITY: the value must be TRUE to
+    request the server-side If-None-Match PUT; a False would be accepted
+    by a connector that knows the key and silently run the racy
+    HEAD-then-PUT path (a bug this suite once shipped)."""
+
+    def __init__(self, sink: dict):
+        self._sink = sink
+
+    def overwrite(self, flag):
+        self._sink["overwrite"] = flag
+        return self
+
+    def must(self, key, value):
+        self._sink.setdefault("must", {})[key] = value
+        return self
+
+    def build(self):
+        class _Stream:
+            def write(self, data):
+                pass
+
+            def close(self):
+                pass
+
+        self._sink["built"] = True
+        return _Stream()
+
+
+def test_conditional_create_requests_true_polarity(monkeypatch):
+    """_conditional_create must pass must(fs.option.create.conditional.
+    overwrite, True) — True ENABLES the conditional PUT; False is still a
+    valid build on a conditional-capable store but degrades it to the
+    client-side check this arm exists to avoid."""
+    from wod_ascii_to_parquet_spark_spark.sources import filesystem as FS
+
+    recorded: dict = {}
+
+    class _Fs:
+        def createFile(self, p):
+            return _RecordingBuilder(recorded)
+
+        def getUri(self):
+            class _U:
+                def toString(self):
+                    return "mock://bucket"
+
+            return _U()
+
+    client = FS.FsClient.__new__(FS.FsClient)
+    client._cond_create_support = {}
+    monkeypatch.setattr(
+        FS.FsClient, "_fs_path", lambda self, path: (_Fs(), path)
+    )
+    assert client._conditional_create("mock://bucket/v0.json", b"{}") is True
+    assert recorded["overwrite"] is False
+    assert recorded["must"] == {FS._CONDITIONAL_CREATE_OPT: True}
+    assert client._cond_create_support["mock://bucket"] is True
+
+
+def test_unknown_builder_option_match_is_narrow():
+    """_is_unknown_builder_option must not misclassify arbitrary failures
+    whose str() merely MENTIONS UnsupportedOperationException or the
+    option key (a Py4JJavaError's str carries the whole Java stack
+    trace) — a false positive permanently disables the conditional arm
+    for the session."""
+    from wod_ascii_to_parquet_spark_spark.sources import filesystem as FS
+
+    # spec-mandated rejection message: matched
+    assert FS._is_unknown_builder_option(
+        Exception("java.lang.IllegalArgumentException: Unknown mandatory key "
+                  f"\"{FS._CONDITIONAL_CREATE_OPT}\"")
+    )
+    # transient failure whose trace mentions the class name: NOT matched
+    assert not FS._is_unknown_builder_option(
+        Exception("connection reset\nCaused by: "
+                  "java.lang.UnsupportedOperationException: other thing")
+    )
+    # config dump echoing the option key: NOT matched
+    assert not FS._is_unknown_builder_option(
+        Exception(f"timeout while applying {FS._CONDITIONAL_CREATE_OPT}")
+    )
+
+    class _JExc:
+        def __init__(self, cls, msg):
+            self._cls, self._msg = cls, msg
+
+        def getClass(self):
+            outer = self
+
+            class _C:
+                def getName(self):
+                    return outer._cls
+
+            return _C()
+
+        def getMessage(self):
+            return self._msg
+
+    class _Py4JStyle(Exception):
+        def __init__(self, jexc):
+            super().__init__("py4j wrapper")
+            self.java_exception = jexc
+
+    # top-level UnsupportedOperationException naming the option: matched
+    assert FS._is_unknown_builder_option(
+        _Py4JStyle(_JExc("java.lang.UnsupportedOperationException",
+                         f"unsupported: {FS._CONDITIONAL_CREATE_OPT}"))
+    )
+    # same class, unrelated message: NOT matched
+    assert not FS._is_unknown_builder_option(
+        _Py4JStyle(_JExc("java.lang.UnsupportedOperationException",
+                         "stream does not support hflush"))
+    )

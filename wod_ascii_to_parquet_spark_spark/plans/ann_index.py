@@ -57,6 +57,7 @@ def build_ann_index(
     sf_dir: str,
     table: str = INDEX_TABLE,
     n_buckets: int = 8,
+    n_cells: int | None = None,
 ) -> str:
     """One map-only corpus pass → ``(vec_id, cell, codes, build_id)``
     persisted as a parquet table bucketed+sorted by ``cell``, plus the two
@@ -64,14 +65,27 @@ def build_ann_index(
     ``<table>__codebooks`` sidecar table. Returns the ``build_id`` stamped
     into both tables — the pair-consistency token ``probe_ann_index``
     checks (the two writes are not atomic together; the id turns a crash
-    window into a fast failure instead of silently wrong neighbors)."""
+    window into a fast failure instead of silently wrong neighbors).
+
+    ``n_cells``: IVF cell count — default sizes to ``ceil(sqrt(N))`` (the
+    FAISS rule; per-query probe work stays ~``nprobe·N/√N`` and the cells
+    stay balanced as the corpus grows — a FIXED count would turn into a
+    full scan per probe at 100 TB). Probe consistency is automatic either
+    way: ``probe_ann_index`` quantizes queries against the PERSISTED
+    seeds in ``<table>__codebooks``, never a recomputed set, and the
+    incremental-append arm freezes the same quantizer."""
     build_id = uuid.uuid4().hex
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    seeds = e.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
-    )
+    if n_cells is None:
+        from ..operators.similarity import _sqrt_n_seeds
+
+        seeds = _sqrt_n_seeds(e)
+    else:
+        seeds = e.filter(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
+        )
     seed_arr = _seed_array(seeds)
     cb = _pq_codebook(e)
     encoded = (

@@ -282,18 +282,35 @@ def _rewrite_with_geo(store, path: str, geo: bytes) -> None:
     from :func:`_resolve_executor_store`, or the driver FsClient in the
     fallback arm). Idempotent: an object whose footer already carries this
     exact value is skipped. Never rewrites the object under its final key
-    in one step: the new bytes land in a sibling temp, then delete + rename
-    — every intermediate state is healed by the attach's recovery pre-pass,
-    so task retries and crashes at any point are safe. Runs on Spark Python
-    workers (module-level, pickles by reference)."""
+    in one step: the new bytes land in a sibling temp, then delete + rename.
+
+    RETRY-SAFE IN-TASK, not just across attach re-runs: a previous attempt
+    (this task's or a crashed executor's) can die between the delete and
+    the rename, leaving only the finished temp. The driver-side recovery
+    pre-pass heals that on a full re-run, but Spark's in-job task RETRY
+    lands back HERE first — so a missing base object with a live temp is
+    promoted in place (the temp is only ever written complete-with-geo,
+    and the post-promotion re-read makes the skip check the arbiter).
+    Runs on Spark Python workers (module-level, pickles by reference)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    data = store.read_bytes(path)
+    tmp = path + _REMOTE_TMP_SUFFIX
+    try:
+        data = store.read_bytes(path)
+    except (FileNotFoundError, IOError, OSError) as read_err:
+        # Torn previous attempt: promote its finished temp, then fall
+        # through to the skip check on the promoted bytes. No temp →
+        # the object genuinely does not exist; the original not-found
+        # is the real error, not the failed promotion.
+        try:
+            store.rename(tmp, path)
+        except Exception:
+            raise read_err
+        data = store.read_bytes(path)
     md = pq.read_metadata(pa.BufferReader(data))
     if (md.metadata or {}).get(b"geo") == geo:
         return
-    tmp = path + _REMOTE_TMP_SUFFIX
     store.write_bytes(tmp, data + _footer_suffix(md, geo))
     store.delete(path)
     store.rename(tmp, path)
@@ -394,27 +411,31 @@ class _MountStore:
         raise ValueError(f"{path!r}: no viewfs mount link covers it")
 
     def _local_or_store(self, path: str):
-        """(os_path, None) for file-backed targets, (None, store) else."""
+        """``(os_path, None, None)`` for file-backed targets,
+        ``(None, store, rewritten_target)`` otherwise — the rewritten
+        target rides along so callers resolve the mount table ONCE per
+        operation (a second `_rewrite` call would double the prefix scan
+        and could diverge from this one if the mounts ever mutated)."""
         from ..sources.filesystem import local_os_path
 
         t = self._rewrite(path)
         local = local_os_path(t)
         if local is not None:
-            return local, None
+            return local, None, None
         base = t.rsplit("/", 1)[0]
         if base not in self._sub:
             self._sub[base] = _PyArrowStore(base)
-        return None, self._sub[base]
+        return None, self._sub[base], t
 
     def read_bytes(self, path: str) -> bytes:
-        local, store = self._local_or_store(path)
+        local, store, t = self._local_or_store(path)
         if local is not None:
             with open(local, "rb") as fh:
                 return fh.read()
-        return store.read_bytes(self._rewrite(path))
+        return store.read_bytes(t)
 
     def write_bytes(self, path: str, data: bytes) -> None:
-        local, store = self._local_or_store(path)
+        local, store, t = self._local_or_store(path)
         if local is not None:
             with open(local, "wb") as fh:
                 fh.write(data)
@@ -424,31 +445,31 @@ class _MountStore:
             # Hadoop read — drop it (reads without crc skip verification).
             _drop_stale_crc(local)
             return
-        store.write_bytes(self._rewrite(path), data)
+        store.write_bytes(t, data)
 
     def delete(self, path: str) -> None:
-        local, store = self._local_or_store(path)
+        local, store, t = self._local_or_store(path)
         if local is not None:
             import os
 
             os.remove(local)
             _drop_stale_crc(local)
             return
-        store.delete(self._rewrite(path))
+        store.delete(t)
 
     def rename(self, src: str, dst: str) -> None:
-        local_src, store = self._local_or_store(src)
+        local_src, store, t_src = self._local_or_store(src)
         if local_src is not None:
             import os
 
-            local_dst, _ = self._local_or_store(dst)
+            local_dst, _, _ = self._local_or_store(dst)
             os.replace(local_src, local_dst)
             # both names' crc sidecars are invalid now (src's points at a
             # gone file, dst's at replaced content)
             _drop_stale_crc(local_src)
             _drop_stale_crc(local_dst)
             return
-        store.rename(self._rewrite(src), self._rewrite(dst))
+        store.rename(t_src, self._rewrite(dst))
 
 
 def _viewfs_mount_map(spark, authority: str) -> dict[str, str]:
@@ -488,7 +509,11 @@ def _resolve_executor_store(spark, base_uri: str):
         probe._resolve()
     except Exception:
         return None
-    return _PyArrowStore(base_uri)
+    # Ship the probe itself: __getstate__ strips the resolved client, so
+    # the pickled payload is identical to a fresh instance — and for
+    # s3/gs, from_uri can pay a region-resolution round-trip we should
+    # not repeat.
+    return probe
 
 
 def _append_footer_with_geo(path: str, geo: bytes) -> None:

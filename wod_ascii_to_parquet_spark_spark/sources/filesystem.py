@@ -98,13 +98,29 @@ def _is_unknown_builder_option(e: Exception) -> bool:
     the mandatory conditional-create key — the spec-mandated rejection is
     ``IllegalArgumentException("Unknown mandatory key ...")`` (verified
     against Hadoop 3.4.2's local/viewfs builders); an
-    UnsupportedOperationException is the other documented spelling."""
-    msg = str(e)
-    return (
-        "Unknown mandatory key" in msg
-        or "UnsupportedOperationException" in msg
-        or _CONDITIONAL_CREATE_OPT in msg
-    )
+    UnsupportedOperationException raised AS the top-level exception is
+    the other documented spelling.
+
+    Deliberately narrow: a Py4JJavaError's ``str()`` carries the whole
+    Java stack trace, so substring-matching the exception-class name or
+    the option key against it would misclassify unrelated transient
+    failures (e.g. a wrapped cause chain that merely mentions
+    UnsupportedOperationException, or a config dump echoing the key)
+    and permanently disable the conditional arm for the session. We
+    therefore check the TOP-LEVEL exception class via py4j when
+    available, plus the one spec-mandated message prefix."""
+    if "Unknown mandatory key" in str(e):
+        return True
+    jexc = getattr(e, "java_exception", None)
+    if jexc is not None:
+        try:
+            cls = jexc.getClass().getName()
+        except Exception:
+            return False
+        return cls.endswith(
+            (".UnsupportedOperationException", ".IllegalArgumentException")
+        ) and _CONDITIONAL_CREATE_OPT in (jexc.getMessage() or "")
+    return False
 
 
 def apply_s3a_confs(spark: SparkSession, confs: dict[str, str]) -> None:
@@ -339,7 +355,13 @@ class FsClient:
             stream = (
                 fs.createFile(p)
                 .overwrite(False)
-                .must(_CONDITIONAL_CREATE_OPT, False)
+                # TRUE enables the feature: the s3a client then skips its
+                # HEAD probe and issues the close()-time PUT with
+                # ``If-None-Match: *`` so the SERVER arbitrates. A False
+                # here would be accepted by a connector that knows the
+                # key and silently run the racy HEAD-then-PUT path —
+                # exactly what this arm exists to avoid.
+                .must(_CONDITIONAL_CREATE_OPT, True)
                 .build()
             )
         except Exception as e:
