@@ -732,3 +732,83 @@ def test_bot_regularity_flags_are_the_low_variance_tail(spark):
     if flagged and unflagged:
         assert max(flagged) < min(unflagged)
     assert all(r.gap_cv >= 0 for r in rows)
+
+
+def test_prefix_filter_kernels_equal_naive_all_pairs(spark):
+    """The r8 prefix-filter candidate step (SSJoin theorem) must return
+    EXACTLY the naive blocked all-pairs kernels' results — it is an
+    exactness-preserving plan change, not an approximation. Brute force
+    on a synthetic frame dense in near-dups (template docs with 0-3 word
+    substitutions → many pairs straddling both thresholds), far more
+    differential coverage than the sf fixtures' sparse duplicate pairs."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from wod_ascii_to_parquet_spark_spark.operators.dedup import (
+        jaccard,
+        shingles,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    words = base.split()
+    rows = []
+    doc_id = 0
+    for lang, src in itertools.product(["en", "de"], ["web", "news"]):
+        for k in range(12):
+            w = list(words)
+            for j in range(k % 4):  # 0-3 substitutions -> graded overlap
+                w[(k + j * 3) % len(w)] = f"tok{k}_{j}"
+            rows.append((doc_id, lang, src, " ".join(w)))
+            doc_id += 1
+    d = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+
+    s = d.select(
+        "doc_id", "lang", "source",
+        F.array_sort(shingles(F.col("text"))).alias("sh"),
+    )
+    a = s.select(*[F.col(c).alias(f"{c}_a") for c in s.columns])
+    b = s.select(*[F.col(c).alias(f"{c}_b") for c in s.columns])
+    blocked = a.join(
+        b,
+        (F.col("lang_a") == F.col("lang_b"))
+        & (F.col("source_a") == F.col("source_b"))
+        & (F.col("doc_id_a") < F.col("doc_id_b")),
+    )
+    jac = jaccard(F.col("sh_a"), F.col("sh_b"))
+    naive_jac = {
+        (r[0], r[1], r[2])
+        for r in blocked.filter(jac >= 0.5)
+        .select("doc_id_a", "doc_id_b", F.round(jac, 6))
+        .collect()
+    }
+    cont = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.least(
+        F.size("sh_a"), F.size("sh_b")
+    )
+    naive_cont = {
+        (r[0], r[1], r[2])
+        for r in blocked.filter(
+            (F.size("sh_a") >= 1) & (F.size("sh_b") >= 1) & (cont >= 0.8)
+        )
+        .select("doc_id_a", "doc_id_b", F.round(cont, 6))
+        .collect()
+    }
+    assert naive_jac and naive_cont, "synthetic frame produced no pairs"
+
+    # Route the registered queries over the synthetic frame by swapping
+    # the loader input: both kernels read documents via spread(load(...)),
+    # so write the frame as a parquet 'documents' table in a temp sf dir.
+    import tempfile
+
+    sf_dir = tempfile.mkdtemp(prefix="prefix_filter_sf_")
+    d.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    got_jac = {
+        (r.doc_a, r.doc_b, r.jac)
+        for r in QUERIES["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    got_cont = {
+        (r.doc_a, r.doc_b, r.containment)
+        for r in QUERIES["dedup_containment"].fn(spark, sf_dir).collect()
+    }
+    assert got_jac == naive_jac
+    assert got_cont == naive_cont

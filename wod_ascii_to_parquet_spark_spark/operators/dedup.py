@@ -77,34 +77,68 @@ _SHINGLE_SQL = """
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs, blocked by (lang, source).
+    """Exact 3-gram Jaccard near-dup pairs, blocked by (lang, source),
+    with PREFIX-FILTER candidate generation (SSJoin/PPJoin family) —
+    exactness preserved, quadratic block kernel removed.
 
-    The block join is an equi-join on the blocking key — pair count is
-    Σ|block|², never |corpus|². At 100 TB, blocking keys come from cheap
-    content signals (domain, language, length bucket)."""
+    The original plan compared every in-block pair (Σ|block|²); with a
+    FIXED set of (lang, source) blocks that is N²/k — measured α=1.54 in
+    the r8 sf0.1→sf1 sweep (1.0→36 s), the same fixed-denominator blowup
+    the √N-cell fix removed from semdedup. The prefix-filter theorem
+    restores a subquadratic candidate step WITHOUT approximation: fix any
+    total order on shingles (lexicographic here); if J(A,B) ≥ t then A
+    and B share a shingle within each one's first ⌊(1−t)·|X|⌋+1 sorted
+    shingles — else the intersection fits entirely in a suffix smaller
+    than t·max(|A|,|B|) ≤ |A∩B|. So candidates = equi-join of the
+    exploded ⌊|sh|/2⌋+1 prefixes on (lang, source, shingle), and the
+    exact Jaccard verify runs only on those — the banded-LSH plan shape
+    with a PROOF instead of a probability. Candidate volume is
+    Σ_shingle df_prefix², driven by shingle-frequency skew rather than
+    block size; the oracle is UNCHANGED (semantics identical).
+    """
+    t = 0.5
     d = spread(load(spark, sf_dir, "documents"))
-    s = d.select("doc_id", "lang", "source", shingles(F.col("text")).alias("sh"))
-    a = s.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("lang").alias("lang_a"),
-        F.col("source").alias("src_a"),
-        F.col("sh").alias("sh_a"),
+    s = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_sort(shingles(F.col("text"))).alias("sh"),
+    ).persist()  # 3 consumers: prefix side a, prefix side b, verify
+    prefix_len = (
+        F.floor(F.size("sh") * F.lit(1.0 - t)).cast("int") + F.lit(1)
     )
-    b = s.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("source").alias("src_b"),
-        F.col("sh").alias("sh_b"),
+    p = s.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.slice("sh", F.lit(1), prefix_len)).alias("g"),
+    )
+    cand = (
+        p.alias("a")
+        .join(
+            p.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
     )
     jac = jaccard(F.col("sh_a"), F.col("sh_b"))
     return (
-        a.join(
-            b,
-            (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("src_a") == F.col("src_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
+        cand.join(
+            s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
         )
-        .filter(jac >= 0.5)
+        .join(
+            s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .filter(jac >= t)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jac"))
     )
 
@@ -129,35 +163,67 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, source) blocks — the asymmetric cousin of Jaccard that catches
     doc-IN-doc duplication (quote farms, boilerplate wrappers, truncated
     re-crawls), which symmetric Jaccard scores low when the sizes differ.
-    Same blocked-equi-join shape as ``dedup_ngram_jaccard`` (pair space
-    Σ|block|², the deliberately-confined exact kernel); at 100 TB the
-    candidate step swaps to the banded-LSH generator and this expression
-    becomes the verify."""
+
+    Candidate generation is the ASYMMETRIC prefix filter (the overlap-join
+    variant of the SSJoin theorem ``dedup_ngram_jaccard`` uses): if
+    ``|A∩B| ≥ 0.8·min(|A|,|B|)`` then, in any fixed total shingle order,
+    the SMALLER set's first ``⌊0.2·|S|⌋+1`` shingles must contain an
+    intersection element — which by definition sits in the larger set's
+    FULL shingle list. (Strictly: were the prefix disjoint from A∩B, the
+    intersection would fit in the remaining ``< 0.8·|S|`` suffix slots.)
+    Roles are unknown per pair, so candidates are prefix(X) ⨝ full(Y)
+    over BOTH role assignments via unordered-pair normalization — a
+    superset of qualifying pairs, exactness preserved, and the old
+    Σ|block|² kernel (measured 51 s at sf1: a fixed block count makes it
+    N²/k) becomes Σ_g df_prefix(g)·df(g). Oracle UNCHANGED."""
+    t = 0.8
     d = spread(load(spark, sf_dir, "documents"))
-    s = d.select("doc_id", "lang", "source", shingles(F.col("text")).alias("sh"))
-    a = s.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("lang").alias("lang_a"),
-        F.col("source").alias("src_a"),
-        F.col("sh").alias("sh_a"),
+    s = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_sort(shingles(F.col("text"))).alias("sh"),
+    ).persist()  # 4 consumers: prefix, full, verify a, verify b
+    prefix_len = (
+        F.floor(F.size("sh") * F.lit(1.0 - t)).cast("int") + F.lit(1)
     )
-    b = s.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("source").alias("src_b"),
-        F.col("sh").alias("sh_b"),
+    p = s.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.slice("sh", F.lit(1), prefix_len)).alias("g"),
+    )
+    full = s.select(
+        "doc_id", "lang", "source", F.explode("sh").alias("g")
+    )
+    cand = (
+        p.alias("a")
+        .join(
+            full.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
     )
     cont = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.least(
         F.size("sh_a"), F.size("sh_b")
     )
     return (
-        a.join(
-            b,
-            (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("src_a") == F.col("src_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
+        cand.join(
+            s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
         )
-        .filter((F.size("sh_a") >= 1) & (F.size("sh_b") >= 1) & (cont >= 0.8))
+        .join(
+            s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .filter((F.size("sh_a") >= 1) & (F.size("sh_b") >= 1) & (cont >= t))
         .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
     )
 
@@ -980,21 +1046,51 @@ _COS_SQL = """
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-dup pairs (cosine ≥ 0.4), blocked by label —
     the same confinement discipline as the text arms: at 100 TB the block
-    key is an ANN bucket (see ``similarity_ann_lsh``), never all-pairs."""
-    e = load(spark, sf_dir, "embeddings").select(
+    key is an ANN bucket (see ``similarity_ann_lsh``), never all-pairs.
+    ``label`` is a SEMANTIC block (part of the query's meaning, unlike
+    semdedup's arbitrary cells), so the Σ|block|² pair volume is the
+    price of this exact arm by definition; what the plan controls is the
+    per-pair constant — norms are hoisted to per-row columns BEFORE the
+    join (r8; the r7 semdedup lesson), so each pair pays ONE zip_with
+    fold (the dot) instead of three. Same arithmetic, same rounding,
+    oracle unchanged."""
+    raw = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
+    # coalesce → provably non-nullable norm (the simhash-fp lesson; same
+    # wrap as similarity.py's rerank kernels): otherwise constraint
+    # inference pushes an isnotnull(<norm fold>) copy of the whole
+    # aggregate into a Filter — the plan-lint rule-3 trap. A null emb row
+    # yields null dot → null sim → filtered, before and after.
+    norm = F.coalesce(
+        F.sqrt(
+            F.aggregate(
+                F.transform("emb", lambda x: x * x),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            )
+        ),
+        F.lit(0.0),
+    )
+    e = raw.withColumn("nrm", norm)
     a = e.select(
         F.col("vec_id").alias("vec_a"),
         F.col("label").alias("label_a"),
         F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
     )
     b = e.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
         F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
     )
-    sim = cosine(F.col("emb_a"), F.col("emb_b"))
+    dot = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    sim = dot / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         a.join(
             b,
