@@ -812,3 +812,103 @@ def test_prefix_filter_kernels_equal_naive_all_pairs(spark):
     }
     assert got_jac == naive_jac
     assert got_cont == naive_cont
+
+
+def test_containment_prefix_boundary_multiples_of_five(spark):
+    """Regression for the float prefix-length bug: ``1.0 − 0.8`` is
+    0.19999999999999996 in doubles, so ``⌊n·(1−t)⌋+1`` was one element
+    short of the SSJoin requirement for every shingle count that is a
+    multiple of 5 — and pairs at containment EXACTLY 0.8 (inclusive
+    threshold) whose intersection occupies the sorted SUFFIX of the
+    smaller set were dropped by the candidate step.
+
+    Three engineered pairs with |smaller| ∈ {5, 10, 15} shingles,
+    intersection exactly 0.8·|smaller| sitting in the sorted suffix
+    (unique shingles named 'aa…' sort first), and the LARGER side's
+    sort-front shingles ('b…') disjoint from the smaller — so neither
+    role's buggy prefix hits and the pair vanishes entirely under the
+    old arithmetic. Asserts the registered query equals the naive
+    blocked kernel AND that each boundary pair is present at 0.8."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from wod_ascii_to_parquet_spark_spark.operators.dedup import shingles
+
+    def toks(prefix, n, pad=2):
+        return [f"{prefix}{i:0{pad}d}" for i in range(1, n + 1)]
+
+    rows = []
+    # pair 0: |A|=5 shingles (7 toks: 1 unique + 6 shared), |B|=10.
+    s = toks("m", 6)
+    rows.append((0, "en", "web", " ".join(["aa1"] + s)))
+    rows.append((1, "en", "web", " ".join(s + toks("b", 6, pad=1))))
+    # pair 1: |A|=10 shingles (12 toks: 2 unique + 10 shared), |B|=14.
+    s = toks("m", 10)
+    rows.append((2, "en", "news", " ".join(["aa1", "aa2"] + s)))
+    rows.append((3, "en", "news", " ".join(s + toks("b", 6, pad=1))))
+    # pair 2: |A|=15 shingles (17 toks: 3 unique + 14 shared), |B|=20.
+    s = toks("m", 14)
+    rows.append((4, "de", "web", " ".join(["aa1", "aa2", "aa3"] + s)))
+    rows.append((5, "de", "web", " ".join(s + toks("b", 8, pad=1))))
+    d = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    sh = d.select(
+        "doc_id", F.size(F.array_distinct(shingles(F.col("text")))).alias("n")
+    ).collect()
+    sizes = {r.doc_id: r.n for r in sh}
+    assert [sizes[i] for i in range(6)] == [5, 10, 10, 14, 15, 20], sizes
+
+    ss = d.select(
+        "doc_id", "lang", "source",
+        F.array_sort(shingles(F.col("text"))).alias("sh"),
+    )
+    a = ss.select(*[F.col(c).alias(f"{c}_a") for c in ss.columns])
+    b = ss.select(*[F.col(c).alias(f"{c}_b") for c in ss.columns])
+    cont = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.least(
+        F.size("sh_a"), F.size("sh_b")
+    )
+    naive = {
+        (r[0], r[1], r[2])
+        for r in a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("source_a") == F.col("source_b"))
+            & (F.col("doc_id_a") < F.col("doc_id_b")),
+        )
+        .filter((F.size("sh_a") >= 1) & (F.size("sh_b") >= 1) & (cont >= 0.8))
+        .select("doc_id_a", "doc_id_b", F.round(cont, 6))
+        .collect()
+    }
+    assert {(0, 1, 0.8), (2, 3, 0.8), (4, 5, 0.8)} <= naive, naive
+
+    sf_dir = tempfile.mkdtemp(prefix="containment_boundary_sf_")
+    d.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b, r.containment)
+        for r in QUERIES["dedup_containment"].fn(spark, sf_dir).collect()
+    }
+    assert got == naive
+    # jaccard arm over the same frame (t=1/2 exact in floats; regression
+    # safety for the shared prefix_length helper)
+    jac_got = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    from wod_ascii_to_parquet_spark_spark.operators.dedup import jaccard
+
+    j = jaccard(F.col("sh_a"), F.col("sh_b"))
+    jac_naive = {
+        (r[0], r[1])
+        for r in a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("source_a") == F.col("source_b"))
+            & (F.col("doc_id_a") < F.col("doc_id_b")),
+        )
+        .filter(j >= 0.5)
+        .select("doc_id_a", "doc_id_b")
+        .collect()
+    }
+    assert jac_got == jac_naive

@@ -892,8 +892,30 @@ def test_unknown_builder_option_match_is_narrow():
         _Py4JStyle(_JExc("java.lang.UnsupportedOperationException",
                          f"unsupported: {FS._CONDITIONAL_CREATE_OPT}"))
     )
-    # same class, unrelated message: NOT matched
-    assert not FS._is_unknown_builder_option(
+    # bare top-level UOE with no key in the message: ALSO matched — the
+    # call site is scoped to the createFile() builder chain, and
+    # connectors may reject it with e.g. "createFile options not
+    # supported" that never names the key; requiring the key here made
+    # the commit hard-fail instead of falling back (r8 ADVICE).
+    assert FS._is_unknown_builder_option(
         _Py4JStyle(_JExc("java.lang.UnsupportedOperationException",
-                         "stream does not support hflush"))
+                         "createFile options not supported"))
+    )
+    assert FS._is_unknown_builder_option(
+        _Py4JStyle(_JExc("java.lang.UnsupportedOperationException", None))
+    )
+    # IllegalArgumentException still requires the key — IAE is also how
+    # unrelated bad arguments surface
+    assert FS._is_unknown_builder_option(
+        _Py4JStyle(_JExc("java.lang.IllegalArgumentException",
+                         f"Unknown mandatory key \"{FS._CONDITIONAL_CREATE_OPT}\""))
+    )
+    assert not FS._is_unknown_builder_option(
+        _Py4JStyle(_JExc("java.lang.IllegalArgumentException",
+                         "Wrong FS scheme"))
+    )
+    # non-UOE/IAE top-level classes: never matched
+    assert not FS._is_unknown_builder_option(
+        _Py4JStyle(_JExc("java.io.IOException",
+                         f"while applying {FS._CONDITIONAL_CREATE_OPT}"))
     )

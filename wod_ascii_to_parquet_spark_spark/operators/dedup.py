@@ -54,6 +54,26 @@ def jaccard(a: Column, b: Column) -> Column:
     )
 
 
+def prefix_length(size: Column, t_num: int, t_den: int) -> Column:
+    """SSJoin prefix length for threshold t = t_num/t_den, computed with
+    EXACT integer arithmetic: ``p(n) = n − ⌈t·n⌉ + 1``.
+
+    The float formula ``⌊n·(1−t)⌋+1`` is the same number over the reals,
+    but ``1.0 − 0.8 = 0.19999999999999996`` in doubles, so for any n that
+    is a multiple of 5 it computes ``⌊n·0.1999…⌋+1`` = one element SHORT
+    of the theorem's requirement — pairs whose similarity is exactly t
+    (threshold inclusive) could then be missed by the candidate step,
+    silently breaking exactness. Here ``⌈t_num·n/t_den⌉`` is computed as
+    ``(m − m % t_den) / t_den`` with ``m = t_num·n + t_den − 1`` — all
+    bigint until a division whose operands are an exact multiple and its
+    divisor, so the double quotient is an exact integer for any real n.
+    """
+    n = size.cast("bigint")
+    m = F.lit(t_num) * n + F.lit(t_den - 1)
+    ceil_tn = ((m - m % F.lit(t_den)) / F.lit(t_den)).cast("bigint")
+    return (n - ceil_tn + F.lit(1)).cast("int")
+
+
 _SHINGLE_SQL = """
     list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
         i -> string_split(text, ' ')[i] || ' ' ||
@@ -104,9 +124,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.array_sort(shingles(F.col("text"))).alias("sh"),
     ).persist()  # 3 consumers: prefix side a, prefix side b, verify
-    prefix_len = (
-        F.floor(F.size("sh") * F.lit(1.0 - t)).cast("int") + F.lit(1)
-    )
+    prefix_len = prefix_length(F.size("sh"), 1, 2)  # exact ⌊(1−t)n⌋+1, t=1/2
     p = s.select(
         "doc_id",
         "lang",
@@ -184,9 +202,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.array_sort(shingles(F.col("text"))).alias("sh"),
     ).persist()  # 4 consumers: prefix, full, verify a, verify b
-    prefix_len = (
-        F.floor(F.size("sh") * F.lit(1.0 - t)).cast("int") + F.lit(1)
-    )
+    # Exact n − ⌈0.8n⌉ + 1: the float ⌊n·(1.0−0.8)⌋+1 loses one prefix
+    # element whenever n is a multiple of 5 (1.0−0.8 < 0.2 in doubles),
+    # which can drop pairs at containment EXACTLY 0.8 — threshold is
+    # inclusive, so that broke the 'oracle unchanged' contract.
+    prefix_len = prefix_length(F.size("sh"), 4, 5)
     p = s.select(
         "doc_id",
         "lang",

@@ -108,7 +108,12 @@ def _is_unknown_builder_option(e: Exception) -> bool:
     UnsupportedOperationException, or a config dump echoing the key)
     and permanently disable the conditional arm for the session. We
     therefore check the TOP-LEVEL exception class via py4j when
-    available, plus the one spec-mandated message prefix."""
+    available. A top-level UnsupportedOperationException is accepted
+    regardless of message — the call site is already scoped to the
+    createFile() builder chain, and connectors are allowed to reject it
+    with a bare UOE ("createFile options not supported") that never
+    names the key. IllegalArgumentException keeps the key/message check,
+    since IAE is also how unrelated bad arguments surface."""
     if "Unknown mandatory key" in str(e):
         return True
     jexc = getattr(e, "java_exception", None)
@@ -117,9 +122,11 @@ def _is_unknown_builder_option(e: Exception) -> bool:
             cls = jexc.getClass().getName()
         except Exception:
             return False
-        return cls.endswith(
-            (".UnsupportedOperationException", ".IllegalArgumentException")
-        ) and _CONDITIONAL_CREATE_OPT in (jexc.getMessage() or "")
+        if cls.endswith(".UnsupportedOperationException"):
+            return True
+        return cls.endswith(".IllegalArgumentException") and (
+            _CONDITIONAL_CREATE_OPT in (jexc.getMessage() or "")
+        )
     return False
 
 
