@@ -912,3 +912,40 @@ def test_containment_prefix_boundary_multiples_of_five(spark):
         .collect()
     }
     assert jac_got == jac_naive
+
+
+def test_embedding_cosine_pair_budget_guardrail(spark, monkeypatch):
+    """The exact blocked-cosine arms are quadratic by semantics; above the
+    pair budget they must REFUSE with an actionable message (pointing at
+    the ANN scale path and the env override) instead of launching a job
+    that cannot finish at 100×."""
+    import pytest
+
+    from wod_ascii_to_parquet_spark_spark.operators.dedup import (
+        PairBudgetExceeded,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_EMB_PAIR_BUDGET", "100")
+    for name in ("dedup_embedding_cosine", "dedup_embedding_cosine_blas"):
+        with pytest.raises(PairBudgetExceeded) as ei:
+            QUERIES[name].fn(spark, SF_DIR)
+        msg = str(ei.value)
+        assert "dedup_embedding_ann" in msg
+        assert "SPARK_GRAFT_EMB_PAIR_BUDGET" in msg
+        assert name in msg
+
+
+def test_embedding_cosine_blas_equals_catalyst_arm(spark):
+    """The BLAS (applyInPandas Gram-matrix) arm and the Catalyst zip_with
+    arm are the SAME query — identical pair set and identical rounded
+    similarities, under the default budget. (Both also share one DuckDB
+    oracle; this pins the two Spark plans against each other directly.)"""
+    a = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in QUERIES["dedup_embedding_cosine"].fn(spark, SF_DIR).collect()
+    }
+    b = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in QUERIES["dedup_embedding_cosine_blas"].fn(spark, SF_DIR).collect()
+    }
+    assert a and a == b

@@ -1051,6 +1051,64 @@ _COS_SQL = """
     / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
 """
 
+#: Default in-plan pair budget for the exact blocked-cosine arm:
+#: Σ_label C(n_label, 2) above this refuses with a pointer to the ANN
+#: path instead of launching a job that is quadratic-by-semantics.
+#: 16 Mi pairs ≈ 4 min at the measured ~13 µs/pair Catalyst fold
+#: constant — past that, an exact all-pairs-within-block run is no
+#: longer a "query", it's a mistake. Override per-process with
+#: ``SPARK_GRAFT_EMB_PAIR_BUDGET`` (e.g. for a deliberate offline run).
+_EMB_PAIR_BUDGET_DEFAULT = 16 * 1024 * 1024
+
+#: The BLAS arm's measured constant is ~120× smaller (20.06M pairs in
+#: 2.2 s at sf1 vs 266 s for the Catalyst fold), so its default budget is
+#: scaled to the same ~minutes-of-work bound: 2 Gi pairs.
+_EMB_PAIR_BUDGET_BLAS = 2 * 1024 * 1024 * 1024
+
+
+class PairBudgetExceeded(RuntimeError):
+    """Raised by exact all-pairs arms when the block structure implies a
+    pair volume past the configured budget — the 100 TB guardrail: fail
+    fast with the measured number and the scale path, never launch a
+    quadratic job that cannot finish."""
+
+
+def _check_pair_budget(
+    e: DataFrame,
+    key: str,
+    what: str,
+    budget_default: int = _EMB_PAIR_BUDGET_DEFAULT,
+) -> None:
+    """Refuse quadratic-by-semantics work above the pair budget.
+
+    One cheap action over the BLOCK KEY COLUMN ONLY (column-pruned scan +
+    tiny two-level agg — at 100 TB this is seconds, the all-pairs join it
+    gates is days), computing the EXACT pair volume Σ C(n_key, 2).
+    ``budget_default`` is per-arm (pair cost differs ~120× between the
+    Catalyst fold and the BLAS kernel); the env override wins over both."""
+    import os
+
+    budget = int(
+        os.environ.get("SPARK_GRAFT_EMB_PAIR_BUDGET", str(budget_default))
+    )
+    vol = (
+        e.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs"))
+        .first()["pairs"]
+    )
+    vol = int(vol or 0)
+    if vol > budget:
+        raise PairBudgetExceeded(
+            f"{what}: exact all-pairs volume within '{key}' blocks is "
+            f"{vol:,} pairs, over the {budget:,}-pair budget. This arm is "
+            "quadratic by semantics (every qualifying pair is output); at "
+            "this block structure it cannot finish in query time. Use "
+            "dedup_embedding_ann (ANN-bucket-confined near-dup pairs) as "
+            "the scale path, or raise SPARK_GRAFT_EMB_PAIR_BUDGET for a "
+            "deliberate offline run."
+        )
+
 
 @register(
     "dedup_embedding_cosine",
@@ -1073,10 +1131,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair constant — norms are hoisted to per-row columns BEFORE the
     join (r8; the r7 semdedup lesson), so each pair pays ONE zip_with
     fold (the dot) instead of three. Same arithmetic, same rounding,
-    oracle unchanged."""
+    oracle unchanged.
+
+    GUARDRAIL (r9): quadratic-by-semantics means no plan change can make
+    this sublinear — measured α=2.10 in the r8 sweep (266 s at sf1). So
+    the arm now REFUSES past a pair budget (:func:`_check_pair_budget`,
+    default 16 Mi pairs, env-overridable) instead of launching a job
+    that dies at 100×; ``dedup_embedding_ann`` is the documented scale
+    path. Below budget, plan and results are byte-identical to r8."""
     raw = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
+    _check_pair_budget(raw, "label", "dedup_embedding_cosine")
     # coalesce → provably non-nullable norm (the simhash-fp lesson; same
     # wrap as similarity.py's rerank kernels): otherwise constraint
     # inference pushes an isnotnull(<norm fold>) copy of the whole
@@ -1119,6 +1185,79 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(sim >= 0.4)
         .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
+    )
+
+
+@register(
+    "dedup_embedding_cosine_blas",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_COS_SQL}, 6) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.4
+    """,
+    tags=("dedup",),
+)
+def dedup_embedding_cosine_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact blocked-cosine semantics (and the same oracle) as
+    ``dedup_embedding_cosine``, with the per-pair constant moved from a
+    Catalyst zip_with fold (~13 µs/pair: allocate a 64-elem array, fold
+    it, per pair) to ONE numpy Gram matrix per label block via
+    ``applyInPandas`` — dense linear algebra is the documented exception
+    to the no-Python-row-path rule: Arrow moves each block across once,
+    BLAS does N²·d flops at memory bandwidth, and the output (the pairs)
+    is the same size either way. This does not change the α=2 semantics —
+    the SAME pair budget guards it — it divides the constant, which is
+    what decides whether an under-budget block finishes in seconds or
+    minutes.
+
+    Memory: chunked (2048 rows of the Gram at a time), so per-task
+    transient is O(chunk·n), never O(n²) — a budget-sized block of ~6k
+    rows needs ~100 MB transient, not a 16M-pair dense triangle."""
+    import pandas as pd
+
+    raw = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    _check_pair_budget(
+        raw, "label", "dedup_embedding_cosine_blas",
+        budget_default=_EMB_PAIR_BUDGET_BLAS,
+    )
+
+    def gram(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf[pdf["embedding"].notna()]
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"),
+                 "vec_b": pd.Series(dtype="int64"),
+                 "cos_sim": pd.Series(dtype="float64")}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        E = np.array(pdf["embedding"].to_numpy()[order].tolist(), dtype=np.float64)
+        nrm = np.sqrt((E * E).sum(axis=1))
+        cols = np.arange(n)
+        out_a, out_b, out_s = [], [], []
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for st in range(0, n, 2048):
+                en = min(st + 2048, n)
+                S = (E[st:en] @ E.T) / np.outer(nrm[st:en], nrm)
+                hit = (cols[None, :] > np.arange(st, en)[:, None]) & (S >= 0.4)
+                ii, jj = np.nonzero(hit)
+                out_a.append(ids[ii + st])
+                out_b.append(ids[jj])
+                out_s.append(np.round(S[ii, jj], 6))
+        return pd.DataFrame(
+            {"vec_a": np.concatenate(out_a),
+             "vec_b": np.concatenate(out_b),
+             "cos_sim": np.concatenate(out_s)}
+        )
+
+    return raw.groupBy("label").applyInPandas(
+        gram, "vec_a bigint, vec_b bigint, cos_sim double"
     )
 
 
