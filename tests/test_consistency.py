@@ -16,7 +16,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from wod_ascii_to_parquet_spark_spark.registry import load_all_operators
+from wod_ascii_to_parquet_spark_spark.registry import load, load_all_operators
 
 from .conftest import SF_DIR
 
@@ -91,6 +91,86 @@ def test_approx_percentile_accuracy(spark):
         am, ap90 = approx[status]
         assert math.isclose(am, m, rel_tol=0.05), (status, am, m)
         assert math.isclose(ap90, p90, rel_tol=0.05), (status, ap90, p90)
+
+
+def test_approx_count_distinct_accuracy(spark):
+    """The HLL++ rows-only query must track the exact distinct count
+    within 3× its configured rsd (0.02) per group — the tolerance twin
+    that keeps 'sketch estimates are engine-specific' from ever excusing
+    a wrong sketch."""
+    import math
+
+    exact = {
+        r.l_returnflag: r.n
+        for r in load(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    approx = {
+        r.l_returnflag: r.approx_n_parts
+        for r in QUERIES["agg_approx_count_distinct"].fn(spark, SF_DIR).collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, n in exact.items():
+        assert math.isclose(approx[flag], n, rel_tol=0.06), (flag, approx[flag], n)
+
+
+def test_repartition_by_expr_preserves_rows_and_collocates(spark):
+    """Partition ids are not SQL-expressible (rows-only), but two things
+    are testable: exact row preservation, and the hash contract — every
+    key lives in exactly one partition."""
+    out = QUERIES["repartition_by_expr"].fn(spark, SF_DIR)
+    n_src = load(spark, SF_DIR, "orders").count()
+    with_pid = out.withColumn("pid", F.spark_partition_id())
+    assert with_pid.count() == n_src
+    spread_keys = (
+        with_pid.groupBy("o_orderpriority")
+        .agg(F.countDistinct("pid").alias("np"))
+        .filter(F.col("np") > 1)
+        .count()
+    )
+    assert spread_keys == 0
+
+
+def test_sort_within_partitions_is_partition_locally_sorted(spark):
+    """The partition-local sort contract, asserted directly: within every
+    physical partition, rows appear in (o_orderdate, o_orderkey) order.
+    (Not SQL-observable — DuckDB has no partition notion — so this is the
+    rows-only query's behavioral oracle.)"""
+    df = QUERIES["sort_within_partitions"].fn(spark, SF_DIR)
+
+    def check(it):
+        import pandas as pd
+
+        # the iterator spans ONE partition; carry the last key across
+        # Arrow batches so cross-batch boundaries are checked too
+        prev, n = None, 0
+        for pdf in it:
+            key = list(zip(pdf["o_orderdate"], pdf["o_orderkey"]))
+            assert key == sorted(key), "partition not locally sorted"
+            if prev is not None and key:
+                assert prev <= key[0], "unsorted across batch boundary"
+            if key:
+                prev = key[-1]
+            n += len(pdf)
+        yield pd.DataFrame({"n": [n]})
+
+    total = (
+        df.mapInPandas(check, "n long").agg(F.sum("n").alias("n")).first()["n"]
+    )
+    assert total == load(spark, SF_DIR, "orders").count()
+
+
+def test_sample_deterministic_is_repeatable(spark):
+    """Fixed-seed Bernoulli sample: engine-specific row SET (rows-only)
+    but identical across runs, and the fraction lands in a plausible
+    Binomial band."""
+    a = {tuple(r) for r in QUERIES["sample_deterministic"].fn(spark, SF_DIR).collect()}
+    b = {tuple(r) for r in QUERIES["sample_deterministic"].fn(spark, SF_DIR).collect()}
+    assert a == b and a
+    n = load(spark, SF_DIR, "orders").count()
+    assert 0.05 * n <= len(a) <= 0.15 * n
 
 
 def test_cast_timestamp_assembly(spark, tmp_path):

@@ -1,0 +1,158 @@
+"""Persisted MinHash signature index (plans/minhash_index.py): an index
+grown by appends must be row-identical to one built fresh over the union,
+the self-probe must reproduce the live oracled LSH arm exactly, external
+batches must probe without the self-exclusion trap, torn builds must fail
+fast, and the bucketed index side of the band equi-join must be
+Exchange-free."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wod_ascii_to_parquet_spark_spark.plans.minhash_index import (
+    append_minhash_index,
+    build_minhash_index,
+    probe_minhash_index,
+)
+from wod_ascii_to_parquet_spark_spark.registry import load, load_all_operators
+
+from .conftest import SF_DIR
+
+QUERIES = load_all_operators()
+TABLE = "test_mh_idx"
+_ALL_TABLES = [
+    t
+    for base in (TABLE, f"{TABLE}_full", f"{TABLE}_ext")
+    for t in (base, f"{base}__docs", f"{base}__meta")
+]
+
+
+@pytest.fixture(scope="module")
+def mh_index(spark):
+    d = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    build_minhash_index(
+        spark, d.filter(F.col("doc_id") < 250), table=TABLE, family="md5"
+    )
+    append_minhash_index(spark, d.filter(F.col("doc_id") >= 250), table=TABLE)
+    yield TABLE
+    for t in _ALL_TABLES:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _pairs(df):
+    return {(r.doc_a, r.doc_b, r.jac) for r in df.collect()}
+
+
+def test_append_equals_fresh_build(spark, mh_index):
+    """Build(half) + append(half) must be ROW-IDENTICAL to build(full) in
+    both stored tables (modulo build_id) — the data-independent hash
+    family makes incremental exact-forever, and this is the assertion
+    that keeps that claim code, not docstring."""
+    d = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    build_minhash_index(spark, d, table=f"{TABLE}_full", family="md5")
+    grown = spark.table(TABLE).select("doc_id", "band", "key")
+    fresh = spark.table(f"{TABLE}_full").select("doc_id", "band", "key")
+    assert grown.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(grown).count() == 0
+    gd = spark.table(f"{TABLE}__docs").select("doc_id", "sh")
+    fd = spark.table(f"{TABLE}_full__docs").select("doc_id", "sh")
+    assert gd.exceptAll(fd).count() == 0
+    assert fd.exceptAll(gd).count() == 0
+
+
+def test_self_probe_equals_live_lsh_arm(spark, mh_index):
+    """Corpus self-probe against the appended index == the live
+    (DuckDB-oracled) dedup_minhash_lsh_md5 pair set — the persisted path
+    inherits the oracle through exact agreement."""
+    d = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    got = _pairs(probe_minhash_index(spark, d, table=TABLE, self_probe=True))
+    live = _pairs(QUERIES["dedup_minhash_lsh_md5"].fn(spark, SF_DIR))
+    assert got == live and got
+
+
+def test_registered_index_query_equals_live_arm(spark, mh_index):
+    """The registered dedup_minhash_index_md5 (build→append→self-probe in
+    one query, sharing the live arm's oracle SQL) returns the same pairs."""
+    got = _pairs(QUERIES["dedup_minhash_index_md5"].fn(spark, SF_DIR))
+    live = _pairs(QUERIES["dedup_minhash_lsh_md5"].fn(spark, SF_DIR))
+    assert got == live and got
+
+
+def test_external_batch_probe_no_self_exclusion(spark, mh_index):
+    """An externally-numbered batch (re-crawl of indexed docs under new
+    ids) must match its indexed twins: with self_probe=False an id
+    collision must NOT suppress a legitimate pair, and every replayed doc
+    must hit its original at jac == 1.0."""
+    d = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    replay = d.filter(F.col("doc_id") < 20)
+    # id-colliding replay: same ids as indexed docs, identical text
+    hits = probe_minhash_index(spark, replay, table=TABLE, self_probe=False)
+    exact = {(r.doc_a, r.doc_b) for r in hits.filter("jac = 1.0").collect()}
+    assert {(i, i) for i in range(20)} <= exact
+    # renumbered replay: new namespace, still must match the originals
+    renum = replay.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    hits2 = probe_minhash_index(spark, renum, table=TABLE, self_probe=False)
+    exact2 = {(r.doc_a, r.doc_b) for r in hits2.filter("jac = 1.0").collect()}
+    assert {(i, i + 100000) for i in range(20)} <= exact2
+
+
+def test_torn_build_fails_fast(spark, mh_index):
+    """A meta row whose build_id no data row carries (crash mid-build)
+    must be refused by probe, not silently produce candidates."""
+    spark.createDataFrame(
+        [("md5", "deadbeef")], "family string, build_id string"
+    ).write.format("parquet").mode("overwrite").saveAsTable(f"{TABLE}__meta")
+    d = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    with pytest.raises(RuntimeError, match="different builds|re-run build"):
+        probe_minhash_index(spark, d, table=TABLE)
+    # restore a consistent meta row for any later test in the module
+    real = spark.table(TABLE).select("build_id").first()["build_id"]
+    spark.createDataFrame(
+        [("md5", real)], "family string, build_id string"
+    ).write.format("parquet").mode("overwrite").saveAsTable(f"{TABLE}__meta")
+
+
+def test_unknown_family_rejected(spark):
+    d = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    with pytest.raises(ValueError, match="unknown hash family"):
+        build_minhash_index(spark, d, table=f"{TABLE}_ext", family="sha9")
+
+
+def test_probe_index_side_exchange_free(spark, mh_index):
+    """The band equi-join must read the stored (band, key)-bucketed table
+    without an Exchange on the index side — that is the entire point of
+    paying the build shuffle once."""
+    d = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    import re
+
+    def _plan(broadcast: bool, bucketing: bool) -> str:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold",
+            "10485760" if broadcast else "-1",
+        )
+        spark.conf.set(
+            "spark.sql.sources.bucketing.enabled", str(bucketing).lower()
+        )
+        try:
+            df = probe_minhash_index(spark, d, table=TABLE, self_probe=True)
+            return df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+
+    # at fixture scale the batch side is broadcast — the index side scans
+    # its buckets directly with no Exchange anywhere near it
+    assert "Bucketed: true" in _plan(broadcast=True, bucketing=True)
+    # at scale (broadcast off → SortMergeJoin) the bucketed index side
+    # must still not shuffle: differential vs bucketing disabled, which
+    # needs strictly more Exchanges for the very same probe
+    n_bucketed = len(
+        re.findall(r"\(\d+\) Exchange", _plan(broadcast=False, bucketing=True))
+    )
+    n_flat = len(
+        re.findall(r"\(\d+\) Exchange", _plan(broadcast=False, bucketing=False))
+    )
+    assert n_bucketed < n_flat, (n_bucketed, n_flat)

@@ -340,12 +340,14 @@ def _lsh_verified_pairs(s: DataFrame) -> DataFrame:
     )
 
 
-def _band_candidates(s: DataFrame) -> DataFrame:
-    """Banded candidate pairs ``(doc_a, doc_b)`` from a prepared
-    ``(doc_id, sig)`` frame: 8 bands x 4 rows -> band-key equi-join.
-    Candidate generation shuffles ONLY (doc_id, band, key) — the shingle
-    arrays stay out of the 8x-exploded band stream and are joined back
-    onto the (tiny) candidate set by the callers."""
+def _band_keys(s: DataFrame) -> DataFrame:
+    """Exploded band keys ``(doc_id, band, key)`` from a prepared
+    ``(doc_id, sig)`` frame: 8 bands × 4 rows, key = the band's 4
+    signature positions joined as one string. This is the ONE band-key
+    definition — the live LSH arms and the persisted signature index
+    (``plans/minhash_index.py``) both call it, so an index built today
+    always joins tomorrow's batch keys (a drifted key recipe would
+    silently produce zero candidates)."""
     nbands = _NPERM // _BAND_ROWS
     bands = F.array(
         *[
@@ -362,9 +364,18 @@ def _band_candidates(s: DataFrame) -> DataFrame:
             for b in range(nbands)
         ]
     )
-    exploded = s.select("doc_id", F.explode(bands).alias("bk")).select(
+    return s.select("doc_id", F.explode(bands).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+
+
+def _band_candidates(s: DataFrame) -> DataFrame:
+    """Banded candidate pairs ``(doc_a, doc_b)`` from a prepared
+    ``(doc_id, sig)`` frame: 8 bands x 4 rows -> band-key equi-join.
+    Candidate generation shuffles ONLY (doc_id, band, key) — the shingle
+    arrays stay out of the 8x-exploded band stream and are joined back
+    onto the (tiny) candidate set by the callers."""
+    exploded = _band_keys(s)
     a = exploded.select(F.col("doc_id").alias("doc_a"), "band", "key")
     b = exploded.select(F.col("doc_id").alias("doc_b"), "band", "key")
     return (
@@ -1411,6 +1422,41 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ingested",
         )
     )
+
+
+@register(
+    "dedup_minhash_index_md5",
+    "WITH "
+    + _md5_lsh_sql(
+        "SELECT doc_a, doc_b, round(jac, 6) AS jac FROM verified WHERE jac >= 0.5"
+    ),
+    tags=("dedup",),
+)
+def dedup_minhash_index_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-INDEX tier of the banded MinHash pipeline
+    (``plans/minhash_index.py``), driven end-to-end under the hash gate:
+    build the signature index over the first 250 documents, APPEND the
+    rest incrementally (the daily-crawl ingest path — O(|delta|) encode,
+    bucketed append, no corpus re-pass), then self-probe the corpus
+    against the stored bands. The result must equal the live
+    ``dedup_minhash_lsh_md5`` exactly — same oracle SQL — because the
+    hash family is data-independent: an index grown by appends is
+    row-identical to one built fresh, unlike a stale-quantizer ANN
+    index. Candidate generation joins the batch's band keys against the
+    (band, key)-bucketed stored table, Exchange-free on the index side."""
+    from ..plans.minhash_index import (
+        append_minhash_index,
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    table = "minhash_lsh_index_q"
+    build_minhash_index(
+        spark, d.filter(F.col("doc_id") < 250), table=table, family="md5"
+    )
+    append_minhash_index(spark, d.filter(F.col("doc_id") >= 250), table=table)
+    return probe_minhash_index(spark, d, table=table, self_probe=True)
 
 
 def _md5_calibration_sql() -> str:

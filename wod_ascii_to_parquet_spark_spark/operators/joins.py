@@ -371,7 +371,16 @@ def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     (O(n log n) per group) instead of materializing the |matches| join.
     Must agree with the window-based ``join_asof`` (asserted in
     tests/test_consistency.py) and shares its full oracle: the stable-sort
-    tie-break below reproduces the oracle's (date DESC, key DESC) pick."""
+    tie-break below reproduces the oracle's (date DESC, key DESC) pick.
+
+    DO NOT USE past ~10⁵ distinct equi-keys: each key group pays a fixed
+    Arrow serialize → Python → pandas → Arrow round-trip, measured as a
+    ~32 s FLOOR at sf0.1 (α=0.10 to sf1's 40.6 s — the floor, not the
+    data, dominates; see SCALING.json). ``join_asof`` (union + last-value
+    window, 1.4 s) and ``join_asof_bucketed`` are the defaults; reach for
+    this arm only when per-key match multiplicity is so high that the
+    window formulation's shuffle payload explodes — the same candor
+    contract as the dedup family's pedagogical arms."""
     import pandas as pd
 
     events = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
