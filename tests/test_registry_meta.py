@@ -85,3 +85,48 @@ def test_sample_rotation_orders_unverified_first():
     for i, n in enumerate(names):
         if qs[n].oracle is not None and n not in green:
             assert i < first_green, (n, i, first_green)
+
+
+def test_cached_frames_bounds_cache_entries(spark):
+    """Long-lived-session hygiene: registered queries that persist()
+    barrier frames are session-scoped by design; `cached_frames()` is the
+    documented scope that releases them per invocation. N repeated
+    invocations inside the scope must leave the CacheManager EMPTY each
+    time (bounded at 0 retained entries); the unscoped control run shows
+    the leak the scope exists to stop."""
+    from wod_ascii_to_parquet_spark_spark.registry import (
+        QUERIES,
+        cached_frames,
+    )
+
+    from .conftest import SF_DIR
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+    for _ in range(3):
+        with cached_frames():
+            assert QUERIES["dedup_minhash_lsh"].fn(spark, SF_DIR).count() >= 0
+        assert cm.isEmpty(), "scope failed to release persisted frames"
+    # control: the same query unscoped leaves its barrier frame cached
+    QUERIES["dedup_minhash_lsh"].fn(spark, SF_DIR).count()
+    assert not cm.isEmpty()
+    spark.catalog.clearCache()
+
+
+def test_cached_frames_nested_scopes_release_only_their_own(spark):
+    from pyspark.sql import functions as F
+
+    from wod_ascii_to_parquet_spark_spark.registry import cached_frames
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    with cached_frames():
+        outer = spark.range(100).withColumn("x", F.col("id") * 2).persist()
+        outer.count()
+        with cached_frames():
+            inner = spark.range(50).persist()
+            inner.count()
+        # inner released, outer still cached
+        assert not cm.isEmpty()
+    assert cm.isEmpty()

@@ -18,6 +18,7 @@ noise without hiding real errors).
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,6 +53,55 @@ class QueryDef:
 
 #: name -> QueryDef; populated by module import side effects.
 QUERIES: dict[str, QueryDef] = {}
+
+
+@contextmanager
+def cached_frames():
+    """Bound the cache lifetime of registered queries in LONG-LIVED
+    sessions: several registered plans ``persist()`` intermediate frames
+    as materialization barriers (LSH signatures, graph edges, k-means
+    assignments — documented at each site) and deliberately leave them
+    session-scoped, because the registered surface is one query = one
+    short-lived invocation and an unpersist before the caller's action
+    would defeat the barrier. A service session composing MANY registered
+    queries would accumulate one InMemoryRelation per invocation in the
+    CacheManager; wrap each invocation instead::
+
+        with cached_frames():
+            result = QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+
+    Every ``DataFrame.persist()`` entered inside the scope is unpersisted
+    (non-blocking) on exit — AFTER the caller's action, so barriers hold.
+    Scopes nest; an inner scope releases only its own frames. The
+    tracking is process-global monkey-patching of ``DataFrame.persist``,
+    so don't run concurrent jobs in other threads inside the scope whose
+    caches must outlive it."""
+    # patch the CONCRETE class: pyspark 4's classic DataFrame overrides
+    # persist(), so assigning on the pyspark.sql.DataFrame base would
+    # never be reached by real frames
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+    except ImportError:  # pyspark 3.x: one DataFrame class
+        _DF = DataFrame
+
+    recorded: list[DataFrame] = []
+    orig = _DF.persist
+
+    def tracking(self, *a, **k):
+        out = orig(self, *a, **k)
+        recorded.append(out)
+        return out
+
+    _DF.persist = tracking
+    try:
+        yield recorded
+    finally:
+        _DF.persist = orig
+        for df in recorded:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped / frame GC'd — nothing to free
 
 
 def register(
