@@ -11,14 +11,23 @@ Five arms over ``documents``:
   bit-segment pigeonhole buckets (rows-only).
 - ``dedup_simhash64``    — 64-bit / Hamming ≤ 3 production parameters
   (Manku et al., WWW'07), no blocking key needed (rows-only).
-- ``dedup_embedding_cosine`` — embedding-space near-dup pairs (full oracle).
+- ``dedup_embedding_cosine`` — embedding-space near-dup pairs (full
+  oracle), pair-budget-guarded (r9): quadratic by semantics, refuses past
+  the budget with a pointer to ``dedup_embedding_ann``.
+- ``dedup_embedding_cosine_blas`` — same semantics/oracle, per-label numpy
+  Gram matrix via applyInPandas (~120× smaller per-pair constant; the
+  documented exception to the no-Python-row-path rule: dense linear
+  algebra).
+- ``dedup_minhash_index_md5`` — the persisted-signature-index tier
+  (``plans/minhash_index.py``): build/append/probe, same oracle as the
+  live md5 arm.
 
 Scale design: the all-pairs comparison is always confined — by LSH band
 buckets (minhash), bit-segment buckets (simhash), ANN buckets (embeddings),
-or blocking keys (ngram — the one deliberately-blocked exact kernel, kept
-as the small-block verify oracle). The only unbounded self-join in this
-file is over ~0-sized candidate sets, never over the corpus. Everything is
-Catalyst higher-order functions on arrays — no Python in the row path.
+or blocking keys + SSJoin prefix filters (the exact kernels). The only
+unbounded self-join in this file is over ~0-sized candidate sets, never
+over the corpus. Everything is Catalyst higher-order functions on arrays —
+no Python in the row path except the explicitly-budgeted BLAS arm.
 """
 
 from __future__ import annotations

@@ -1098,6 +1098,33 @@ def similarity_ann_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _adc_topk(encoded, probes, qtabs, k=3, exclude_self=True)
 
 
+@register("similarity_ann_index_adc", _ivf_adc_sql(), tags=("similarity",))
+def similarity_ann_index_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-INDEX tier of IVFADC under the hash gate: build the
+    stored index + codebooks via ``plans/ann_index.build_ann_index``
+    (n_cells=16 to match the oracled one-shot query's quantizer), then
+    serve the same 10-query batch from the STORED tables via
+    ``probe_ann_index`` — the embeddings are never read at probe time.
+    Must equal ``similarity_ann_ivf_adc`` exactly (same oracle SQL): the
+    persisted path's drift risk (torn index/codebook pair, stale
+    quantizer, probe recomputing instead of reading) is exactly what a
+    driver-checked registered arm catches. The incremental
+    ``append_to_ann_index`` equivalence is pinned separately in
+    tests/test_ann_index.py::test_incremental_append_equals_full_build."""
+    from ..plans.ann_index import build_ann_index, probe_ann_index
+
+    build_ann_index(
+        spark, sf_dir, table="ann_ivfadc_index_q", n_buckets=8, n_cells=16
+    )
+    q = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qemb"),
+    ).filter(F.col("qid") < 10)
+    return probe_ann_index(
+        spark, q, table="ann_ivfadc_index_q", nprobe=4, k=3, exclude_self=True
+    )
+
+
 @register(
     "dedup_semdedup_prune",
     f"""

@@ -75,6 +75,12 @@ def build_ann_index(
     seeds in ``<table>__codebooks``, never a recomputed set, and the
     incremental-append arm freezes the same quantizer."""
     build_id = uuid.uuid4().hex
+    from .minhash_index import _clear_table
+
+    # session-restart safety: drop catalog entries AND orphaned managed
+    # locations a previous session left (LOCATION_ALREADY_EXISTS guard)
+    for t in (f"{table}__codebooks", table):
+        _clear_table(spark, t)
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
