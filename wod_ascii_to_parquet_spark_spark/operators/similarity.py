@@ -491,9 +491,9 @@ def similarity_ann_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_embedding_ann",
-    f"""
+#: shared oracle of the two ANN-blocked near-dup arms (Catalyst + BLAS):
+#: √N-seed IVF assignment, within-cell exact cosine ≥ 0.4.
+_ANN_PAIRS_SQL = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     seeds AS ({_SQRT_N_SEEDS_SQL}),
     assign AS (
@@ -511,7 +511,12 @@ def similarity_ann_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            round({_IVF_COS.format(a="a.emb", b="b.emb")}, 6) AS cos_sim
     FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
     WHERE {_IVF_COS.format(a="a.emb", b="b.emb")} >= 0.4
-    """,
+    """
+
+
+@register(
+    "dedup_embedding_ann",
+    _ANN_PAIRS_SQL,
     tags=("dedup", "similarity"),
 )
 def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -572,6 +577,109 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_a") < F.col("vec_b"))
         .filter(sim >= 0.4)
         .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
+    )
+
+
+@register(
+    "dedup_embedding_ann_blas",
+    _ANN_PAIRS_SQL,
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_ann_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics and same oracle as ``dedup_embedding_ann``, with
+    BOTH N^1.5·d stages moved from interpreted Catalyst folds to BLAS —
+    the r9 sf10 spot-check found the pure-Catalyst arm at sf1→sf10
+    α=1.59 (625 s), and a thread dump showed why: higher-order-function
+    lambdas (``aggregate(zip_with(...))``) never enter whole-stage
+    codegen, so the assignment (N×√N cells×64-dim dots) and the
+    within-cell verify both pay ~100 ns per ELEMENT in interpreted eval.
+    Here:
+
+    - **assignment** is one ``E @ S.T`` per Arrow batch against the
+      driver-collected seed matrix (``ceil(√N)`` rows — the bounded
+      k-means-centroid collect pattern; 100k seeds ≈ 51 MB at N=10¹⁰,
+      broadcast-able). ``np.argmax`` returns the FIRST max = lowest cell,
+      matching the fold's strictly-greater replace and the oracle's
+      ``ORDER BY sim DESC, cell``.
+    - **verify** is the chunked per-cell Gram matrix of
+      ``dedup_embedding_cosine_blas``, keyed by cell instead of label —
+      one task per cell, O(chunk·n) transient, BLAS flops.
+
+    The pure-Catalyst arm stays registered as the expression-level
+    reference both engines pin bit-for-bit; this arm is the scale tier
+    (same pairing discipline as cosine / cosine_blas). Float caveat: BLAS
+    sums in SIMD order, the fold sums sequentially — argmax/threshold
+    decisions could differ on ~1-ulp ties, which healthy (jittered-real)
+    margins never exhibit; the shared oracle hash-checks exactly that."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    n_rows = e.count()
+    k = math.ceil(math.sqrt(n_rows))
+    seed_rows = (
+        e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    )
+    # the _pq_codebook contiguity invariant: position == cell id
+    assert [r["vec_id"] for r in seed_rows] == list(range(k)), (
+        "seed vec_ids not contiguous 0..k-1; argmax positions would shift"
+    )
+    S = np.array([r["emb"] for r in seed_rows], dtype=np.float64)
+    snorm = np.sqrt((S * S).sum(axis=1))
+    bc = spark.sparkContext.broadcast((S, snorm))
+
+    def assign(batches):
+        St, sn = bc.value
+        for pdf in batches:
+            E = np.array(pdf["emb"].tolist(), dtype=np.float64)
+            scores = (E @ St.T) / sn[None, :]
+            out = pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": np.argmax(scores, axis=1)}
+            )
+            out["emb"] = pdf["emb"].values
+            yield out[["vec_id", "cell", "emb"]]
+
+    assigned = e.mapInPandas(
+        assign, "vec_id bigint, cell bigint, emb array<double>"
+    )
+
+    def gram(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf[pdf["emb"].notna()]
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"),
+                 "vec_b": pd.Series(dtype="int64"),
+                 "cos_sim": pd.Series(dtype="float64")}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        E = np.array(pdf["emb"].to_numpy()[order].tolist(), dtype=np.float64)
+        nrm = np.sqrt((E * E).sum(axis=1))
+        cols = np.arange(n)
+        out_a, out_b, out_s = [], [], []
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for st in range(0, n, 2048):
+                en = min(st + 2048, n)
+                Sm = (E[st:en] @ E.T) / np.outer(nrm[st:en], nrm)
+                hit = (cols[None, :] > np.arange(st, en)[:, None]) & (Sm >= 0.4)
+                ii, jj = np.nonzero(hit)
+                out_a.append(ids[ii + st])
+                out_b.append(ids[jj])
+                out_s.append(np.round(Sm[ii, jj], 6))
+        return pd.DataFrame(
+            {"vec_a": np.concatenate(out_a),
+             "vec_b": np.concatenate(out_b),
+             "cos_sim": np.concatenate(out_s)}
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        gram, "vec_a bigint, vec_b bigint, cos_sim double"
     )
 
 
