@@ -994,6 +994,22 @@ def test_containment_prefix_boundary_multiples_of_five(spark):
     assert jac_got == jac_naive
 
 
+def test_simhash64_perm_equals_classic_segments(spark):
+    """The block-permutation candidate scheme (6 segments, 3-of-6 keys)
+    must return the IDENTICAL pair set as the classic 4-segment scheme on
+    both hash families — same fingerprints, same exact-Hamming verify,
+    different (provably recall-complete) candidate pruning. Any missing
+    pair here means the pigeonhole-over-sets argument was implemented
+    wrong."""
+    for a, b in (
+        ("dedup_simhash64", "dedup_simhash64_perm"),
+        ("dedup_simhash64_md5", "dedup_simhash64_perm_md5"),
+    ):
+        pa = {tuple(r) for r in QUERIES[a].fn(spark, SF_DIR).collect()}
+        pb = {tuple(r) for r in QUERIES[b].fn(spark, SF_DIR).collect()}
+        assert pa == pb and pa, (a, b, len(pa), len(pb))
+
+
 def test_embedding_cosine_pair_budget_guardrail(spark, monkeypatch):
     """The exact blocked-cosine arms are quadratic by semantics; above the
     pair budget they must REFUSE with an actionable message (pointing at

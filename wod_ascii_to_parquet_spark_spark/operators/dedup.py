@@ -589,8 +589,27 @@ def _segment_starts(nbits: int, n_segments: int) -> list[tuple[int, int]]:
     return out
 
 
+def _seg_combos(n_segments: int, max_hamming: int) -> list[tuple[int, ...]]:
+    """The multi-segment key sets of the Manku block-permutation scheme:
+    all ``C(n_segments, n_segments - max_hamming)`` combinations. Two
+    fingerprints within Hamming ``max_hamming`` differ in at most
+    ``max_hamming`` segments, so at least ``n_segments - max_hamming``
+    segments are jointly clean — that clean set IS one of the enumerated
+    combinations, so an equi-join per combination has guaranteed recall
+    (the pigeonhole argument, applied to sets instead of singletons)."""
+    import itertools
+
+    return list(
+        itertools.combinations(range(n_segments), n_segments - max_hamming)
+    )
+
+
 def _simhash_pairs(
-    s: DataFrame, nbits: int, max_hamming: int, key_cols: tuple[str, ...]
+    s: DataFrame,
+    nbits: int,
+    max_hamming: int,
+    key_cols: tuple[str, ...],
+    n_segments: int | None = None,
 ) -> DataFrame:
     """Hamming-≤``max_hamming`` pairs via bit-segment pigeonhole bucketing.
 
@@ -608,19 +627,50 @@ def _simhash_pairs(
     buckets are coarse — adequate pruning for modest N, but a real 100 TB
     deployment widens the fingerprint instead: see ``dedup_simhash64``
     (64-bit, distance 3, 16-bit segments → N/65536 per bucket; Manku
-    et al., WWW'07)."""
-    segs = _segment_starts(nbits, max_hamming + 1)
-    # seg value = the segment's bits as shift+mask off the PACKED bigint
-    # fingerprint (bits[start..start+width) sit at fp positions
-    # nbits-1-start .. nbits-start-width, MSB-first — same integer value
-    # as the old array-slice fold). The & mask also kills the sign bits an
-    # arithmetic shiftright smears in when fp is negative.
+    et al., WWW'07).
+
+    ``n_segments`` (r9): with the minimum ``max_hamming + 1`` segments the
+    bucket space is FIXED at ``2^(nbits/(k+1))`` — the r9 sf10 check
+    measured exactly that saturation (candidates ~N²/2^16 by 500k docs
+    for the 64-bit arm; dead by ~10⁷, hopeless at 10¹⁰). Passing
+    ``n_segments > max_hamming + 1`` switches candidate generation to the
+    Manku BLOCK-PERMUTATION scheme: split into s segments and equi-join
+    on every ``(s − k)``-subset of them jointly (:func:`_seg_combos`) —
+    C(s, s−k) tables with ``(s−k)/s · nbits``-bit keys, e.g. s=6, k=3 →
+    20 tables on ~32-bit keys → bucket space 2^32, candidates
+    ~20·N²/2^32: the 10¹⁰-doc configuration. Exactness is unchanged
+    (pigeonhole over sets); only candidate pruning tightens."""
+    n_segments = n_segments if n_segments is not None else max_hamming + 1
+    if n_segments < max_hamming + 1:
+        raise ValueError(
+            f"n_segments={n_segments} < max_hamming+1={max_hamming + 1}: "
+            "pigeonhole recall guarantee would be lost"
+        )
+    segs = _segment_starts(nbits, n_segments)
+    combos = _seg_combos(n_segments, max_hamming)
+
+    # combo value = the member segments' bits PACKED into one bigint (sum
+    # of each member's shift+mask value, left-shifted by the widths of the
+    # members after it). For the classic n_segments == max_hamming+1 case
+    # each combo is a single segment — identical keys (and plan) to the
+    # r7/r8 formulation. The & mask kills the sign bits an arithmetic
+    # shiftright smears in when fp is negative; fp bits[start..start+width)
+    # sit at positions nbits-1-start .. nbits-start-width, MSB-first.
+    def combo_val_sql(combo: tuple[int, ...]) -> str:
+        parts = []
+        shift_after = sum(segs[m][1] for m in combo)
+        for m in combo:
+            start, width = segs[m]
+            shift_after -= width
+            seg = f"(shiftright(fp, {nbits - start - width}) & {(1 << width) - 1})"
+            parts.append(f"shiftleft({seg}, {shift_after})" if shift_after else seg)
+        return " | ".join(parts)
+
     seg_structs = F.expr(
         "array("
         + ", ".join(
-            f"named_struct('seg_idx', {i}, 'seg_val', "
-            f"shiftright(fp, {nbits - start - width}) & {(1 << width) - 1})"
-            for i, (start, width) in enumerate(segs)
+            f"named_struct('seg_idx', {i}, 'seg_val', {combo_val_sql(c)})"
+            for i, c in enumerate(combos)
         )
         + ")"
     )
@@ -696,6 +746,7 @@ def _simhash_md5_oracle_sql(
     nbits: int = 32,
     max_hamming: int = 8,
     key_cols: tuple[str, ...] = ("lang", "source"),
+    n_segments: int | None = None,
 ) -> str:
     """DuckDB mirror of the md5-based SimHash arms: per-token cross-engine
     hash from md5 hex chars (bit-exact vs Spark ``conv(substring(md5))``),
@@ -711,8 +762,15 @@ def _simhash_md5_oracle_sql(
     a single 16-hex-char value can exceed signed-BIGINT range, and both
     engines' ``>>``-on-halves formulation sidesteps signed-shift
     ambiguity. The Spark twin assembles the same signed 64-bit value with
-    ``shiftleft(h, 32) | h2``."""
-    segs = _segment_starts(nbits, max_hamming + 1)
+    ``shiftleft(h, 32) | h2``.
+
+    ``n_segments`` mirrors :func:`_simhash_pairs`: with more than
+    ``max_hamming + 1`` segments the candidate step joins on every
+    ``(s − k)``-subset of segments jointly (``C(s, s−k)`` unioned joins) —
+    the Manku block-permutation scheme, same pairs, tighter pruning."""
+    n_segments = n_segments if n_segments is not None else max_hamming + 1
+    segs = _segment_starts(nbits, n_segments)
+    combos = _seg_combos(n_segments, max_hamming)
 
     def bit(i: int) -> str:
         if nbits <= 32:
@@ -737,8 +795,9 @@ def _simhash_md5_oracle_sql(
         f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
         f" CAST({hamming} AS INTEGER) AS hamming"
         f" FROM segv a JOIN segv b"
-        f" ON a.s{i} = b.s{i} AND a.doc_id < b.doc_id{key_join}"
-        for i in range(len(segs))
+        f" ON {' AND '.join(f'a.s{m} = b.s{m}' for m in combo)}"
+        f" AND a.doc_id < b.doc_id{key_join}"
+        for combo in combos
     )
     keys = "".join(f"{c}, " for c in key_cols)
     h2 = (
@@ -823,6 +882,50 @@ def dedup_simhash64_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread(load(spark, sf_dir, "documents")), nbits=64, token_hash=h64
     )
     return _simhash_pairs(s, nbits=64, max_hamming=3, key_cols=())
+
+
+@register("dedup_simhash64_perm", None, tags=("dedup", "rows-only"))
+def dedup_simhash64_perm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit / Hamming ≤ 3 simhash with BLOCK-PERMUTATION candidates
+    (Manku et al., WWW'07 §3): 6 segments, equi-join on every 3-of-6
+    subset jointly — C(6,3) = 20 tables keyed on ~32-bit values, bucket
+    space 2^32 instead of the 4-segment scheme's 2^16. Same fingerprints
+    and the same exact-Hamming verify as ``dedup_simhash64``, so the pair
+    set is IDENTICAL (asserted in tests); only candidate pruning changes:
+    ~20·N²/2^32 candidates vs ~4·N²/2^16 — 54× fewer at any N, and the
+    configuration that still prunes at 10¹⁰ documents, where the r9 sf10
+    check showed the 16-bit buckets saturating (candidates ~N²/2^16
+    by 500k docs). Costs 20/4 = 5× the candidate-stream explode — the
+    classic tables-vs-collisions trade, worth it past ~10⁶ docs.
+    Rows-only: DuckDB lacks xxhash64; ``dedup_simhash64_perm_md5`` is the
+    fully-oracled twin."""
+    s = simhash_bits(spread(load(spark, sf_dir, "documents")), nbits=64)
+    return _simhash_pairs(
+        s, nbits=64, max_hamming=3, key_cols=(), n_segments=6
+    )
+
+
+@register(
+    "dedup_simhash64_perm_md5",
+    _simhash_md5_oracle_sql(nbits=64, max_hamming=3, key_cols=(), n_segments=6),
+    tags=("dedup",),
+)
+def dedup_simhash64_perm_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_simhash64_perm`` under the FULL DuckDB oracle (md5 token
+    hash, bit-exact cross-engine): the generated oracle joins on the same
+    20 three-segment key sets, so fingerprints, candidate tables, and
+    verified pairs all hash-match — the block-permutation scheme's recall
+    guarantee is checked against a second engine, not just argued."""
+    h64 = (
+        "shiftleft(cast(conv(substring(md5({t}), 1, 8), 16, 10) as bigint),"
+        " 32) | cast(conv(substring(md5({t}), 9, 8), 16, 10) as bigint)"
+    )
+    s = simhash_bits(
+        spread(load(spark, sf_dir, "documents")), nbits=64, token_hash=h64
+    )
+    return _simhash_pairs(
+        s, nbits=64, max_hamming=3, key_cols=(), n_segments=6
+    )
 
 
 @register(
