@@ -491,6 +491,50 @@ def similarity_ann_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _blas_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(vec_id, cell, emb)`` — the √N-seed IVF assignment as ONE numpy
+    matmul per Arrow batch against the driver-collected seed matrix,
+    shared by the BLAS arms (``dedup_embedding_ann_blas``,
+    ``dedup_semdedup_prune_blas``). The bounded ``ceil(√N)``-row collect
+    is the k-means-centroid pattern (100k seeds ≈ 51 MB at N=10¹⁰).
+    ``np.argmax`` returns the FIRST max = lowest cell, matching the
+    Catalyst fold's strictly-greater replace and the oracle's ``ORDER BY
+    sim DESC, cell``. Null embeddings assign to cell −1 (no pairs, still
+    counted), mirroring the fold's ``coalesce(…, -1)``."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    n_rows = e.count()
+    k = math.ceil(math.sqrt(n_rows))
+    seed_rows = e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    # the _pq_codebook contiguity invariant: position == cell id
+    assert [r["vec_id"] for r in seed_rows] == list(range(k)), (
+        "seed vec_ids not contiguous 0..k-1; argmax positions would shift"
+    )
+    S = np.array([r["emb"] for r in seed_rows], dtype=np.float64)
+    snorm = np.sqrt((S * S).sum(axis=1))
+    bc = spark.sparkContext.broadcast((S, snorm))
+
+    def assign(batches):
+        St, sn = bc.value
+        for pdf in batches:
+            mask = pdf["emb"].notna().to_numpy()
+            cells = np.full(len(pdf), -1, dtype="int64")
+            if mask.any():
+                E = np.array(pdf["emb"][mask].tolist(), dtype=np.float64)
+                cells[mask] = np.argmax((E @ St.T) / sn[None, :], axis=1)
+            out = pd.DataFrame({"vec_id": pdf["vec_id"], "cell": cells})
+            out["emb"] = pdf["emb"].values
+            yield out[["vec_id", "cell", "emb"]]
+
+    return e.mapInPandas(assign, "vec_id bigint, cell bigint, emb array<double>")
+
+
 #: shared oracle of the two ANN-blocked near-dup arms (Catalyst + BLAS):
 #: √N-seed IVF assignment, within-cell exact cosine ≥ 0.4.
 _ANN_PAIRS_SQL = f"""
@@ -611,41 +655,10 @@ def dedup_embedding_ann_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums in SIMD order, the fold sums sequentially — argmax/threshold
     decisions could differ on ~1-ulp ties, which healthy (jittered-real)
     margins never exhibit; the shared oracle hash-checks exactly that."""
-    import math
-
-    import numpy as np
     import pandas as pd
+    import numpy as np
 
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    n_rows = e.count()
-    k = math.ceil(math.sqrt(n_rows))
-    seed_rows = (
-        e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
-    )
-    # the _pq_codebook contiguity invariant: position == cell id
-    assert [r["vec_id"] for r in seed_rows] == list(range(k)), (
-        "seed vec_ids not contiguous 0..k-1; argmax positions would shift"
-    )
-    S = np.array([r["emb"] for r in seed_rows], dtype=np.float64)
-    snorm = np.sqrt((S * S).sum(axis=1))
-    bc = spark.sparkContext.broadcast((S, snorm))
-
-    def assign(batches):
-        St, sn = bc.value
-        for pdf in batches:
-            E = np.array(pdf["emb"].tolist(), dtype=np.float64)
-            scores = (E @ St.T) / sn[None, :]
-            out = pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "cell": np.argmax(scores, axis=1)}
-            )
-            out["emb"] = pdf["emb"].values
-            yield out[["vec_id", "cell", "emb"]]
-
-    assigned = e.mapInPandas(
-        assign, "vec_id bigint, cell bigint, emb array<double>"
-    )
+    assigned = _blas_assignment(spark, sf_dir)
 
     def gram(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf[pdf["emb"].notna()]
@@ -1233,9 +1246,9 @@ def similarity_ann_index_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_semdedup_prune",
-    f"""
+#: shared oracle of the two SemDeDup arms (Catalyst + BLAS): √N-seed IVF
+#: assignment, per-cell drop of every vector covered by an earlier one.
+_SEMDEDUP_SQL = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     seeds AS ({_SQRT_N_SEEDS_SQL}),
     assign AS (
@@ -1262,7 +1275,12 @@ def similarity_ann_index_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(d.n_dropped, 0) AS n_dropped,
            s.n_vectors - coalesce(d.n_dropped, 0) AS n_kept
     FROM sizes s LEFT JOIN drops d ON d.cell = s.cell
-    """,
+    """
+
+
+@register(
+    "dedup_semdedup_prune",
+    _SEMDEDUP_SQL,
     tags=("dedup", "similarity"),
 )
 def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1348,4 +1366,57 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("n_vectors") - F.coalesce(F.col("n_dropped"), F.lit(0))
         ).alias("n_kept"),
+    )
+
+
+@register(
+    "dedup_semdedup_prune_blas",
+    _SEMDEDUP_SQL,
+    tags=("dedup", "similarity"),
+)
+def dedup_semdedup_prune_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup under the same oracle with both N^1.5·d stages in BLAS
+    (the ``dedup_embedding_ann_blas`` rationale — interpreted
+    higher-order folds never codegen): numpy batch assignment via
+    :func:`_blas_assignment`, then ONE chunked Gram matrix per cell that
+    marks every column covered by an earlier row (``sim ≥ τ`` with a
+    lower vec_id) and emits the per-cell audit directly — the
+    |pairs|-sized distinct of the Catalyst formulation collapses into a
+    boolean OR over the mask, so nothing pair-shaped is ever
+    materialized."""
+    import numpy as np
+    import pandas as pd
+
+    assigned = _blas_assignment(spark, sf_dir)
+
+    def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        cell = int(pdf["cell"].iloc[0])
+        n_vec = len(pdf)
+        live = pdf[pdf["emb"].notna()]
+        n = len(live)
+        if n < 2:
+            return pd.DataFrame(
+                {"cell": [cell], "n_vectors": [n_vec],
+                 "n_dropped": [0], "n_kept": [n_vec]}
+            )
+        ids = live["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        E = np.array(live["emb"].to_numpy()[order].tolist(), dtype=np.float64)
+        nrm = np.sqrt((E * E).sum(axis=1))
+        cols = np.arange(n)
+        covered = np.zeros(n, dtype=bool)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for st in range(0, n, 2048):
+                en = min(st + 2048, n)
+                Sm = (E[st:en] @ E.T) / np.outer(nrm[st:en], nrm)
+                hit = (cols[None, :] > np.arange(st, en)[:, None]) & (Sm >= 0.4)
+                covered |= hit.any(axis=0)
+        n_dropped = int(covered.sum())
+        return pd.DataFrame(
+            {"cell": [cell], "n_vectors": [n_vec],
+             "n_dropped": [n_dropped], "n_kept": [n_vec - n_dropped]}
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        prune, "cell bigint, n_vectors bigint, n_dropped bigint, n_kept bigint"
     )
