@@ -1372,16 +1372,19 @@ def dedup_embedding_cosine_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ii, jj = np.nonzero(hit)
                 out_a.append(ids[ii + st])
                 out_b.append(ids[jj])
-                out_s.append(np.round(S[ii, jj], 6))
+                out_s.append(S[ii, jj])
         return pd.DataFrame(
             {"vec_a": np.concatenate(out_a),
              "vec_b": np.concatenate(out_b),
              "cos_sim": np.concatenate(out_s)}
         )
 
+    # round Spark-side: F.round is HALF_UP like the DuckDB oracle, while
+    # np.round is banker's (half-to-even) — a dyadic-rational cosine whose
+    # 7th decimal is exactly 5 would round differently under numpy.
     return raw.groupBy("label").applyInPandas(
         gram, "vec_a bigint, vec_b bigint, cos_sim double"
-    )
+    ).withColumn("cos_sim", F.round("cos_sim", 6))
 
 
 @register(

@@ -512,10 +512,16 @@ def _blas_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_rows = e.count()
     k = math.ceil(math.sqrt(n_rows))
     seed_rows = e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
-    # the _pq_codebook contiguity invariant: position == cell id
-    assert [r["vec_id"] for r in seed_rows] == list(range(k)), (
-        "seed vec_ids not contiguous 0..k-1; argmax positions would shift"
-    )
+    # the _pq_codebook contiguity invariant: position == cell id.  An
+    # explicit raise (not `assert`, which `python -O` strips): id gaps
+    # would silently shift every argmax position to the wrong cell.
+    if [r["vec_id"] for r in seed_rows] != list(range(k)):
+        raise ValueError(
+            "seed vec_ids not contiguous 0..%d; argmax positions would "
+            "shift and assign wrong cells" % (k - 1)
+        )
+    if any(r["emb"] is None for r in seed_rows):
+        raise ValueError("null seed embedding among vec_id < %d" % k)
     S = np.array([r["emb"] for r in seed_rows], dtype=np.float64)
     snorm = np.sqrt((S * S).sum(axis=1))
     bc = spark.sparkContext.broadcast((S, snorm))
@@ -527,7 +533,15 @@ def _blas_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             cells = np.full(len(pdf), -1, dtype="int64")
             if mask.any():
                 E = np.array(pdf["emb"][mask].tolist(), dtype=np.float64)
-                cells[mask] = np.argmax((E @ St.T) / sn[None, :], axis=1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    scores = (E @ St.T) / sn[None, :]
+                # zero-norm seeds produce inf/nan columns; the Catalyst
+                # fold's strictly-greater replace never selects a nan, so
+                # mirror it by treating non-finite scores as -inf before
+                # argmax instead of letting nan propagate to an arbitrary
+                # cell.
+                scores[~np.isfinite(scores)] = -np.inf
+                cells[mask] = np.argmax(scores, axis=1)
             out = pd.DataFrame({"vec_id": pdf["vec_id"], "cell": cells})
             out["emb"] = pdf["emb"].values
             yield out[["vec_id", "cell", "emb"]]
@@ -684,16 +698,18 @@ def dedup_embedding_ann_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ii, jj = np.nonzero(hit)
                 out_a.append(ids[ii + st])
                 out_b.append(ids[jj])
-                out_s.append(np.round(Sm[ii, jj], 6))
+                out_s.append(Sm[ii, jj])
         return pd.DataFrame(
             {"vec_a": np.concatenate(out_a),
              "vec_b": np.concatenate(out_b),
              "cos_sim": np.concatenate(out_s)}
         )
 
+    # round Spark-side (F.round = HALF_UP, matching the DuckDB oracle);
+    # np.round is half-to-even and can differ on exact-dyadic ties.
     return assigned.groupBy("cell").applyInPandas(
         gram, "vec_a bigint, vec_b bigint, cos_sim double"
-    )
+    ).withColumn("cos_sim", F.round("cos_sim", 6))
 
 
 def _ann_lsh_oracle_sql() -> str:

@@ -77,6 +77,33 @@ def _clear_table(spark: SparkSession, table: str) -> None:
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(wh + "/" + table)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return
+    # Guard the recursive delete: this path must be an ORPHANED MANAGED
+    # TABLE location, i.e. (a) the catalog no longer knows the name (the
+    # DROP above removed any session entry; an external table's data
+    # lives elsewhere and is untouched) and (b) every regular file under
+    # it is a Spark parquet-table artifact. A name collision with an
+    # unrelated warehouse directory must fail loudly, not destroy data
+    # that was never this index's.
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not (
+            name.endswith(".parquet")
+            or name.endswith(".crc")
+            or name.startswith("part-")
+            or name.startswith("_SUCCESS")
+            or name.startswith("_committed")
+            or name.startswith("_started")
+            or name.startswith("_temporary")
+            or name.startswith(".")
+        ):
+            raise ValueError(
+                f"refusing to clear {path}: contains non-table file "
+                f"{name!r} — the directory does not look like an "
+                f"orphaned managed-table location"
+            )
     fs.delete(path, True)
 
 

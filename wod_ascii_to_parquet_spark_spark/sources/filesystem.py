@@ -22,7 +22,11 @@ the same through its mock client).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import SparkSession
+
+_log = logging.getLogger(__name__)
 
 #: FileSystemPrefix.java:5-16 — CLI filesystem-type name → URI scheme.
 FS_PREFIXES = {
@@ -373,6 +377,15 @@ class FsClient:
             )
         except Exception as e:
             if _is_unknown_builder_option(e):
+                # The verdict is cached for the whole session, so make a
+                # misclassified rejection observable: a bare top-level UOE
+                # raised for an unrelated/transient reason would otherwise
+                # silently downgrade every later commit on this FS to the
+                # racy non-conditional path.
+                _log.warning(
+                    "conditional create disabled for %s for this session; "
+                    "builder rejection was: %s", key, e,
+                )
                 self._cond_create_support[key] = False
                 raise ConditionalCreateUnsupported(key) from None
             if fs.exists(p):
