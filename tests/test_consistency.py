@@ -995,14 +995,14 @@ def test_containment_prefix_boundary_multiples_of_five(spark):
 
 
 def test_simhash64_perm_equals_classic_segments(spark):
-    """The block-permutation candidate scheme (6 segments, 3-of-6 keys)
-    must return the IDENTICAL pair set as the classic 4-segment scheme on
-    both hash families — same fingerprints, same exact-Hamming verify,
-    different (provably recall-complete) candidate pruning. Any missing
-    pair here means the pigeonhole-over-sets argument was implemented
-    wrong."""
+    """The block-permutation candidate scheme (6 segments, 3-of-6 keys —
+    since r10 the HEADLINE ``dedup_simhash64`` configuration) must return
+    the IDENTICAL pair set as the classic 4-segment scheme on both hash
+    families — same fingerprints, same exact-Hamming verify, different
+    (provably recall-complete) candidate pruning. Any missing pair here
+    means the pigeonhole-over-sets argument was implemented wrong."""
     for a, b in (
-        ("dedup_simhash64", "dedup_simhash64_perm"),
+        ("dedup_simhash64", "dedup_simhash64_seg4"),
         ("dedup_simhash64_md5", "dedup_simhash64_perm_md5"),
     ):
         pa = {tuple(r) for r in QUERIES[a].fn(spark, SF_DIR).collect()}

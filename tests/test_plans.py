@@ -384,13 +384,16 @@ def test_bigram_surprisal_map_only_pair_build(spark):
 
 
 def test_semdedup_confined_to_cell_join(spark):
-    """SemDeDup's pair space must come from the cell equi-join: the pair
-    join's condition carries a cell equality (so it plans as a hash/merge
-    join, never a corpus-wide NL join), and every Cross join in the plan
-    is an explicit broadcast of the one-row quantizer."""
+    """The Catalyst SemDeDup arm's pair space must come from the cell
+    equi-join: the pair join's condition carries a cell equality (so it
+    plans as a hash/merge join, never a corpus-wide NL join), and every
+    Cross join in the plan is an explicit broadcast of the one-row
+    quantizer. The r10 HEADLINE (`dedup_semdedup_prune`, BLAS tier) has
+    no pair join at all — its plan must be the two Arrow stages (mapped
+    assignment + grouped prune) with no join of any kind."""
     import re
 
-    df = QUERIES["dedup_semdedup_prune"].fn(spark, SF_DIR)
+    df = QUERIES["dedup_semdedup_prune_catalyst"].fn(spark, SF_DIR)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     inner = [l for l in opt.splitlines() if "Join Inner" in l]
     assert inner and any(
@@ -399,8 +402,13 @@ def test_semdedup_confined_to_cell_join(spark):
     for l in opt.splitlines():
         if "Join Cross" in l:
             assert "strategy=broadcast" in l, l
-    plan = plan_of(spark, "dedup_semdedup_prune")
+    plan = plan_of(spark, "dedup_semdedup_prune_catalyst")
     assert "CartesianProduct" not in plan
+
+    head = plan_of(spark, "dedup_semdedup_prune")
+    assert "FlatMapGroupsInPandas" in head, head
+    assert "MapInPandas" in head, head
+    assert "Join" not in head and "CartesianProduct" not in head, head
 
 
 def test_variant_parsed_exactly_once(spark):

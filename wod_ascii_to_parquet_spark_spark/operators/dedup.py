@@ -849,14 +849,23 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash at Hamming ≤ 3 — the HEADLINE simhash arm, using the
     production parameters of Manku et al., WWW'07 (64-bit fingerprints,
-    distance 3). Four 16-bit segments → bucket population ~N/65536 per
-    segment: candidate volume stays near-linear even when one (lang,
-    source) slice is the whole corpus, so no blocking key is needed at
-    all. Benched in bench.py and asserted set-equal to the unblocked
-    all-pairs Hamming scan in tests/test_consistency.py; the 32-bit
-    ``dedup_simhash`` is the pedagogical variant."""
+    distance 3) with the paper's BLOCK-PERMUTATION candidate scheme
+    (r10: the headline routes to the scale configuration): 6 segments,
+    equi-join on every 3-of-6 subset jointly — C(6,3) = 20 tables keyed
+    on ~32-bit values → bucket space 2³², candidates ~20·N²/2³². The r9
+    sf10 check measured the minimal 4-segment scheme saturating its 2¹⁶
+    bucket space (candidates ~N²/2¹⁶ by 500k docs — dead by ~10⁷ docs),
+    and this scheme 1.7× faster at BOTH measured decades (α=0.80); the
+    4-segment formulation stays registered as ``dedup_simhash64_seg4``.
+    Benched in bench.py; pair set asserted identical to the seg4 arm and
+    to the unblocked all-pairs Hamming scan in tests/test_consistency.py;
+    ``dedup_simhash64_perm_md5`` is the fully-DuckDB-oracled twin of this
+    exact configuration. The 32-bit ``dedup_simhash`` is the pedagogical
+    variant."""
     s = simhash_bits(spread(load(spark, sf_dir, "documents")), nbits=64)
-    return _simhash_pairs(s, nbits=64, max_hamming=3, key_cols=())
+    return _simhash_pairs(
+        s, nbits=64, max_hamming=3, key_cols=(), n_segments=6
+    )
 
 
 @register(
@@ -865,14 +874,14 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_simhash64_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The HEADLINE 64-bit/distance-3 simhash arm under a FULL DuckDB
+    """The 64-bit/distance-3 4-SEGMENT simhash arm under a FULL DuckDB
     oracle: the per-token hash is the first 64 bits of ``md5`` — assembled
     from two 32-bit hex halves (``shiftleft(hi, 32) | lo``), cross-engine
     bit-exact — so the Manku-parameter pipeline (four 16-bit pigeonhole
     segments, no blocking key, exact Hamming verify) hash-matches end to
-    end. Same plan shape as ``dedup_simhash64``; this arm closes the last
-    rows-only gap in the dedup family (the 32-bit md5 arm covered only the
-    pedagogical parameters)."""
+    end. Same plan shape as ``dedup_simhash64_seg4`` (the reference arm;
+    since r10 the headline ``dedup_simhash64`` uses the 6-segment
+    block-permutation candidates, oracled by ``dedup_simhash64_perm_md5``)."""
 
     h64 = (
         "shiftleft(cast(conv(substring(md5({t}), 1, 8), 16, 10) as bigint),"
@@ -884,25 +893,22 @@ def dedup_simhash64_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_pairs(s, nbits=64, max_hamming=3, key_cols=())
 
 
-@register("dedup_simhash64_perm", None, tags=("dedup", "rows-only"))
-def dedup_simhash64_perm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit / Hamming ≤ 3 simhash with BLOCK-PERMUTATION candidates
-    (Manku et al., WWW'07 §3): 6 segments, equi-join on every 3-of-6
-    subset jointly — C(6,3) = 20 tables keyed on ~32-bit values, bucket
-    space 2^32 instead of the 4-segment scheme's 2^16. Same fingerprints
-    and the same exact-Hamming verify as ``dedup_simhash64``, so the pair
-    set is IDENTICAL (asserted in tests); only candidate pruning changes:
-    ~20·N²/2^32 candidates vs ~4·N²/2^16 — 54× fewer at any N, and the
-    configuration that still prunes at 10¹⁰ documents, where the r9 sf10
-    check showed the 16-bit buckets saturating (candidates ~N²/2^16
-    by 500k docs). Costs 20/4 = 5× the candidate-stream explode — the
-    classic tables-vs-collisions trade, worth it past ~10⁶ docs.
-    Rows-only: DuckDB lacks xxhash64; ``dedup_simhash64_perm_md5`` is the
-    fully-oracled twin."""
+@register("dedup_simhash64_seg4", None, tags=("dedup", "rows-only"))
+def dedup_simhash64_seg4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit / Hamming ≤ 3 simhash with the MINIMAL 4-segment pigeonhole
+    candidates (the r3–r9 headline formulation, kept as the reference
+    arm after r10 routed ``dedup_simhash64`` to the block-permutation
+    scheme): four 16-bit segments, bucket space FIXED at 2¹⁶ — the r9
+    sf10 check measured candidates ~N²/2¹⁶ by 500k docs, i.e. this
+    scheme stops pruning by ~10⁷ documents. Same fingerprints and the
+    same exact-Hamming verify as the headline, so the pair set is
+    IDENTICAL (asserted in tests); the headline's 6-segment 3-of-6 keys
+    cost a 5× wider candidate-stream explode but keep 2³² bucket space —
+    the classic tables-vs-collisions trade, worth it past ~10⁶ docs.
+    Rows-only: DuckDB lacks xxhash64; ``dedup_simhash64_md5`` is the
+    fully-oracled twin of this configuration."""
     s = simhash_bits(spread(load(spark, sf_dir, "documents")), nbits=64)
-    return _simhash_pairs(
-        s, nbits=64, max_hamming=3, key_cols=(), n_segments=6
-    )
+    return _simhash_pairs(s, nbits=64, max_hamming=3, key_cols=())
 
 
 @register(
@@ -911,7 +917,8 @@ def dedup_simhash64_perm(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_simhash64_perm_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``dedup_simhash64_perm`` under the FULL DuckDB oracle (md5 token
+    """The headline ``dedup_simhash64`` configuration (6-segment
+    block-permutation candidates) under the FULL DuckDB oracle (md5 token
     hash, bit-exact cross-engine): the generated oracle joins on the same
     20 three-segment key sets, so fingerprints, candidate tables, and
     verified pairs all hash-match — the block-permutation scheme's recall

@@ -494,8 +494,8 @@ def similarity_ann_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _blas_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``(vec_id, cell, emb)`` — the √N-seed IVF assignment as ONE numpy
     matmul per Arrow batch against the driver-collected seed matrix,
-    shared by the BLAS arms (``dedup_embedding_ann_blas``,
-    ``dedup_semdedup_prune_blas``). The bounded ``ceil(√N)``-row collect
+    shared by the BLAS headliners (``dedup_embedding_ann``,
+    ``dedup_semdedup_prune``). The bounded ``ceil(√N)``-row collect
     is the k-means-centroid pattern (100k seeds ≈ 51 MB at N=10¹⁰).
     ``np.argmax`` returns the FIRST max = lowest cell, matching the
     Catalyst fold's strictly-greater replace and the oracle's ``ORDER BY
@@ -573,11 +573,11 @@ _ANN_PAIRS_SQL = f"""
 
 
 @register(
-    "dedup_embedding_ann",
+    "dedup_embedding_ann_catalyst",
     _ANN_PAIRS_SQL,
     tags=("dedup", "similarity"),
 )
-def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_ann_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.4) blocked by IVF CELL — the
     ANN-bucket confinement ``dedup_embedding_cosine``'s docstring promises
     for 100 TB, as code: the label-blocked arm needs a trusted label
@@ -592,7 +592,14 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     medoid cells keep the whole arm — assignment, blocking, verification —
     fully DuckDB-oracled; the cell count tracks √N (the FAISS rule) via
     :func:`_sqrt_n_seeds`, not a fixed toy quantizer — the r8 scaling
-    run caught the fixed-16 version growing as N²/16."""
+    run caught the fixed-16 version growing as N²/16.
+
+    ROLE (r10): the expression-level REFERENCE arm. The r9 sf10 check
+    measured this pure-Catalyst formulation at α=1.59 (625 s at sf10;
+    interpreted higher-order folds), so the headline name
+    ``dedup_embedding_ann`` now routes to the BLAS kernel; this arm stays
+    registered under the same oracle as the cross-engine bit-pin both
+    engines can evaluate expression-for-expression."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -639,12 +646,14 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_embedding_ann_blas",
+    "dedup_embedding_ann",
     _ANN_PAIRS_SQL,
     tags=("dedup", "similarity"),
 )
-def dedup_embedding_ann_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same semantics and same oracle as ``dedup_embedding_ann``, with
+def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEADLINE ANN-blocked near-dup arm (r10: the name routes to the
+    measured scale tier). Same semantics and same oracle as
+    ``dedup_embedding_ann_catalyst``, with
     BOTH N^1.5·d stages moved from interpreted Catalyst folds to BLAS —
     the r9 sf10 spot-check found the pure-Catalyst arm at sf1→sf10
     α=1.59 (625 s), and a thread dump showed why: higher-order-function
@@ -663,9 +672,11 @@ def dedup_embedding_ann_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``dedup_embedding_cosine_blas``, keyed by cell instead of label —
       one task per cell, O(chunk·n) transient, BLAS flops.
 
-    The pure-Catalyst arm stays registered as the expression-level
-    reference both engines pin bit-for-bit; this arm is the scale tier
-    (same pairing discipline as cosine / cosine_blas). Float caveat: BLAS
+    The pure-Catalyst arm stays registered as
+    ``dedup_embedding_ann_catalyst`` — the expression-level reference
+    both engines pin bit-for-bit; this arm is the scale tier and (since
+    r10) the headline name a user or the bench exercises (measured 8.4 s
+    at sf10, α=0.78 vs the fold arm's 625 s). Float caveat: BLAS
     sums in SIMD order, the fold sums sequentially — argmax/threshold
     decisions could differ on ~1-ulp ties, which healthy (jittered-real)
     margins never exhibit; the shared oracle hash-checks exactly that."""
@@ -1295,11 +1306,11 @@ _SEMDEDUP_SQL = f"""
 
 
 @register(
-    "dedup_semdedup_prune",
+    "dedup_semdedup_prune_catalyst",
     _SEMDEDUP_SQL,
     tags=("dedup", "similarity"),
 )
-def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_semdedup_prune_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540) as a complete prune, not
     just candidate pairs: cluster the corpus with the map-only IVF
     assignment, compare cosine ONLY within a cluster, and for every pair
@@ -1318,7 +1329,12 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     brought it back subquadratic (N^1.5 kernel asymptote) — plus one
     |pairs|-sized distinct and two tiny aggregates. The drop rate (the
     paper's headline: ~50% of web corpora at τ≈0.95 with no quality
-    loss) is what this audit table measures per cell."""
+    loss) is what this audit table measures per cell.
+
+    ROLE (r10): the expression-level REFERENCE arm (the
+    ``dedup_embedding_ann_catalyst`` rationale); the headline name
+    ``dedup_semdedup_prune`` routes to the BLAS kernel measured at
+    α=0.64 sf1→sf10."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -1386,13 +1402,15 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_semdedup_prune_blas",
+    "dedup_semdedup_prune",
     _SEMDEDUP_SQL,
     tags=("dedup", "similarity"),
 )
-def dedup_semdedup_prune_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup under the same oracle with both N^1.5·d stages in BLAS
-    (the ``dedup_embedding_ann_blas`` rationale — interpreted
+def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEADLINE SemDeDup arm (r10: the name routes to the measured scale
+    tier; ``dedup_semdedup_prune_catalyst`` is the expression-level
+    reference under the same oracle). Both N^1.5·d stages in BLAS
+    (the ``dedup_embedding_ann`` rationale — interpreted
     higher-order folds never codegen): numpy batch assignment via
     :func:`_blas_assignment`, then ONE chunked Gram matrix per cell that
     marks every column covered by an earlier row (``sim ≥ τ`` with a
