@@ -279,6 +279,20 @@ def main() -> None:
             ),
         },
     )
+    detail["jitter_bands"] = _jitter_bands(
+        timings, out_doc["cpu_probe_sec"], out_doc["cpu_probe_par_sec"]
+    )
+    detail["jitter_summary"] = {
+        v: sorted(
+            n for n, b in detail["jitter_bands"].items() if b["verdict"] == v
+        )
+        for v in ("improved", "above_band", "no_history")
+    }
+    detail["jitter_summary"]["monotone_up"] = sorted(
+        n
+        for n, b in detail["jitter_bands"].items()
+        if b.get("monotone_up")
+    )
     prev, prev_probe, prev_par_probe = _previous_round()
     if prev:
         detail["previous_round"] = prev
@@ -330,6 +344,102 @@ def main() -> None:
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=2)
     print(json.dumps(out_doc))
+
+
+def _round_history() -> list[dict]:
+    """Every parseable BENCH_r*.json as
+    ``{round, queries, probe, par_probe}``, oldest first — the raw
+    material for jitter bands."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = []
+    matched = [
+        (int(m.group(1)), p)
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p)))
+    ]
+    for rnd, path in sorted(matched):
+        try:
+            with open(path) as fh:
+                doc = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        parsed = doc.get("parsed", doc)
+        if isinstance(parsed, dict) and parsed.get("queries"):
+            out.append(
+                {
+                    "round": rnd,
+                    "queries": parsed["queries"],
+                    "probe": parsed.get("cpu_probe_sec"),
+                    "par_probe": parsed.get("cpu_probe_par_sec"),
+                }
+            )
+    return out
+
+
+def _jitter_bands(
+    timings: dict[str, float],
+    probe: float,
+    par_probe: float,
+    n_rounds: int = 4,
+) -> dict[str, dict]:
+    """Per-query self-classifying deltas (VERDICT r9 #6): every verdict
+    round burned space re-adjudicating noise because the serial CPU probe
+    varies >2x across round hosts. For each headliner, project the last
+    ``n_rounds`` recorded readings onto TODAY'S host (scale each by
+    ``max(probe_now/probe_then, par_now/par_then)`` — whichever resource
+    got scarcer bounds how much slowdown the host alone explains), take
+    the min..max of the projections as the jitter band, and classify the
+    current reading against it:
+
+    - ``improved``   — below the band by >10%
+    - ``within``     — inside the band (+-10% slack): host weather, drop it
+    - ``above_band`` — above by >10% even after probe normalization:
+                       a real regression candidate, adjudicate
+    - ``monotone_up`` — flagged alongside when the normalized series rises
+                       every round (the r9 curation_pipeline_stats shape:
+                       each step within jitter, the trend not)
+    """
+    hist = _round_history()[-n_rounds:]
+    bands: dict[str, dict] = {}
+    for name, now in timings.items():
+        series = []
+        for h in hist:
+            then = h["queries"].get(name)
+            if not then:
+                continue
+            ratio = 1.0
+            if probe and h["probe"]:
+                ratio = probe / h["probe"]
+            if par_probe and h["par_probe"]:
+                ratio = max(ratio, par_probe / h["par_probe"])
+            series.append(
+                {"round": h["round"], "sec": then,
+                 "projected": round(then * ratio, 3)}
+            )
+        if not series:
+            bands[name] = {"now": now, "verdict": "no_history"}
+            continue
+        lo = min(p["projected"] for p in series)
+        hi = max(p["projected"] for p in series)
+        if now < 0.9 * lo:
+            verdict = "improved"
+        elif now <= 1.1 * hi:
+            verdict = "within"
+        else:
+            verdict = "above_band"
+        norm = [p["projected"] for p in series] + [now]
+        bands[name] = {
+            "now": now,
+            "band_projected": [round(lo, 3), round(hi, 3)],
+            "verdict": verdict,
+            "monotone_up": len(norm) >= 3
+            and all(a < b for a, b in zip(norm, norm[1:])),
+            "history": series,
+        }
+    return bands
 
 
 def _previous_round() -> tuple[dict[str, float] | None, float | None, float | None]:

@@ -234,3 +234,68 @@ def test_incremental_append_equals_full_build(spark):
         for r in probe_ann_index(spark, queries, table="annx_incr").collect()
     }
     assert incr == full
+
+
+def test_ann_vacuum_compacts_and_preserves_probe(spark):
+    """VERDICT r9 #5 (ANN side): build over a slice, frozen-quantizer
+    append of the rest, inject a superseded generation, vacuum — stale
+    rows dropped, file sets compacted, probe identical, bucket spec
+    preserved through the catalog rename."""
+    from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+        _table_data_file_count,
+        _table_num_buckets,
+        append_to_ann_index,
+        vacuum_ann_index,
+    )
+
+    t = "test_ann_idx_vac"
+    try:
+        e = load(spark, SF_DIR, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        build_ann_index(
+            spark, SF_DIR, table=t, n_buckets=8, n_cells=16,
+            vectors=e.filter(F.col("vec_id") < 250),
+        )
+        append_to_ann_index(spark, e.filter(F.col("vec_id") >= 250), table=t)
+        q = _queries(spark)
+        clean = {
+            tuple(r)
+            for r in probe_ann_index(
+                spark, q, table=t, nprobe=4, k=3, exclude_self=True
+            ).collect()
+        }
+        stale = (
+            spark.table(t).limit(23)
+            .withColumn("build_id", F.lit("superseded-build"))
+        )
+        (
+            stale.write.bucketBy(8, "cell").sortBy("cell")
+            .format("parquet").mode("append").saveAsTable(t)
+        )
+        # stale duplicates are not harmless: duplicate index rows can
+        # displace distinct vectors from the top-k, so a corrupted index
+        # SERVES WRONG NEIGHBORS — this is what makes vacuum a
+        # correctness op, not just a file-count op
+        corrupted = {
+            tuple(r)
+            for r in probe_ann_index(
+                spark, q, table=t, nprobe=4, k=3, exclude_self=True
+            ).collect()
+        }
+        assert corrupted != clean
+        files_before = _table_data_file_count(spark, t)
+        stats = vacuum_ann_index(spark, table=t)
+        assert stats["rows_dropped"] == 23
+        assert stats["files_after"] < files_before
+        assert _table_num_buckets(spark, t) == 8
+        after = {
+            tuple(r)
+            for r in probe_ann_index(
+                spark, q, table=t, nprobe=4, k=3, exclude_self=True
+            ).collect()
+        }
+        assert after == clean and after
+    finally:
+        for side in ("", "__codebooks", "__vacuum_tmp"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{side}")

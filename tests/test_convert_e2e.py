@@ -290,3 +290,33 @@ def test_wkb_kernel_matches_independent_decoder():
     for i in (0, 1, 2, 4):
         x, y = parse_wkb_point(out[i])
         assert x == lon[i] and y == lat[i]
+
+
+def test_convert_run_leaves_cache_empty(spark, tmp_path, monkeypatch):
+    """VERDICT r9 #4: a multi-file convert run is the long-lived shape
+    cached_frames() was built for — a stage that persist()s (simulated by
+    wrapping convert_file, since no stage persists today) must have its
+    frames released when convert() returns, not accumulate one
+    InMemoryRelation per file."""
+    import wod_ascii_to_parquet_spark_spark.plans.convert as C
+
+    real = C.convert_file
+
+    def persisting(spark_, task, **kw):
+        df = spark_.range(10).persist()
+        df.count()
+        return real(spark_, task, **kw)
+
+    monkeypatch.setattr(C, "convert_file", persisting)
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    result = C.convert(
+        spark,
+        source=WOD,
+        output=str(tmp_path / "out"),
+        datasets=("CTD",),
+        levels=("OBS", "STD"),
+        max_concurrent=2,
+    )
+    assert len(result.converted) == 2
+    assert cm.isEmpty(), "convert() leaked persisted frames after the run"

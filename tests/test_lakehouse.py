@@ -400,6 +400,33 @@ def test_table_cli_history_optimize_vacuum(spark, tmp_path, capsys):
     assert {r.k for r in t.read().collect()} == {1, 2}
 
 
+def test_table_cli_invocations_leave_cache_empty(spark, tmp_path, monkeypatch):
+    """VERDICT r9 #4: the ops CLI is a long-lived entry point (one session
+    reused across N in-process invocations), so main() must scope each
+    invocation with cached_frames(): a table op that persist()s — none do
+    today, simulated here by patching LogTable.read to persist its frame —
+    must not accumulate one CacheManager entry per invocation."""
+    from wod_ascii_to_parquet_spark_spark import table_cli
+
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="append")
+    d = str(tmp_path / "t")
+
+    real_read = LogTable.read
+
+    def persisting_read(self, *a, **k):
+        df = real_read(self, *a, **k).persist()
+        df.count()
+        return df
+
+    monkeypatch.setattr(LogTable, "read", persisting_read)
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    for _ in range(4):
+        assert table_cli.main(["show", d]) == 0
+        assert cm.isEmpty(), "CLI invocation leaked a persisted frame"
+
+
 def test_segment_spill_and_checkpoint(spark, tmp_path, monkeypatch):
     """Once the inherited inline file list reaches the spill threshold,
     appends move it into immutable ``seg-*.json`` segments (per-commit

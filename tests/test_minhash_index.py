@@ -156,3 +156,82 @@ def test_probe_index_side_exchange_free(spark, mh_index):
         re.findall(r"\(\d+\) Exchange", _plan(broadcast=False, bucketing=False))
     )
     assert n_bucketed < n_flat, (n_bucketed, n_flat)
+
+
+def test_vacuum_compacts_and_preserves_probe(spark):
+    """VERDICT r9 #5: vacuum must (a) drop rows from superseded build_id
+    generations — invisible to the one-row torn-build check — (b) shrink
+    the append-accumulated file sets to one bucketed generation per side,
+    and (c) change NOTHING about probe results, including the
+    Exchange-free bucketed probe plan (the catalog rename must carry the
+    bucket spec)."""
+    import re
+
+    from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+        _table_data_file_count,
+        _table_num_buckets,
+    )
+    from wod_ascii_to_parquet_spark_spark.plans.minhash_index import (
+        vacuum_minhash_index,
+    )
+
+    t = "test_mh_idx_vac"
+    try:
+        d = load(spark, SF_DIR, "documents").select("doc_id", "text")
+        build_minhash_index(
+            spark, d.filter(F.col("doc_id") < 200), table=t, family="md5"
+        )
+        append_minhash_index(
+            spark,
+            d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 350)),
+            table=t,
+        )
+        append_minhash_index(spark, d.filter(F.col("doc_id") >= 350), table=t)
+        # inject a superseded generation, as an interrupted rebuild would
+        # strand: same schema, stale build_id
+        n_buckets = _table_num_buckets(spark, t)
+        stale = (
+            spark.table(t)
+            .limit(37)
+            .withColumn("build_id", F.lit("superseded-build"))
+        )
+        (
+            stale.write.bucketBy(n_buckets, "band", "key")
+            .sortBy("band", "key")
+            .format("parquet")
+            .mode("append")
+            .saveAsTable(t)
+        )
+        before = _pairs(probe_minhash_index(spark, d, table=t, self_probe=True))
+        files_before = _table_data_file_count(spark, t)
+        rows_before = spark.table(t).count()
+
+        stats = vacuum_minhash_index(spark, table=t)
+        assert stats["bands"]["rows_dropped"] == 37
+        assert stats["docs"]["rows_dropped"] == 0
+        assert stats["bands"]["files_after"] < files_before
+        assert spark.table(t).count() == rows_before - 37
+        assert (
+            spark.table(t).filter(F.col("build_id") == "superseded-build").count()
+            == 0
+        )
+        # bucket spec survived the rename: same n_buckets, and the probe
+        # plan still reads the index side without an Exchange under it
+        assert _table_num_buckets(spark, t) == n_buckets
+        after = _pairs(probe_minhash_index(spark, d, table=t, self_probe=True))
+        assert after == before and after
+
+        plan = (
+            probe_minhash_index(spark, d, table=t, self_probe=True)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        scans = [
+            m.start() for m in re.finditer(r"FileScan parquet [^\n]*" + t, plan)
+        ]
+        assert scans, plan
+        assert f"SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+    finally:
+        for side in ("", "__docs", "__meta", "__vacuum_tmp", "__docs__vacuum_tmp"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{side}")

@@ -1581,6 +1581,47 @@ def dedup_minhash_index_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_minhash_index(spark, d, table=table, self_probe=True)
 
 
+@register(
+    "dedup_minhash_index_vacuum_md5",
+    "WITH "
+    + _md5_lsh_sql(
+        "SELECT doc_a, doc_b, round(jac, 6) AS jac FROM verified WHERE jac >= 0.5"
+    ),
+    tags=("dedup",),
+)
+def dedup_minhash_index_vacuum_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index LIFECYCLE under the hash gate (VERDICT r9 #5): build the
+    signature index over the first 250 documents, append the rest in TWO
+    batches (each bucketed append leaves another n_buckets-file
+    generation per side), then VACUUM — compact both sides to one
+    bucketed file set and drop any superseded ``build_id`` rows — and
+    self-probe the compacted index. Must still equal the live
+    ``dedup_minhash_lsh_md5`` exactly (same oracle SQL): compaction is a
+    physical rewrite, never a semantic change, and the rename-based
+    publish must preserve the bucket spec that keeps the probe
+    Exchange-free (plan-asserted in tests/test_minhash_index.py)."""
+    from ..plans.minhash_index import (
+        append_minhash_index,
+        build_minhash_index,
+        probe_minhash_index,
+        vacuum_minhash_index,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    table = "minhash_lsh_index_vq"
+    build_minhash_index(
+        spark, d.filter(F.col("doc_id") < 250), table=table, family="md5"
+    )
+    append_minhash_index(
+        spark,
+        d.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 400)),
+        table=table,
+    )
+    append_minhash_index(spark, d.filter(F.col("doc_id") >= 400), table=table)
+    vacuum_minhash_index(spark, table=table)
+    return probe_minhash_index(spark, d, table=table, self_probe=True)
+
+
 def _md5_calibration_sql() -> str:
     """DuckDB mirror of the minhash CALIBRATION query: per band-candidate
     pair, the signature-agreement estimate (matching positions / 32)

@@ -1273,6 +1273,43 @@ def similarity_ann_index_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("similarity_ann_index_vacuum_adc", _ivf_adc_sql(), tags=("similarity",))
+def similarity_ann_index_vacuum_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN-index LIFECYCLE under the hash gate (VERDICT r9 #5): build
+    the stored IVFADC index over vectors ``vec_id < 250`` (same
+    n_cells=16 quantizer as the oracled one-shot — the seeds are
+    ``vec_id < 16``, all inside the build slice), grow it with a frozen-
+    quantizer append of the rest (another n_buckets-file generation in
+    the codes table), VACUUM — one bucketed file set, superseded
+    ``build_id`` rows dropped — then serve the 10-query batch from the
+    compacted table. Must equal ``similarity_ann_ivf_adc`` exactly (same
+    oracle): compaction is physical, the probe plan stays bucketed."""
+    from ..plans.ann_index import (
+        append_to_ann_index,
+        build_ann_index,
+        probe_ann_index,
+        vacuum_ann_index,
+    )
+
+    table = "ann_ivfadc_index_vq"
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    build_ann_index(
+        spark, sf_dir, table=table, n_buckets=8, n_cells=16,
+        vectors=e.filter(F.col("vec_id") < 250),
+    )
+    append_to_ann_index(spark, e.filter(F.col("vec_id") >= 250), table=table)
+    vacuum_ann_index(spark, table=table)
+    q = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qemb"),
+    ).filter(F.col("qid") < 10)
+    return probe_ann_index(
+        spark, q, table=table, nprobe=4, k=3, exclude_self=True
+    )
+
+
 #: shared oracle of the two SemDeDup arms (Catalyst + BLAS): √N-seed IVF
 #: assignment, per-cell drop of every vector covered by an earlier one.
 _SEMDEDUP_SQL = f"""

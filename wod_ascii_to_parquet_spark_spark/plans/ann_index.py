@@ -58,6 +58,7 @@ def build_ann_index(
     table: str = INDEX_TABLE,
     n_buckets: int = 8,
     n_cells: int | None = None,
+    vectors: DataFrame | None = None,
 ) -> str:
     """One map-only corpus pass → ``(vec_id, cell, codes, build_id)``
     persisted as a parquet table bucketed+sorted by ``cell``, plus the two
@@ -81,9 +82,13 @@ def build_ann_index(
     # locations a previous session left (LOCATION_ALREADY_EXISTS guard)
     for t in (f"{table}__codebooks", table):
         _clear_table(spark, t)
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
+    # ``vectors`` (columns vec_id, emb) overrides the default full-corpus
+    # read — the initial-build slice of a build→append lifecycle. The
+    # quantizer/codebook seeds are low-vec_id rows, so a slice containing
+    # them trains the identical index state as a full build.
+    e = vectors if vectors is not None else load(
+        spark, sf_dir, "embeddings"
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     if n_cells is None:
         from ..operators.similarity import _sqrt_n_seeds
 
@@ -226,6 +231,89 @@ def append_to_ann_index(
         .saveAsTable(table)
     )
     return n
+
+
+def _table_location(spark: SparkSession, table: str) -> str:
+    for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if row[0].strip() == "Location":
+            return row[1]
+    raise ValueError(f"no location for table {table}")
+
+
+def _table_data_file_count(spark: SparkSession, table: str) -> int:
+    """Number of regular data files under the table location — the
+    small-file health metric vacuum exists to bound (every bucketed
+    append adds a full n_buckets file set)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(_table_location(spark, table))
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    n = 0
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith(("_", ".")):
+            n += 1
+    return n
+
+
+def _compact_bucketed_table(
+    spark: SparkSession,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    current_build_id: str,
+) -> dict:
+    """Rewrite a bucketed index table as ONE fresh file set containing
+    only rows of the CURRENT ``build_id`` (maintenance op — VERDICT r9
+    #5): every bucketed append leaves another n_buckets-file generation
+    in the table directory, and superseded/orphaned ``build_id`` rows
+    (from interrupted rebuilds) are invisible to the one-row torn-build
+    probe check. Compaction = filter to the current generation → write
+    to a ``__vacuum_tmp`` table with the SAME bucket spec → drop the
+    original → catalog RENAME of the tmp into the original name (the
+    rename moves the managed location and keeps the bucket spec, so
+    probes stay Exchange-free — asserted in tests).
+
+    Not crash-atomic: a crash between the DROP and the RENAME leaves the
+    data under ``<table>__vacuum_tmp`` — recover by re-issuing the
+    rename (``ALTER TABLE <table>__vacuum_tmp RENAME TO <table>``);
+    nothing is deleted before the tmp write has fully committed."""
+    from .minhash_index import _clear_table
+
+    tmp = f"{table}__vacuum_tmp"
+    _clear_table(spark, tmp)  # session-restart orphan safety
+    n_buckets = _table_num_buckets(spark, table)
+    rows_before = spark.table(table).count()
+    files_before = _table_data_file_count(spark, table)
+    (
+        spark.table(table)
+        .filter(F.col("build_id") == current_build_id)
+        .repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+        .write.bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(tmp)
+    )
+    rows_kept = spark.table(tmp).count()
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    return {
+        "table": table,
+        "rows_before": rows_before,
+        "rows_kept": rows_kept,
+        "rows_dropped": rows_before - rows_kept,
+        "files_before": files_before,
+        "files_after": _table_data_file_count(spark, table),
+    }
+
+
+def vacuum_ann_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
+    """Maintenance: compact the codes table to one bucketed file set and
+    drop rows from superseded ``build_id`` generations (the codebooks
+    sidecar defines CURRENT). Probe results are unchanged by
+    construction — asserted both in tests and by the registered
+    ``similarity_ann_index_vacuum_adc`` query under the DuckDB oracle."""
+    current = spark.table(f"{table}__codebooks").select("build_id").first()[0]
+    return _compact_bucketed_table(spark, table, ("cell",), current)
 
 
 def _table_num_buckets(spark: SparkSession, table: str, default: int = 8) -> int:

@@ -49,6 +49,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.geohash import geohash_col
+from ..registry import cached_frames
 from ..sources.filesystem import FsClient
 from ..sources.wod_ascii import errors, ok_casts, wod_scan
 from .geo_metadata import SIDECAR_NAME, attach_geo_footer, geo_sidecar_bytes
@@ -389,12 +390,20 @@ def convert(
                 last_err = e
         result.failed.append((task.input_path, str(last_err)))
 
-    if max_concurrent > 1:
-        with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
-            list(pool.map(run, tasks))
-    else:
-        for t in tasks:
-            run(t)
+    # cached_frames: a multi-file run is exactly the long-lived-session
+    # shape the registry documents — any persist() a composed stage does
+    # (none today, but curation/LSH stages persist when composed in) is
+    # released when the run returns instead of accumulating one
+    # InMemoryRelation per file in the CacheManager. One scope around the
+    # WHOLE run (not per task): tasks share the session and the scope's
+    # release happens after every task's terminal write.
+    with cached_frames():
+        if max_concurrent > 1:
+            with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+                list(pool.map(run, tasks))
+        else:
+            for t in tasks:
+                run(t)
     if result.failed:
         raise RuntimeError(f"conversion failures: {result.failed}")
     return result

@@ -259,3 +259,24 @@ def probe_minhash_index(
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jac"))
     )
+
+
+def vacuum_minhash_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
+    """Maintenance: compact the band table and the shingle sidecar to one
+    bucketed file set each and drop rows from superseded ``build_id``
+    generations (the ``__meta`` row defines CURRENT) — VERDICT r9 #5.
+    Every ``append_minhash_index`` leaves another n_buckets-file
+    generation per side; a scheduled vacuum bounds the file count, and
+    the build_id filter removes orphaned rows an interrupted rebuild may
+    have stranded (which the one-row torn-build check cannot see). Probe
+    results are unchanged — asserted in tests and by the registered
+    ``dedup_minhash_index_vacuum_md5`` query under the DuckDB oracle."""
+    from .ann_index import _compact_bucketed_table
+
+    current = spark.table(f"{table}__meta").select("build_id").first()[0]
+    return {
+        "bands": _compact_bucketed_table(spark, table, ("band", "key"), current),
+        "docs": _compact_bucketed_table(
+            spark, f"{table}__docs", ("doc_id",), current
+        ),
+    }

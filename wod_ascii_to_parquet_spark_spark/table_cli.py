@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import json
 
+from .registry import cached_frames
 from .session import get_spark
 from .sources.lakehouse import LogTable
 
@@ -54,7 +55,15 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     spark = get_spark(app_name="logtable-cli", master=args.master)
     t = LogTable(spark, args.table_dir)
+    # cached_frames: get_spark() reuses one session across in-process
+    # invocations (a scheduled-ops loop calling main() N times is the
+    # documented long-lived shape), so any persist() a table op does must
+    # not accumulate one CacheManager entry per invocation.
+    with cached_frames():
+        return _dispatch(args, t)
 
+
+def _dispatch(args, t: LogTable) -> int:
     if args.cmd == "history":
         out = [
             {
