@@ -1031,6 +1031,22 @@ def test_embedding_cosine_pair_budget_guardrail(spark, monkeypatch):
         assert name in msg
 
 
+def test_pq_encode_blas_equals_catalyst_arm(spark):
+    """The r10 headline (numpy subspace argmins) and the Catalyst fold
+    arm must emit IDENTICAL codes for every vector — same codebook, same
+    ‖a‖²-dropped selection metric, same first-min tie-break. Any
+    divergence is a tie-break or float-order bug, not jitter."""
+    a = {
+        tuple(r)
+        for r in QUERIES["vector_pq_encode"].fn(spark, SF_DIR).collect()
+    }
+    b = {
+        tuple(r)
+        for r in QUERIES["vector_pq_encode_catalyst"].fn(spark, SF_DIR).collect()
+    }
+    assert a and a == b
+
+
 def test_embedding_cosine_blas_equals_catalyst_arm(spark):
     """The BLAS (applyInPandas Gram-matrix) arm and the Catalyst zip_with
     arm are the SAME query — identical pair set and identical rounded

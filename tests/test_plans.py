@@ -284,10 +284,15 @@ def test_decontaminate_broadcasts_eval_grams(spark):
 def test_pq_encode_is_map_only(spark):
     """PQ encoding is one map pass against the broadcast codebook: no
     Window, no hash exchange (the one SinglePartition exchange is the
-    16-row codebook fold)."""
-    plan = plan_of(spark, "vector_pq_encode")
+    16-row codebook fold). The r10 HEADLINE is the BLAS tier — one
+    Arrow map stage, equally shuffle-free."""
+    plan = plan_of(spark, "vector_pq_encode_catalyst")
     assert "Window" not in plan, plan
     assert "hashpartitioning(" not in plan, plan
+
+    head = plan_of(spark, "vector_pq_encode")
+    assert "MapInPandas" in head, head
+    assert "Window" not in head and "hashpartitioning(" not in head, head
 
 
 def test_pq_adc_takes_ordered_topk(spark):

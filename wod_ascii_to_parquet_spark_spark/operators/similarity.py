@@ -996,8 +996,10 @@ def _pq_code(s: int, vec: str = "emb") -> "F.Column":
     return F.expr(_pq_code_sql(s, vec))
 
 
-@register("vector_pq_encode", _pq_encode_sql(), tags=("similarity", "vector"))
-def vector_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register(
+    "vector_pq_encode_catalyst", _pq_encode_sql(), tags=("similarity", "vector")
+)
+def vector_pq_encode_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoding: each 64-dim vector → 8 centroid ids
     (one per 8-dim subspace, k=16 medoid codebooks) — 8 bytes per vector,
     the storage tier below ``vector_quantize_int8`` (64× smaller than
@@ -1005,7 +1007,13 @@ def vector_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook row, argmin folds per subspace, no shuffle; codes emitted as
     a comma-joined string (driver-hashable, the r3 array lesson). Fully
     DuckDB-oracled via deterministic medoid codebooks + the dot-product
-    L2 identity evaluated in identical shapes by both engines."""
+    L2 identity evaluated in identical shapes by both engines.
+
+    ROLE (r10): the expression-level REFERENCE arm. The r10 sf10 check
+    measured these unrolled argmin folds at α=1.04 with a ~300 µs/vector
+    constant (60 s for 200k vectors — interpreted HOF eval, the
+    ``dedup_embedding_ann_catalyst`` disease); the headline
+    ``vector_pq_encode`` routes to the BLAS kernel."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -1020,6 +1028,68 @@ def vector_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.crossJoin(F.broadcast(cb)).select(
         "vec_id", codes_csv.alias("codes_csv")
     )
+
+
+@register("vector_pq_encode", _pq_encode_sql(), tags=("similarity", "vector"))
+def vector_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEADLINE PQ encode (r10: routes to the BLAS tier; the Catalyst
+    fold formulation stays registered as ``vector_pq_encode_catalyst``
+    under the same oracle). Per Arrow batch, the 8 subspace argmins are
+    numpy matmuls against the driver-collected 16-row medoid codebook:
+    ``dist[n, k] = ‖c_s‖² − 2·E_s @ C_sᵀ`` per subspace (the same
+    ‖a‖²-dropped selection metric as the fold, so argmins agree), with
+    ``np.argmin`` returning the FIRST minimum = lowest centroid id,
+    matching the fold's strictly-less replace and the oracle's
+    ``ORDER BY dsel, cent``. Null embeddings encode to all −1 codes,
+    mirroring the fold's ``coalesce(…, −1)`` init. Float caveat: BLAS
+    sums subspace dots in SIMD order vs the fold's sequential order —
+    1-ulp argmin ties could differ; jittered-real codebooks never sit on
+    them and the shared oracle hash-checks exactly that. Measured
+    ~100× less per-vector cost than the interpreted fold."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    rows = e.filter(F.col("vec_id") < _PQ_K).orderBy("vec_id").collect()
+    if [r["vec_id"] for r in rows] != list(range(_PQ_K)):
+        raise ValueError(
+            f"PQ codebook must be the contiguous cells 0..{_PQ_K - 1}: "
+            "positional codes are invalid on a sparse id set"
+        )
+    if any(r["emb"] is None for r in rows):
+        raise ValueError("null embedding among PQ codebook rows")
+    C = np.array([r["emb"] for r in rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast(C)
+
+    def enc(batches):
+        subC = bc.value.reshape(_PQ_K, _PQ_M, _PQ_SUBDIM)
+        bb = (subC * subC).sum(axis=2)  # (k, m) per-subspace ‖c‖²
+        for pdf in batches:
+            n = len(pdf)
+            mask = pdf["emb"].notna().to_numpy()
+            codes = np.full((n, _PQ_M), -1, dtype=np.int64)
+            if mask.any():
+                E = np.array(pdf["emb"][mask].tolist(), dtype=np.float64)
+                subE = E.reshape(len(E), _PQ_M, _PQ_SUBDIM)
+                got = np.empty((len(E), _PQ_M), dtype=np.int64)
+                for s in range(_PQ_M):
+                    D = bb[:, s][None, :] - 2.0 * (
+                        subE[:, s, :] @ subC[:, s, :].T
+                    )
+                    got[:, s] = np.argmin(D, axis=1)
+                codes[mask] = got
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "codes_csv": [
+                        ",".join(map(str, row)) for row in codes
+                    ],
+                }
+            )
+
+    return e.mapInPandas(enc, "vec_id bigint, codes_csv string")
 
 
 @register("similarity_pq_adc", _pq_adc_sql(), tags=("similarity",))
