@@ -235,3 +235,77 @@ def test_vacuum_compacts_and_preserves_probe(spark):
     finally:
         for side in ("", "__docs", "__meta", "__vacuum_tmp", "__docs__vacuum_tmp"):
             spark.sql(f"DROP TABLE IF EXISTS {t}{side}")
+
+
+def test_verify_detects_torn_and_double_appends_and_vacuum_heals(spark):
+    """The two silent-corruption states of the incremental path, detected
+    by verify_minhash_index and healed by the documented recovery:
+
+    - torn append (bands landed, sidecar didn't): flagged; re-appending
+      the same delta restores correct probe results (band duplicates are
+      de-duplicated before verify), and vacuum removes the duplicates.
+    - double append of one delta: duplicate sidecar rows DUPLICATE probe
+      output pairs (demonstrated); vacuum's full-row dedup restores the
+      exact single-append results."""
+    from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+        _table_num_buckets,
+    )
+    from wod_ascii_to_parquet_spark_spark.plans.minhash_index import (
+        _band_keys,
+        _sig_frame,
+        vacuum_minhash_index,
+        verify_minhash_index,
+    )
+
+    t = "test_mh_idx_torn"
+    try:
+        d = load(spark, SF_DIR, "documents").select("doc_id", "text")
+        build_minhash_index(
+            spark, d.filter(F.col("doc_id") < 400), table=t, family="md5"
+        )
+        delta = d.filter(F.col("doc_id") >= 400)
+
+        # --- torn append: band keys land, crash before the sidecar ---
+        n_buckets = _table_num_buckets(spark, t)
+        sigs = _sig_frame(delta, "md5")
+        (
+            _band_keys(sigs)
+            .withColumn("build_id", F.lit(spark.table(f"{t}__meta").first()["build_id"]))
+            .write.bucketBy(n_buckets, "band", "key")
+            .sortBy("band", "key")
+            .format("parquet")
+            .mode("append")
+            .saveAsTable(t)
+        )
+        rep = verify_minhash_index(spark, table=t)
+        assert not rep["consistent"] and rep["band_docids_missing_sidecar"] > 0
+
+        # documented recovery: re-append the SAME delta, then vacuum
+        append_minhash_index(spark, delta, table=t)
+        rep = verify_minhash_index(spark, table=t)
+        assert rep["consistent"], rep
+        expected = _pairs(probe_minhash_index(spark, d, table=t, self_probe=True))
+        stats = vacuum_minhash_index(spark, table=t)
+        assert stats["bands"]["rows_dropped"] > 0  # the duplicated band keys
+        assert _pairs(
+            probe_minhash_index(spark, d, table=t, self_probe=True)
+        ) == expected
+
+        # --- double append of one delta: sidecar duplicates duplicate
+        # probe PAIRS (rows, not just the pair set) ---
+        append_minhash_index(spark, delta, table=t)
+        rep = verify_minhash_index(spark, table=t)
+        assert not rep["consistent"] and rep["duplicate_sidecar_docids"] > 0
+        probe_rows = probe_minhash_index(
+            spark, d, table=t, self_probe=True
+        ).count()
+        expected_rows = len(expected)
+        assert probe_rows > expected_rows  # duplicated output rows = corruption
+        vacuum_minhash_index(spark, table=t)
+        assert verify_minhash_index(spark, table=t)["consistent"]
+        healed = probe_minhash_index(spark, d, table=t, self_probe=True)
+        assert healed.count() == expected_rows
+        assert _pairs(healed) == expected
+    finally:
+        for side in ("", "__docs", "__meta", "__vacuum_tmp", "__docs__vacuum_tmp"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{side}")

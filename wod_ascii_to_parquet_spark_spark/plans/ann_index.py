@@ -284,9 +284,16 @@ def _compact_bucketed_table(
     n_buckets = _table_num_buckets(spark, table)
     rows_before = spark.table(table).count()
     files_before = _table_data_file_count(spark, table)
+    # dropDuplicates (full row) HEALS a double-append of the same delta:
+    # duplicated index rows are not harmless — duplicate codes rows
+    # displace distinct vectors from ADC top-k, duplicate shingle-sidecar
+    # rows duplicate probe output pairs. Rows from a repeated append are
+    # byte-identical (same hash family / frozen quantizer, same
+    # build_id), so full-row dedup is exact, never lossy.
     (
         spark.table(table)
         .filter(F.col("build_id") == current_build_id)
+        .dropDuplicates()
         .repartition(n_buckets, *[F.col(c) for c in bucket_cols])
         .write.bucketBy(n_buckets, *bucket_cols)
         .sortBy(*bucket_cols)

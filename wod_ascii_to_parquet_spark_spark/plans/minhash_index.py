@@ -280,3 +280,37 @@ def vacuum_minhash_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
             spark, f"{table}__docs", ("doc_id",), current
         ),
     }
+
+
+def verify_minhash_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
+    """Integrity check an operator runs after a crashed or retried
+    ingest. Two silent-corruption states the one-row torn-BUILD check
+    cannot see:
+
+    - **Torn append** (bands written, crash before the sidecar): those
+      doc_ids generate candidates that VANISH at the verify join —
+      silently missing pairs. Detected as band-side doc_ids absent from
+      the sidecar. Recovery: re-append the same delta — the band table
+      tolerates the resulting duplicates (candidates are de-duplicated
+      before verify; the bands-then-docs write order exists for exactly
+      this retry), then :func:`vacuum_minhash_index` removes them.
+    - **Double append** of the same delta: duplicate SIDECAR rows
+      duplicate every probe output pair involving those docs. Detected
+      as doc_ids with >1 sidecar row. Recovery: vacuum (full-row dedup).
+
+    The reverse asymmetry (sidecar doc_ids absent from bands) is
+    LEGITIMATE — empty-shingle documents have a sidecar row and no band
+    keys — so it is reported but not counted as corruption."""
+    bands = spark.table(table).select("doc_id").distinct()
+    docs = spark.table(f"{table}__docs")
+    torn = bands.join(
+        docs.select("doc_id").distinct(), "doc_id", "left_anti"
+    ).count()
+    dup_docs = (
+        docs.groupBy("doc_id").count().filter(F.col("count") > 1).count()
+    )
+    return {
+        "band_docids_missing_sidecar": torn,
+        "duplicate_sidecar_docids": dup_docs,
+        "consistent": torn == 0 and dup_docs == 0,
+    }
