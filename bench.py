@@ -366,6 +366,8 @@ def _round_history() -> list[dict]:
                 doc = json.load(fh)
         except (OSError, ValueError):
             continue
+        if not isinstance(doc, dict):
+            continue  # a non-object top level must not kill the report
         parsed = doc.get("parsed", doc)
         if isinstance(parsed, dict) and parsed.get("queries"):
             out.append(
@@ -443,40 +445,14 @@ def _jitter_bands(
 
 
 def _previous_round() -> tuple[dict[str, float] | None, float | None, float | None]:
-    """(per-query timings, cpu_probe_sec, cpu_probe_par_sec) from the
-    latest parseable BENCH_r*.json next to this script (the external
-    record of the prior round), for probe-normalized regression
-    reporting."""
-    import glob
-    import re
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    # fullmatch-filter before sorting: the glob also matches names like
-    # BENCH_rfoo.json whose sort key would otherwise raise mid-sort.
-    matched = [
-        (int(m.group(1)), p)
-        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
-        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p)))
-    ]
-    rounds = [p for _, p in sorted(matched)]
-    # Walk back from the latest round: a round whose line overflowed the
-    # driver's tail capture has `"parsed": null` (r3 did) — skip it rather
-    # than lose the comparison entirely.
-    for path in reversed(rounds):
-        try:
-            with open(path) as fh:
-                doc = json.load(fh)
-            parsed = doc.get("parsed", doc)
-            queries = parsed.get("queries") if isinstance(parsed, dict) else None
-            if queries:
-                return (
-                    queries,
-                    parsed.get("cpu_probe_sec"),
-                    parsed.get("cpu_probe_par_sec"),
-                )
-        except (OSError, ValueError):
-            continue
-    return None, None, None
+    """(per-query timings, cpu_probe_sec, cpu_probe_par_sec) of the
+    latest parseable BENCH_r*.json — the last _round_history() entry, so
+    the two consumers can never desynchronize on file shape."""
+    hist = _round_history()
+    if not hist:
+        return None, None, None
+    last = hist[-1]
+    return last["queries"], last["probe"], last["par_probe"]
 
 
 if __name__ == "__main__":

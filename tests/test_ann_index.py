@@ -299,3 +299,43 @@ def test_ann_vacuum_compacts_and_preserves_probe(spark):
     finally:
         for side in ("", "__codebooks", "__vacuum_tmp"):
             spark.sql(f"DROP TABLE IF EXISTS {t}{side}")
+
+
+def test_vacuum_retry_after_crash_window_recovers_not_destroys(spark):
+    """A crash between vacuum's DROP and RENAME leaves the sole copy in
+    __vacuum_tmp; re-running vacuum (the natural operator response) must
+    COMPLETE the rename and preserve every row — not clear the tmp table
+    and destroy the index."""
+    from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+        vacuum_ann_index,
+    )
+
+    t = "test_ann_idx_crash"
+    try:
+        build_ann_index(spark, SF_DIR, table=t, n_buckets=8, n_cells=16)
+        rows = spark.table(t).count()
+        q = _queries(spark)
+        expected = {
+            tuple(r)
+            for r in probe_ann_index(
+                spark, q, table=t, nprobe=4, k=3, exclude_self=True
+            ).collect()
+        }
+        # simulate the crash window: the compacted copy sits in tmp, the
+        # base table was dropped, the rename never ran
+        spark.table(t).write.format("parquet").saveAsTable(f"{t}__vacuum_tmp")
+        spark.sql(f"DROP TABLE {t}")
+
+        stats = vacuum_ann_index(spark, table=t)
+        assert stats.get("recovered_from_interrupted_vacuum") is True
+        assert stats["rows_dropped"] == 0 and stats["rows_kept"] == rows
+        got = {
+            tuple(r)
+            for r in probe_ann_index(
+                spark, q, table=t, nprobe=4, k=3, exclude_self=True
+            ).collect()
+        }
+        assert got == expected
+    finally:
+        for side in ("", "__codebooks", "__vacuum_tmp"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{side}")

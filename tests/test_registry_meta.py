@@ -114,6 +114,60 @@ def test_cached_frames_bounds_cache_entries(spark):
     spark.catalog.clearCache()
 
 
+def test_cached_frames_overlapping_scopes_never_corrupt_patch(spark):
+    """Two scopes overlapping in non-LIFO order (concurrent convert()
+    runs, or convert + table_cli on one session) must neither leak the
+    tracking patch nor leave frames cached: the single-patch scope stack
+    releases every frame once both scopes have closed, and
+    DataFrame.persist is restored to the original afterwards."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from wod_ascii_to_parquet_spark_spark.registry import cached_frames
+
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+    except ImportError:
+        from pyspark.sql import DataFrame as _DF
+
+    orig_persist = _DF.persist
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+
+    a_open = threading.Event()
+    b_done = threading.Event()
+    a_close = threading.Event()
+
+    def scope_a():
+        with cached_frames():
+            spark.range(70).withColumn("x", F.col("id") + 1).persist().count()
+            a_open.set()
+            b_done.wait(30)  # hold A open while B opens AND closes: non-LIFO
+            a_close.wait(5)
+
+    def scope_b():
+        a_open.wait(30)
+        with cached_frames():
+            spark.range(71).withColumn("y", F.col("id") * 3).persist().count()
+        b_done.set()
+
+    ta = threading.Thread(target=scope_a)
+    tb = threading.Thread(target=scope_b)
+    ta.start(); tb.start()
+    tb.join(60); a_close.set(); ta.join(60)
+    assert not ta.is_alive() and not tb.is_alive()
+    # patch fully removed, no stale tracking closure
+    assert _DF.persist is orig_persist
+    # every frame released once all scopes closed (attribution between
+    # overlapping scopes may be approximate; release must not be)
+    assert cm.isEmpty()
+    # and persists AFTER all scopes closed are untracked (control)
+    spark.range(11).persist().count()
+    assert not cm.isEmpty()
+    spark.catalog.clearCache()
+
+
 def test_cached_frames_nested_scopes_release_only_their_own(spark):
     from pyspark.sql import functions as F
 

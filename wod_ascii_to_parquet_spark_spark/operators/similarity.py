@@ -491,6 +491,27 @@ def similarity_ann_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _collect_seed_matrix(e: DataFrame, k: int, what: str):
+    """Driver-collect the ``vec_id < k`` seed/codebook rows as a float64
+    numpy matrix, enforcing the positional invariants every BLAS kernel
+    relies on: ids contiguous ``0..k-1`` (position == cell/centroid id —
+    explicit raise, not ``assert``, so ``python -O`` keeps the guard) and
+    no null embeddings. Shared by :func:`_blas_assignment` and the BLAS
+    ``vector_pq_encode`` so a hardening applied to one cannot silently
+    miss the other."""
+    import numpy as np
+
+    rows = e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    if [r["vec_id"] for r in rows] != list(range(k)):
+        raise ValueError(
+            f"{what} must be the contiguous ids 0..{k - 1}: positional "
+            "lookups/argmax are invalid on a sparse id set"
+        )
+    if any(r["emb"] is None for r in rows):
+        raise ValueError(f"null embedding among {what} rows (vec_id < {k})")
+    return np.array([r["emb"] for r in rows], dtype=np.float64)
+
+
 def _blas_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``(vec_id, cell, emb)`` — the √N-seed IVF assignment as ONE numpy
     matmul per Arrow batch against the driver-collected seed matrix,
@@ -511,18 +532,7 @@ def _blas_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_rows = e.count()
     k = math.ceil(math.sqrt(n_rows))
-    seed_rows = e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
-    # the _pq_codebook contiguity invariant: position == cell id.  An
-    # explicit raise (not `assert`, which `python -O` strips): id gaps
-    # would silently shift every argmax position to the wrong cell.
-    if [r["vec_id"] for r in seed_rows] != list(range(k)):
-        raise ValueError(
-            "seed vec_ids not contiguous 0..%d; argmax positions would "
-            "shift and assign wrong cells" % (k - 1)
-        )
-    if any(r["emb"] is None for r in seed_rows):
-        raise ValueError("null seed embedding among vec_id < %d" % k)
-    S = np.array([r["emb"] for r in seed_rows], dtype=np.float64)
+    S = _collect_seed_matrix(e, k, "IVF quantizer seed vec_ids")
     snorm = np.sqrt((S * S).sum(axis=1))
     bc = spark.sparkContext.broadcast((S, snorm))
 
@@ -1052,15 +1062,7 @@ def vector_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    rows = e.filter(F.col("vec_id") < _PQ_K).orderBy("vec_id").collect()
-    if [r["vec_id"] for r in rows] != list(range(_PQ_K)):
-        raise ValueError(
-            f"PQ codebook must be the contiguous cells 0..{_PQ_K - 1}: "
-            "positional codes are invalid on a sparse id set"
-        )
-    if any(r["emb"] is None for r in rows):
-        raise ValueError("null embedding among PQ codebook rows")
-    C = np.array([r["emb"] for r in rows], dtype=np.float64)
+    C = _collect_seed_matrix(e, _PQ_K, "PQ codebook cells")
     bc = spark.sparkContext.broadcast(C)
 
     def enc(batches):
@@ -1074,11 +1076,22 @@ def vector_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 E = np.array(pdf["emb"][mask].tolist(), dtype=np.float64)
                 subE = E.reshape(len(E), _PQ_M, _PQ_SUBDIM)
                 got = np.empty((len(E), _PQ_M), dtype=np.int64)
-                for s in range(_PQ_M):
-                    D = bb[:, s][None, :] - 2.0 * (
-                        subE[:, s, :] @ subC[:, s, :].T
-                    )
-                    got[:, s] = np.argmin(D, axis=1)
+                with np.errstate(invalid="ignore", over="ignore"):
+                    for s in range(_PQ_M):
+                        D = bb[:, s][None, :] - 2.0 * (
+                            subE[:, s, :] @ subC[:, s, :].T
+                        )
+                        # the fold's strictly-less replace never selects a
+                        # NaN distance and leaves cent=-1 when EVERY
+                        # distance is non-finite (e.g. a NaN element in
+                        # this subspace); np.argmin would propagate the
+                        # NaN to an arbitrary centroid instead — mirror
+                        # the fold (the _blas_assignment non-finite rule)
+                        bad = ~np.isfinite(D)
+                        D[bad] = np.inf
+                        got[:, s] = np.where(
+                            bad.all(axis=1), -1, np.argmin(D, axis=1)
+                        )
                 codes[mask] = got
             yield pd.DataFrame(
                 {

@@ -84,8 +84,19 @@ def build_ann_index(
         _clear_table(spark, t)
     # ``vectors`` (columns vec_id, emb) overrides the default full-corpus
     # read — the initial-build slice of a build→append lifecycle. The
-    # quantizer/codebook seeds are low-vec_id rows, so a slice containing
-    # them trains the identical index state as a full build.
+    # n_cells=k codebook seeds are the low-vec_id rows, so a slice
+    # containing them trains the identical index state as a full build —
+    # but ONLY with an explicit n_cells: the default sizes the quantizer
+    # as ceil(sqrt(count(input))), and sqrt(|slice|) cells frozen for a
+    # much larger corpus would silently under-partition every future
+    # probe (~sqrt(N/|slice|)× the candidate volume of a fresh build).
+    if vectors is not None and n_cells is None:
+        raise ValueError(
+            "build_ann_index(vectors=...) requires an explicit n_cells: "
+            "the default sizes the quantizer from the SLICE count, and "
+            "freezing sqrt(|slice|) cells for a larger corpus silently "
+            "under-partitions every probe"
+        )
     e = vectors if vectors is not None else load(
         spark, sf_dir, "embeddings"
     ).select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
@@ -273,13 +284,36 @@ def _compact_bucketed_table(
     rename moves the managed location and keeps the bucket spec, so
     probes stay Exchange-free — asserted in tests).
 
-    Not crash-atomic: a crash between the DROP and the RENAME leaves the
-    data under ``<table>__vacuum_tmp`` — recover by re-issuing the
-    rename (``ALTER TABLE <table>__vacuum_tmp RENAME TO <table>``);
-    nothing is deleted before the tmp write has fully committed."""
+    Not crash-atomic, but crash-RECOVERABLE: a crash between the DROP
+    and the RENAME leaves the sole copy under ``<table>__vacuum_tmp``.
+    Re-running vacuum detects that half-renamed state (base table gone,
+    tmp present) and COMPLETES the rename instead of clearing tmp —
+    nothing is ever deleted before the tmp write has fully committed,
+    and the natural operator response to a failed maintenance op (run it
+    again) is itself the recovery."""
     from .minhash_index import _clear_table
 
     tmp = f"{table}__vacuum_tmp"
+    if not spark.catalog.tableExists(table):
+        if spark.catalog.tableExists(tmp):
+            # the crash window between DROP and RENAME of a previous
+            # vacuum: tmp IS the compacted current generation — publish
+            # it rather than deleting the only copy
+            spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+            n = spark.table(table).count()
+            return {
+                "table": table,
+                "recovered_from_interrupted_vacuum": True,
+                "rows_before": n,
+                "rows_kept": n,
+                "rows_dropped": 0,
+                "files_before": _table_data_file_count(spark, table),
+                "files_after": _table_data_file_count(spark, table),
+            }
+        raise ValueError(
+            f"vacuum: neither {table} nor {tmp} exists — nothing to "
+            "compact or recover"
+        )
     _clear_table(spark, tmp)  # session-restart orphan safety
     n_buckets = _table_num_buckets(spark, table)
     rows_before = spark.table(table).count()

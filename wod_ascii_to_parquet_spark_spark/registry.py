@@ -54,6 +54,15 @@ class QueryDef:
 #: name -> QueryDef; populated by module import side effects.
 QUERIES: dict[str, QueryDef] = {}
 
+import threading as _threading
+
+_scopes_lock = _threading.Lock()
+#: live cached_frames() recording lists, open order (last = attribution
+#: target for new persists)
+_active_scopes: list[list] = []
+#: [(patched class, original persist)] — non-empty while any scope lives
+_patch_state: list[tuple] = []
+
 
 @contextmanager
 def cached_frames():
@@ -73,9 +82,16 @@ def cached_frames():
     Every ``DataFrame.persist()`` entered inside the scope is unpersisted
     (non-blocking) on exit — AFTER the caller's action, so barriers hold.
     Scopes nest; an inner scope releases only its own frames. The
-    tracking is process-global monkey-patching of ``DataFrame.persist``,
-    so don't run concurrent jobs in other threads inside the scope whose
-    caches must outlive it."""
+    tracking is process-global monkey-patching of ``DataFrame.persist``
+    — a single patch installed when the first scope opens and removed
+    when the last one closes, with persists attributed to the most
+    recently opened live scope, so overlapping scopes on different
+    threads (two concurrent ``convert()`` runs, or ``convert`` +
+    ``table_cli``) can only mis-ATTRIBUTE a frame to the other live
+    scope (released slightly early/late; unpersist is idempotent), never
+    corrupt the patch chain or leak the tracking closure the way
+    exit-order-dependent save/restore would. Don't run concurrent jobs
+    whose caches must OUTLIVE any live scope."""
     # patch the CONCRETE class: pyspark 4's classic DataFrame overrides
     # persist(), so assigning on the pyspark.sql.DataFrame base would
     # never be reached by real frames
@@ -85,18 +101,29 @@ def cached_frames():
         _DF = DataFrame
 
     recorded: list[DataFrame] = []
-    orig = _DF.persist
+    with _scopes_lock:
+        if not _active_scopes:
+            orig = _DF.persist
 
-    def tracking(self, *a, **k):
-        out = orig(self, *a, **k)
-        recorded.append(out)
-        return out
+            def tracking(self, *a, **k):
+                out = orig(self, *a, **k)
+                with _scopes_lock:
+                    scope = _active_scopes[-1] if _active_scopes else None
+                if scope is not None:
+                    scope.append(out)
+                return out
 
-    _DF.persist = tracking
+            _DF.persist = tracking
+            _patch_state.append((_DF, orig))
+        _active_scopes.append(recorded)
     try:
         yield recorded
     finally:
-        _DF.persist = orig
+        with _scopes_lock:
+            _active_scopes.remove(recorded)
+            if not _active_scopes and _patch_state:
+                cls, orig = _patch_state.pop()
+                cls.persist = orig
         for df in recorded:
             try:
                 df.unpersist()
