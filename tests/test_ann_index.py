@@ -339,3 +339,59 @@ def test_vacuum_retry_after_crash_window_recovers_not_destroys(spark):
     finally:
         for side in ("", "__codebooks", "__vacuum_tmp"):
             spark.sql(f"DROP TABLE IF EXISTS {t}{side}")
+
+
+def test_vacuum_recovery_refuses_stale_generation_tmp(spark):
+    """ADVICE r10: the interrupted-vacuum recovery branch must validate
+    the tmp's build_id before publishing it — a __vacuum_tmp stranded by
+    a vacuum of an OLDER generation (index rebuilt since) must not be
+    renamed over the current index's name."""
+    from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+        vacuum_ann_index,
+    )
+
+    t = "test_ann_idx_staletmp"
+    try:
+        build_ann_index(spark, SF_DIR, table=t, n_buckets=8, n_cells=16)
+        # simulate: an old vacuum's tmp (stale generation) survives, the
+        # base table is gone (the DROP ran), codebooks declare CURRENT
+        (
+            spark.table(t)
+            .withColumn("build_id", F.lit("stale-generation"))
+            .write.format("parquet")
+            .saveAsTable(f"{t}__vacuum_tmp")
+        )
+        spark.sql(f"DROP TABLE {t}")
+        with pytest.raises(ValueError, match="stale-generation"):
+            vacuum_ann_index(spark, table=t)
+        # the refusal must leave the tmp (the only copy of SOMETHING)
+        # untouched for the operator to inspect
+        assert spark.catalog.tableExists(f"{t}__vacuum_tmp")
+        assert not spark.catalog.tableExists(t)
+    finally:
+        for side in ("", "__codebooks", "__vacuum_tmp"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{side}")
+
+
+def test_vacuum_recovery_reports_tmp_file_count_before_rename(spark):
+    """ADVICE r10: the recovery report's files_before used to be counted
+    AFTER the rename (always equal to files_after). It is now None (the
+    pre-vacuum input count is unknowable — the original table is gone)
+    and files_after is the tmp's actual file count, measured pre-rename."""
+    from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+        _table_data_file_count,
+        vacuum_ann_index,
+    )
+
+    t = "test_ann_idx_recofiles"
+    try:
+        build_ann_index(spark, SF_DIR, table=t, n_buckets=8, n_cells=16)
+        spark.table(t).write.format("parquet").saveAsTable(f"{t}__vacuum_tmp")
+        spark.sql(f"DROP TABLE {t}")
+        stats = vacuum_ann_index(spark, table=t)
+        assert stats["recovered_from_interrupted_vacuum"] is True
+        assert stats["files_before"] is None
+        assert stats["files_after"] == _table_data_file_count(spark, t) > 0
+    finally:
+        for side in ("", "__codebooks", "__vacuum_tmp"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{side}")

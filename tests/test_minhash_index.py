@@ -187,6 +187,14 @@ def test_vacuum_compacts_and_preserves_probe(spark):
             table=t,
         )
         append_minhash_index(spark, d.filter(F.col("doc_id") >= 350), table=t)
+        # probe BEFORE injecting the stale generation: the probe's cheap
+        # one-row build_id check may (legitimately, nondeterministically)
+        # fire on a mixed-generation table — the state vacuum heals — so
+        # the reference pair set comes from the clean index. Stale band
+        # rows would not change the pair set anyway (candidates are
+        # de-duplicated), but the check makes a post-injection probe
+        # flaky (ADVICE r10).
+        before = _pairs(probe_minhash_index(spark, d, table=t, self_probe=True))
         # inject a superseded generation, as an interrupted rebuild would
         # strand: same schema, stale build_id
         n_buckets = _table_num_buckets(spark, t)
@@ -202,7 +210,6 @@ def test_vacuum_compacts_and_preserves_probe(spark):
             .mode("append")
             .saveAsTable(t)
         )
-        before = _pairs(probe_minhash_index(spark, d, table=t, self_probe=True))
         files_before = _table_data_file_count(spark, t)
         rows_before = spark.table(t).count()
 
@@ -306,6 +313,57 @@ def test_verify_detects_torn_and_double_appends_and_vacuum_heals(spark):
         healed = probe_minhash_index(spark, d, table=t, self_probe=True)
         assert healed.count() == expected_rows
         assert _pairs(healed) == expected
+    finally:
+        for side in ("", "__docs", "__meta", "__vacuum_tmp", "__docs__vacuum_tmp"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{side}")
+
+
+def test_verify_reports_stranded_generations_deterministically(spark):
+    """ADVICE r10: the probe's one-row build_id check is nondeterministic
+    on a mixed-generation table; verify_minhash_index is the deterministic
+    report — a full DISTINCT build_id vs __meta comparison per side.
+    Stranded generations are not silent corruption (consistent stays
+    True), they flip current_generation_only, and vacuum heals them."""
+    from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+        _table_num_buckets,
+    )
+    from wod_ascii_to_parquet_spark_spark.plans.minhash_index import (
+        vacuum_minhash_index,
+        verify_minhash_index,
+    )
+
+    t = "test_mh_idx_stranded"
+    try:
+        d = load(spark, SF_DIR, "documents").select("doc_id", "text")
+        build_minhash_index(
+            spark, d.filter(F.col("doc_id") < 150), table=t, family="md5"
+        )
+        rep = verify_minhash_index(spark, table=t)
+        assert rep["current_generation_only"] and rep["consistent"]
+        assert rep["stranded_build_ids"] == {"bands": [], "docs": []}
+
+        n_buckets = _table_num_buckets(spark, t)
+        stale = (
+            spark.table(t)
+            .limit(11)
+            .withColumn("build_id", F.lit("superseded-build"))
+        )
+        (
+            stale.write.bucketBy(n_buckets, "band", "key")
+            .sortBy("band", "key")
+            .format("parquet")
+            .mode("append")
+            .saveAsTable(t)
+        )
+        rep = verify_minhash_index(spark, table=t)
+        assert rep["stranded_build_ids"]["bands"] == ["superseded-build"]
+        assert rep["stranded_build_ids"]["docs"] == []
+        assert not rep["current_generation_only"]
+        assert rep["consistent"]  # stranded != silent corruption
+
+        vacuum_minhash_index(spark, table=t)
+        rep = verify_minhash_index(spark, table=t)
+        assert rep["current_generation_only"] and rep["consistent"]
     finally:
         for side in ("", "__docs", "__meta", "__vacuum_tmp", "__docs__vacuum_tmp"):
             spark.sql(f"DROP TABLE IF EXISTS {t}{side}")

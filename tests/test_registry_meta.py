@@ -184,3 +184,37 @@ def test_cached_frames_nested_scopes_release_only_their_own(spark):
         # inner released, outer still cached
         assert not cm.isEmpty()
     assert cm.isEmpty()
+
+
+def test_cached_frames_empty_scopes_removed_by_identity(spark):
+    """Two live EMPTY scopes compare equal as lists; closing the inner
+    one must remove ITS list (identity), not the first equal one. With
+    equality-based removal (the r10 bug) the sequence below popped the
+    OUTER scope's list, attributed the later persist to the dead inner
+    list (frame never released), and the outer exit raised ValueError
+    from its finally block — leaving DataFrame.persist permanently
+    patched with a non-empty dead stack."""
+    from wod_ascii_to_parquet_spark_spark.registry import cached_frames
+
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+    except ImportError:
+        from pyspark.sql import DataFrame as _DF
+
+    orig_persist = _DF.persist
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+
+    outer = cached_frames()
+    outer_list = outer.__enter__()
+    inner = cached_frames()
+    inner.__enter__()
+    # both scopes still empty → the two recording lists compare equal
+    inner.__exit__(None, None, None)
+    # persist AFTER the inner closed: must land in the still-live outer
+    spark.range(37).persist().count()
+    assert len(outer_list) == 1, "persist mis-attributed to a dead scope"
+    # outer exit must not raise and must release the frame + the patch
+    outer.__exit__(None, None, None)
+    assert _DF.persist is orig_persist
+    assert cm.isEmpty()

@@ -284,35 +284,67 @@ def _compact_bucketed_table(
     rename moves the managed location and keeps the bucket spec, so
     probes stay Exchange-free — asserted in tests).
 
-    Not crash-atomic, but crash-RECOVERABLE: a crash between the DROP
-    and the RENAME leaves the sole copy under ``<table>__vacuum_tmp``.
-    Re-running vacuum detects that half-renamed state (base table gone,
-    tmp present) and COMPLETES the rename instead of clearing tmp —
-    nothing is ever deleted before the tmp write has fully committed,
-    and the natural operator response to a failed maintenance op (run it
-    again) is itself the recovery."""
+    Not crash-atomic, but RECOVERABLE from same-session failures (a
+    thrown exception between the DROP and the RENAME): the sole copy
+    survives under ``<table>__vacuum_tmp``, and re-running vacuum
+    detects that half-renamed state (base table gone, tmp present),
+    validates the tmp's ``build_id`` against the current generation, and
+    COMPLETES the rename instead of clearing tmp — nothing is ever
+    deleted before the tmp write has fully committed, and the natural
+    operator response to a failed maintenance op (run it again) is
+    itself the recovery. Recovery across a PROCESS crash additionally
+    requires a persistent metastore: with the repo's default in-memory
+    catalog a restart forgets both table entries, so a re-run raises the
+    "neither exists" error below while the data sits orphaned in the
+    warehouse directory — that error names the orphan path to check."""
     from .minhash_index import _clear_table
 
     tmp = f"{table}__vacuum_tmp"
     if not spark.catalog.tableExists(table):
         if spark.catalog.tableExists(tmp):
-            # the crash window between DROP and RENAME of a previous
+            # the failure window between DROP and RENAME of a previous
             # vacuum: tmp IS the compacted current generation — publish
-            # it rather than deleting the only copy
+            # it rather than deleting the only copy. Before publishing,
+            # cross-check the tmp's generation against the sidecar-
+            # declared current build_id: a tmp left by a vacuum of an
+            # OLDER generation (index rebuilt since the interruption)
+            # must not displace the rebuilt table's name.
+            tmp_builds = [
+                r[0]
+                for r in spark.table(tmp).select("build_id").distinct().collect()
+            ]
+            if tmp_builds and set(tmp_builds) != {current_build_id}:
+                raise ValueError(
+                    f"vacuum recovery: {tmp} holds generation(s) "
+                    f"{sorted(tmp_builds)} but the current build_id is "
+                    f"{current_build_id!r} — the index was rebuilt after "
+                    "the interrupted vacuum; drop the stale tmp table "
+                    "and rebuild/re-vacuum instead of publishing it"
+                )
+            # files_before = the interrupted compaction's OUTPUT file
+            # count, measured on tmp BEFORE the rename (the pre-vacuum
+            # input file count is unknowable here — the original table
+            # is gone); after the rename the location is the same files,
+            # so files_after == files_before by construction.
+            files_tmp = _table_data_file_count(spark, tmp)
             spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
             n = spark.table(table).count()
             return {
                 "table": table,
                 "recovered_from_interrupted_vacuum": True,
-                "rows_before": n,
+                "rows_before": n,  # recovery itself drops nothing
                 "rows_kept": n,
                 "rows_dropped": 0,
-                "files_before": _table_data_file_count(spark, table),
-                "files_after": _table_data_file_count(spark, table),
+                "files_before": None,  # pre-vacuum input count unknowable
+                "files_after": files_tmp,
             }
         raise ValueError(
-            f"vacuum: neither {table} nor {tmp} exists — nothing to "
-            "compact or recover"
+            f"vacuum: neither {table} nor {tmp} exists in the catalog — "
+            "nothing to compact or recover. If a vacuum was interrupted "
+            "by a PROCESS crash under an in-memory catalog, the data may "
+            f"sit orphaned in the warehouse directory — check for a "
+            f"'{tmp}' (or '{table}') directory there and re-register or "
+            "rebuild the index"
         )
     _clear_table(spark, tmp)  # session-restart orphan safety
     n_buckets = _table_num_buckets(spark, table)

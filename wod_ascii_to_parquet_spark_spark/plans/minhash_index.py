@@ -224,6 +224,14 @@ def probe_minhash_index(
     meta = spark.table(f"{table}__meta").first()
     index_bands = spark.table(table)
     index_docs = spark.table(f"{table}__docs")
+    # Cheap torn-BUILD guard: one sampled row per side, O(1 file read),
+    # deliberately NOT a full distinct scan in the per-probe hot path.
+    # It deterministically catches a table wholly from another build; on
+    # a MIXED-generation table (superseded rows stranded by an
+    # interrupted rebuild — the state vacuum_minhash_index heals) it
+    # fires nondeterministically depending on which file the sample
+    # reads. That is accepted: for a deterministic report of stranded
+    # generations run verify_minhash_index, then vacuum.
     for side, frame in (("", index_bands), ("__docs", index_docs)):
         ids = frame.select("build_id").limit(1).first()
         if ids is not None and ids["build_id"] != meta["build_id"]:
@@ -300,9 +308,29 @@ def verify_minhash_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
 
     The reverse asymmetry (sidecar doc_ids absent from bands) is
     LEGITIMATE — empty-shingle documents have a sidecar row and no band
-    keys — so it is reported but not counted as corruption."""
-    bands = spark.table(table).select("doc_id").distinct()
+    keys — so it is reported but not counted as corruption.
+
+    Additionally reports **stranded build generations** per side — the
+    full-scan ``DISTINCT build_id`` vs ``__meta`` comparison that the
+    probe's O(1) one-row check deliberately is not (ADVICE r10): a mixed-
+    generation table makes that cheap check fire nondeterministically,
+    whereas this report is deterministic. Stranded generations are not
+    silent corruption (probe candidates are de-duplicated, duplicate
+    sidecar rows are counted above), so they do not flip ``consistent``;
+    ``current_generation_only`` carries the verdict and vacuum heals it.
+    """
+    meta_build = spark.table(f"{table}__meta").select("build_id").first()[0]
+    bands_tbl = spark.table(table)
     docs = spark.table(f"{table}__docs")
+    stranded = {
+        side: sorted(
+            r[0]
+            for r in frame.select("build_id").distinct().collect()
+            if r[0] != meta_build
+        )
+        for side, frame in (("bands", bands_tbl), ("docs", docs))
+    }
+    bands = bands_tbl.select("doc_id").distinct()
     torn = bands.join(
         docs.select("doc_id").distinct(), "doc_id", "left_anti"
     ).count()
@@ -312,5 +340,7 @@ def verify_minhash_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
     return {
         "band_docids_missing_sidecar": torn,
         "duplicate_sidecar_docids": dup_docs,
+        "stranded_build_ids": stranded,
+        "current_generation_only": not (stranded["bands"] or stranded["docs"]),
         "consistent": torn == 0 and dup_docs == 0,
     }

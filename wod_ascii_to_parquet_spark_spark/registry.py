@@ -120,7 +120,16 @@ def cached_frames():
         yield recorded
     finally:
         with _scopes_lock:
-            _active_scopes.remove(recorded)
+            # Remove by IDENTITY, not equality: two live scopes are both
+            # empty lists in the common no-persist case and compare
+            # equal, so list.remove() on a non-LIFO exit would pop the
+            # OTHER scope's list — later persists would land in a dead
+            # list (never unpersisted) and the surviving scope's exit
+            # would raise ValueError here, leaving persist() patched.
+            for _i, _s in enumerate(_active_scopes):
+                if _s is recorded:
+                    del _active_scopes[_i]
+                    break
             if not _active_scopes and _patch_state:
                 cls, orig = _patch_state.pop()
                 cls.persist = orig
