@@ -1,0 +1,82 @@
+"""Refusal guards on the labeled non-default REFERENCE arms (VERDICT
+r10 #2): `dedup_embedding_ann_catalyst`, `dedup_semdedup_prune_catalyst`,
+`vector_pq_encode_catalyst` (interpreted-HOF row budgets) and
+`dedup_simhash64_seg4` (saturating 2^16 candidate bucket space). Each
+arm exists only as a cross-engine bit-pin of a routed headline tier; a
+naive 100x invocation must fail fast NAMING that headline tier, and the
+env override must permit a deliberate reference-pin run. Default-budget
+behavior (oracles unchanged) is covered by test_oracle_parity.py, which
+re-runs the three oracled arms against DuckDB every suite run."""
+
+from __future__ import annotations
+
+import pytest
+
+from wod_ascii_to_parquet_spark_spark.operators.dedup import (
+    ReferenceArmBudgetExceeded,
+)
+from wod_ascii_to_parquet_spark_spark.registry import load_all_operators
+
+from .conftest import SF_DIR
+
+QUERIES = load_all_operators()
+
+#: (arm, env var that bounds it, headline tier the refusal must name)
+GUARDED = [
+    (
+        "dedup_embedding_ann_catalyst",
+        "SPARK_GRAFT_CATALYST_ROW_BUDGET",
+        "dedup_embedding_ann",
+    ),
+    (
+        "dedup_semdedup_prune_catalyst",
+        "SPARK_GRAFT_CATALYST_ROW_BUDGET",
+        "dedup_semdedup_prune",
+    ),
+    (
+        "vector_pq_encode_catalyst",
+        "SPARK_GRAFT_CATALYST_ROW_BUDGET",
+        "vector_pq_encode",
+    ),
+    (
+        "dedup_simhash64_seg4",
+        "SPARK_GRAFT_SIMHASH_CAND_BUDGET",
+        "dedup_simhash64",
+    ),
+]
+
+
+@pytest.mark.parametrize("arm,env,headline", GUARDED)
+def test_reference_arm_refuses_past_budget(spark, monkeypatch, arm, env, headline):
+    """Budget forced to 0: the arm must refuse BEFORE launching its
+    expensive stage, and the message must route the user to the headline
+    tier and the override knob."""
+    monkeypatch.setenv(env, "0")
+    with pytest.raises(ReferenceArmBudgetExceeded) as exc:
+        # guards run a cheap count eagerly inside the query fn — no
+        # action on the returned frame is needed to trigger them
+        QUERIES[arm].fn(spark, SF_DIR)
+    msg = str(exc.value)
+    assert headline in msg and env in msg, msg
+
+
+@pytest.mark.parametrize("arm,env,headline", GUARDED)
+def test_reference_arm_runs_under_default_budget(
+    spark, monkeypatch, arm, env, headline
+):
+    """Default budgets must leave the fixture-scale reference arms
+    runnable (the driver's sf0.01 correctness runs and the bit-pin role
+    depend on it)."""
+    monkeypatch.delenv(env, raising=False)
+    assert QUERIES[arm].fn(spark, SF_DIR).count() >= 0
+
+
+def test_env_override_permits_deliberate_run(spark, monkeypatch):
+    """The documented escape hatch: an explicit huge budget admits the
+    run even when the default would refuse (simulated by checking a
+    tiny-default refusal flips under the override)."""
+    monkeypatch.setenv("SPARK_GRAFT_SIMHASH_CAND_BUDGET", "0")
+    with pytest.raises(ReferenceArmBudgetExceeded):
+        QUERIES["dedup_simhash64_seg4"].fn(spark, SF_DIR)
+    monkeypatch.setenv("SPARK_GRAFT_SIMHASH_CAND_BUDGET", str(1 << 60))
+    assert QUERIES["dedup_simhash64_seg4"].fn(spark, SF_DIR).count() >= 0

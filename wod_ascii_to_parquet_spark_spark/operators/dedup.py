@@ -893,6 +893,43 @@ def dedup_simhash64_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_pairs(s, nbits=64, max_hamming=3, key_cols=())
 
 
+#: dedup_simhash64_seg4's FIXED 2¹⁶ bucket space stops pruning around
+#: 10⁶–10⁷ docs (r9 sf10: candidates ~N²/2¹⁶ by 500k docs). The default
+#: budget bounds the expected candidate volume 4·C(N,2)/2¹⁶ to the same
+#: ~minutes-of-work pair bound as the exact-cosine arms (16 Mi pairs →
+#: refuses past ~725k docs); env override for a deliberate bit-pin run.
+_SEG4_CAND_BUDGET_DEFAULT = 16 * 1024 * 1024
+
+
+def _check_seg4_candidate_budget(d: DataFrame) -> None:
+    """Refusal guard for the 4-segment reference arm (VERDICT r10 #2):
+    one cheap count → EXPECTED candidate volume under the near-uniform
+    fingerprint assumption (the bucket space is fixed at 4 tables ×
+    2¹⁶ keys, so the formula needs no fingerprint pass). Estimate, not
+    exact — but the refusal protects against the regime where even the
+    uniform floor is past the budget; skew only makes it worse."""
+    import os
+
+    budget = int(
+        os.environ.get(
+            "SPARK_GRAFT_SIMHASH_CAND_BUDGET", str(_SEG4_CAND_BUDGET_DEFAULT)
+        )
+    )
+    n = d.count()
+    expected = 4 * n * (n - 1) // 2 // 65536
+    if expected > budget:
+        raise ReferenceArmBudgetExceeded(
+            f"dedup_simhash64_seg4: {n:,} documents imply ~{expected:,} "
+            f"expected candidate pairs in the FIXED 2^16 bucket space, "
+            f"over the {budget:,}-pair budget — this minimal 4-segment "
+            "pigeonhole scheme stops pruning past ~10^6 docs (r9 sf10 "
+            "measurement). Use the headline dedup_simhash64 (6-segment "
+            "block-permutation, 2^32 bucket space; identical pair set) "
+            "as the scale path, or raise SPARK_GRAFT_SIMHASH_CAND_BUDGET "
+            "for a deliberate reference-pin run."
+        )
+
+
 @register("dedup_simhash64_seg4", None, tags=("dedup", "rows-only"))
 def dedup_simhash64_seg4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit / Hamming ≤ 3 simhash with the MINIMAL 4-segment pigeonhole
@@ -906,8 +943,12 @@ def dedup_simhash64_seg4(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost a 5× wider candidate-stream explode but keep 2³² bucket space —
     the classic tables-vs-collisions trade, worth it past ~10⁶ docs.
     Rows-only: DuckDB lacks xxhash64; ``dedup_simhash64_md5`` is the
-    fully-oracled twin of this configuration."""
-    s = simhash_bits(spread(load(spark, sf_dir, "documents")), nbits=64)
+    fully-oracled twin of this configuration. Guarded by
+    :func:`_check_seg4_candidate_budget` (VERDICT r10 #2) so the labeled
+    reference arm cannot silently run its known scale-killer."""
+    d = spread(load(spark, sf_dir, "documents"))
+    _check_seg4_candidate_budget(d)
+    s = simhash_bits(d, nbits=64)
     return _simhash_pairs(s, nbits=64, max_hamming=3, key_cols=())
 
 
@@ -1201,6 +1242,17 @@ class PairBudgetExceeded(RuntimeError):
     pair volume past the configured budget — the 100 TB guardrail: fail
     fast with the measured number and the scale path, never launch a
     quadratic job that cannot finish."""
+
+
+class ReferenceArmBudgetExceeded(RuntimeError):
+    """Raised by the labeled non-default REFERENCE arms (``*_catalyst``,
+    ``*_seg4``) when a cheap input count implies work past their budget
+    (VERDICT r10 #2): these arms exist as cross-engine bit-pins of the
+    routed headline tiers, and each carries a measured scale-killer —
+    interpreted higher-order-function eval (~300 µs–3 ms/row) or a
+    saturating candidate bucket space. The refusal names the headline
+    tier to run instead; the env override permits a deliberate
+    offline/bit-pin run at scale."""
 
 
 def _check_pair_budget(

@@ -36,6 +36,48 @@ _DIM = 64
 _NBITS = 8
 _PROBE_RADIUS = 2
 
+#: Row budgets for the interpreted-HOF REFERENCE arms (VERDICT r10 #2).
+#: Measured constants from the r9/r10 sf10 sweeps: the pair-kernel arms
+#: (`dedup_embedding_ann_catalyst`, `dedup_semdedup_prune_catalyst`) pay
+#: ~3 ms/vector (625 s at 200k vectors — interpreted aggregate/zip_with
+#: never enters codegen), the encode arm (`vector_pq_encode_catalyst`)
+#: ~300 µs/vector. Budgets bound each to ~minutes of work; the env
+#: override (`SPARK_GRAFT_CATALYST_ROW_BUDGET`) wins over both for a
+#: deliberate cross-engine bit-pin run at scale.
+_CATALYST_ROW_BUDGET_KERNEL = 100_000
+_CATALYST_ROW_BUDGET_ENCODE = 1_000_000
+
+
+def _check_catalyst_row_budget(
+    e: DataFrame, what: str, headline: str, budget_default: int
+) -> None:
+    """Refusal guard for the labeled `_catalyst` reference arms: one
+    cheap count (metadata-served on a bare parquet scan) against a
+    per-arm row budget. These arms are registered as expression-level
+    DuckDB bit-pins of the routed headline tiers; their interpreted
+    higher-order-function folds carry a measured 100–120× per-row
+    penalty, so a naive large-scale invocation must fail fast naming
+    the headline tier rather than launch days of interpreted eval."""
+    import os
+
+    from .dedup import ReferenceArmBudgetExceeded
+
+    budget = int(
+        os.environ.get("SPARK_GRAFT_CATALYST_ROW_BUDGET", str(budget_default))
+    )
+    n = e.count()
+    if n > budget:
+        raise ReferenceArmBudgetExceeded(
+            f"{what}: {n:,} rows exceed the {budget:,}-row budget for "
+            "this interpreted-Catalyst REFERENCE arm (higher-order-"
+            "function folds never enter whole-stage codegen; measured "
+            "~100x the per-row cost of the routed kernel). Use the "
+            f"headline {headline} (same semantics, same oracle, BLAS "
+            "kernel) as the scale path, or raise "
+            "SPARK_GRAFT_CATALYST_ROW_BUDGET for a deliberate "
+            "cross-engine bit-pin run."
+        )
+
 
 @register(
     "similarity_topk",
@@ -609,9 +651,16 @@ def dedup_embedding_ann_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpreted higher-order folds), so the headline name
     ``dedup_embedding_ann`` now routes to the BLAS kernel; this arm stays
     registered under the same oracle as the cross-engine bit-pin both
-    engines can evaluate expression-for-expression."""
+    engines can evaluate expression-for-expression. Guarded by
+    :func:`_check_catalyst_row_budget` (VERDICT r10 #2)."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    _check_catalyst_row_budget(
+        e,
+        "dedup_embedding_ann_catalyst",
+        "dedup_embedding_ann",
+        _CATALYST_ROW_BUDGET_KERNEL,
     )
     seeds = _sqrt_n_seeds(e)
     # Per-row norm hoisted out of the per-pair kernel (see
@@ -1023,9 +1072,16 @@ def vector_pq_encode_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured these unrolled argmin folds at α=1.04 with a ~300 µs/vector
     constant (60 s for 200k vectors — interpreted HOF eval, the
     ``dedup_embedding_ann_catalyst`` disease); the headline
-    ``vector_pq_encode`` routes to the BLAS kernel."""
+    ``vector_pq_encode`` routes to the BLAS kernel. Guarded by
+    :func:`_check_catalyst_row_budget` (VERDICT r10 #2)."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    _check_catalyst_row_budget(
+        e,
+        "vector_pq_encode_catalyst",
+        "vector_pq_encode",
+        _CATALYST_ROW_BUDGET_ENCODE,
     )
     cb = _pq_codebook(e)
     codes_csv = F.expr(
@@ -1454,9 +1510,16 @@ def dedup_semdedup_prune_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame
     ROLE (r10): the expression-level REFERENCE arm (the
     ``dedup_embedding_ann_catalyst`` rationale); the headline name
     ``dedup_semdedup_prune`` routes to the BLAS kernel measured at
-    α=0.64 sf1→sf10."""
+    α=0.64 sf1→sf10. Guarded by :func:`_check_catalyst_row_budget`
+    (VERDICT r10 #2)."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    _check_catalyst_row_budget(
+        e,
+        "dedup_semdedup_prune_catalyst",
+        "dedup_semdedup_prune",
+        _CATALYST_ROW_BUDGET_KERNEL,
     )
     seeds = _sqrt_n_seeds(e)
     # Per-ROW norm, computed once per row: cosine's denominator factors
