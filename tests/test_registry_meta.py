@@ -218,3 +218,50 @@ def test_cached_frames_empty_scopes_removed_by_identity(spark):
     outer.__exit__(None, None, None)
     assert _DF.persist is orig_persist
     assert cm.isEmpty()
+
+
+def test_coverage_header_counts_match_registry():
+    """VERDICT r10 #3: COVERAGE.md's headline counts (total / oracled /
+    rows-only) drifted twice across rounds; pin them to the registry so
+    any future registration updates the doc or fails the suite."""
+    import pathlib
+    import re
+
+    text = (
+        pathlib.Path(__file__).resolve().parents[1] / "COVERAGE.md"
+    ).read_text()
+    m = re.search(
+        r"(\d+) registered queries \((\d+) with full DuckDB oracles, "
+        r"(\d+) rows-only",
+        text,
+    )
+    assert m, "COVERAGE.md header count sentence not found"
+    doc_total, doc_oracled, doc_rows_only = map(int, m.groups())
+    total = len(QUERIES)
+    oracled = sum(1 for q in QUERIES.values() if q.oracle)
+    assert (doc_total, doc_oracled, doc_rows_only) == (
+        total,
+        oracled,
+        total - oracled,
+    ), (
+        f"COVERAGE.md header says {doc_total}/{doc_oracled}/{doc_rows_only} "
+        f"but the registry has {total}/{oracled}/{total - oracled}"
+    )
+
+
+def test_coverage_twin_audit_table_covers_every_rows_only_query():
+    """The rows-only twin-audit table must name EVERY currently
+    registered rows-only query (VERDICT r10 #3) — each needs its oracled
+    twin or behavioral evidence documented."""
+    import pathlib
+    import re
+
+    text = (
+        pathlib.Path(__file__).resolve().parents[1] / "COVERAGE.md"
+    ).read_text()
+    section = text.split("rows-only oracle-twin audit", 1)[1]
+    # table rows look like: | `name` | twin ... | why ... |
+    documented = set(re.findall(r"^\| `([a-z0-9_]+)` \|", section, re.M))
+    rows_only = {n for n, q in QUERIES.items() if q.oracle is None}
+    missing = rows_only - documented
+    assert not missing, f"rows-only queries absent from twin audit: {missing}"
