@@ -395,3 +395,49 @@ def test_vacuum_recovery_reports_tmp_file_count_before_rename(spark):
     finally:
         for side in ("", "__codebooks", "__vacuum_tmp"):
             spark.sql(f"DROP TABLE IF EXISTS {t}{side}")
+
+
+def test_cli_vacuum_index_ann_dry_run_and_run(spark, capsys):
+    """VERDICT r10 #5 (ANN side): CLI dry run reports the generations and
+    file count without writes; the real run compacts and preserves
+    probe top-k exactly."""
+    import json as _json
+
+    from wod_ascii_to_parquet_spark_spark import table_cli
+    from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+        _table_data_file_count,
+    )
+
+    t = "test_ann_idx_cli"
+    try:
+        build_ann_index(spark, SF_DIR, table=t, n_buckets=8, n_cells=16)
+        q = _queries(spark)
+        before = {
+            tuple(r)
+            for r in probe_ann_index(
+                spark, q, table=t, nprobe=4, k=3, exclude_self=True
+            ).collect()
+        }
+        files = _table_data_file_count(spark, t)
+
+        assert table_cli.main(["vacuum-index", t, "--kind", "ann", "--dry-run"]) == 0
+        dry = _json.loads(capsys.readouterr().out.strip())
+        assert dry["dry_run"] is True
+        side = dry["sides"][t]
+        assert side["generations_to_drop"] == [] and side["rows_to_drop"] == 0
+        assert side["data_files"] == files
+        assert list(side["generations"]) == [dry["current_build_id"]]
+
+        assert table_cli.main(["vacuum-index", t, "--kind", "ann"]) == 0
+        out = _json.loads(capsys.readouterr().out.strip())
+        assert out["stats"]["rows_dropped"] == 0
+        after = {
+            tuple(r)
+            for r in probe_ann_index(
+                spark, q, table=t, nprobe=4, k=3, exclude_self=True
+            ).collect()
+        }
+        assert after == before and after
+    finally:
+        for side in ("", "__codebooks", "__vacuum_tmp"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{side}")

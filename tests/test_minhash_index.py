@@ -367,3 +367,53 @@ def test_verify_reports_stranded_generations_deterministically(spark):
     finally:
         for side in ("", "__docs", "__meta", "__vacuum_tmp", "__docs__vacuum_tmp"):
             spark.sql(f"DROP TABLE IF EXISTS {t}{side}")
+
+
+def test_cli_vacuum_index_minhash_dry_run_and_run(spark, capsys):
+    """VERDICT r10 #5: the index-vacuum lifecycle is reachable through
+    the ops CLI. Dry run must list the stale generation per side and
+    change nothing; the real run must drop it and preserve the probe
+    pair set exactly."""
+    import json as _json
+
+    from wod_ascii_to_parquet_spark_spark import table_cli
+    from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+        _table_num_buckets,
+    )
+
+    t = "test_mh_idx_cli"
+    try:
+        d = load(spark, SF_DIR, "documents").select("doc_id", "text")
+        build_minhash_index(spark, d, table=t, family="md5")
+        before = _pairs(probe_minhash_index(spark, d, table=t, self_probe=True))
+        n_buckets = _table_num_buckets(spark, t)
+        (
+            spark.table(t)
+            .limit(13)
+            .withColumn("build_id", F.lit("superseded-build"))
+            .write.bucketBy(n_buckets, "band", "key")
+            .sortBy("band", "key")
+            .format("parquet")
+            .mode("append")
+            .saveAsTable(t)
+        )
+        rows_with_stale = spark.table(t).count()
+
+        assert table_cli.main(["vacuum-index", t, "--kind", "minhash", "--dry-run"]) == 0
+        dry = _json.loads(capsys.readouterr().out.strip())
+        assert dry["dry_run"] is True
+        bands = dry["sides"][t]
+        assert bands["generations_to_drop"] == ["superseded-build"]
+        assert bands["rows_to_drop"] == 13
+        assert dry["sides"][f"{t}__docs"]["generations_to_drop"] == []
+        # dry run changed nothing
+        assert spark.table(t).count() == rows_with_stale
+
+        assert table_cli.main(["vacuum-index", t, "--kind", "minhash"]) == 0
+        out = _json.loads(capsys.readouterr().out.strip())
+        assert out["stats"]["bands"]["rows_dropped"] == 13
+        after = _pairs(probe_minhash_index(spark, d, table=t, self_probe=True))
+        assert after == before and after
+    finally:
+        for side in ("", "__docs", "__meta", "__vacuum_tmp", "__docs__vacuum_tmp"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{side}")

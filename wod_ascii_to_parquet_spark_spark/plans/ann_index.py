@@ -389,6 +389,41 @@ def vacuum_ann_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
     return _compact_bucketed_table(spark, table, ("cell",), current)
 
 
+def generation_report(
+    spark: SparkSession, table: str, sides: tuple[str, ...], current: str
+) -> dict:
+    """Vacuum DRY RUN (VERDICT r10 #5): what a vacuum of ``table`` would
+    do, without touching it — per side, row counts per ``build_id``
+    generation, the generations that would be DROPPED (everything but
+    ``current``), and the data-file count compaction would collapse.
+    One column-pruned scan + tiny agg per side; safe on a live index."""
+    report: dict = {"table": table, "current_build_id": current, "sides": {}}
+    for side in sides:
+        full = f"{table}{side}"
+        gens = {
+            r["build_id"]: r["n"]
+            for r in spark.table(full)
+            .groupBy("build_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        report["sides"][full] = {
+            "generations": gens,
+            "generations_to_drop": sorted(g for g in gens if g != current),
+            "rows_to_drop": sum(n for g, n in gens.items() if g != current),
+            "data_files": _table_data_file_count(spark, full),
+        }
+    return report
+
+
+def vacuum_ann_index_dry_run(
+    spark: SparkSession, table: str = INDEX_TABLE
+) -> dict:
+    """:func:`generation_report` for the ANN codes table."""
+    current = spark.table(f"{table}__codebooks").select("build_id").first()[0]
+    return generation_report(spark, table, ("",), current)
+
+
 def _table_num_buckets(spark: SparkSession, table: str, default: int = 8) -> int:
     """The bucket count the table was BUILT with, from the catalog — an
     append with a mismatched spec is rejected by Spark, so the spec is

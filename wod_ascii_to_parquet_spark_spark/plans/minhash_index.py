@@ -290,6 +290,17 @@ def vacuum_minhash_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
     }
 
 
+def vacuum_minhash_index_dry_run(
+    spark: SparkSession, table: str = INDEX_TABLE
+) -> dict:
+    """Vacuum dry run for both minhash index sides (band table + shingle
+    sidecar) — see :func:`..ann_index.generation_report`."""
+    from .ann_index import generation_report
+
+    current = spark.table(f"{table}__meta").select("build_id").first()[0]
+    return generation_report(spark, table, ("", "__docs"), current)
+
+
 def verify_minhash_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
     """Integrity check an operator runs after a crashed or retried
     ingest. Two silent-corruption states the one-row torn-BUILD check

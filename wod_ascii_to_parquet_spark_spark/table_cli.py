@@ -4,11 +4,17 @@
     python -m wod_ascii_to_parquet_spark_spark.table_cli show     <dir> [--version N]
     python -m wod_ascii_to_parquet_spark_spark.table_cli optimize <dir> [--target-files N]
     python -m wod_ascii_to_parquet_spark_spark.table_cli vacuum   <dir> [--keep N] [--min-age-hours H]
+    python -m wod_ascii_to_parquet_spark_spark.table_cli vacuum-index <table> --kind {minhash,ann} [--dry-run]
 
 The maintenance surface a scheduled job or an operator at a terminal
 needs — the `DESCRIBE HISTORY` / `OPTIMIZE` / `VACUUM` triple of the
-native formats, against the jar-free tables this engine writes. Output
-is one JSON document per invocation (machine-consumable, like bench.py).
+native formats, against the jar-free tables this engine writes, plus
+`vacuum-index` for the persisted dedup/ANN index lifecycle
+(`plans/minhash_index.py` / `plans/ann_index.py`, VERDICT r10 #5):
+`--dry-run` prints the per-side build_id generations a vacuum would
+drop and the file counts it would compact, without touching the index.
+Output is one JSON document per invocation (machine-consumable, like
+bench.py).
 """
 
 from __future__ import annotations
@@ -46,7 +52,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="never delete files younger than this (in-flight-writer guard)",
     )
 
-    for s in (hist, show, opt, vac):
+    vidx = sub.add_parser(
+        "vacuum-index",
+        help="compact a persisted minhash/ANN index and drop superseded "
+        "build generations (catalog table, not a LogTable dir)",
+    )
+    vidx.add_argument("table", help="catalog table name of the index")
+    vidx.add_argument("--kind", choices=("minhash", "ann"), required=True)
+    vidx.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="print the generations a vacuum would drop; change nothing",
+    )
+
+    for s in (hist, show, opt, vac, vidx):
         s.add_argument("--master", default=None)
     return p
 
@@ -54,6 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     spark = get_spark(app_name="logtable-cli", master=args.master)
+    if args.cmd == "vacuum-index":
+        with cached_frames():
+            return _vacuum_index(spark, args)
     t = LogTable(spark, args.table_dir)
     # cached_frames: get_spark() reuses one session across in-process
     # invocations (a scheduled-ops loop calling main() N times is the
@@ -61,6 +83,35 @@ def main(argv: list[str] | None = None) -> int:
     # not accumulate one CacheManager entry per invocation.
     with cached_frames():
         return _dispatch(args, t)
+
+
+def _vacuum_index(spark, args) -> int:
+    """Dispatch `vacuum-index`: the persisted-index maintenance lifecycle
+    (VERDICT r10 #5), operationally reachable instead of only as
+    registered queries. Dry run = generation report, no writes."""
+    if args.kind == "minhash":
+        from .plans.minhash_index import (
+            vacuum_minhash_index,
+            vacuum_minhash_index_dry_run,
+        )
+
+        run, dry = vacuum_minhash_index, vacuum_minhash_index_dry_run
+    else:
+        from .plans.ann_index import (
+            vacuum_ann_index,
+            vacuum_ann_index_dry_run,
+        )
+
+        run, dry = vacuum_ann_index, vacuum_ann_index_dry_run
+    if args.dry_run:
+        print(json.dumps(dict(dry(spark, args.table), dry_run=True)))
+    else:
+        print(
+            json.dumps(
+                {"table": args.table, "kind": args.kind, "stats": run(spark, args.table)}
+            )
+        )
+    return 0
 
 
 def _dispatch(args, t: LogTable) -> int:
