@@ -1,0 +1,157 @@
+"""Worker script for the cross-PROCESS persisted-index race test
+(VERDICT r10 #6) — run as ``python index_race_worker.py {appender|prober}
+<root>``. Two OS processes, two JVMs, one shared warehouse directory:
+
+- the APPENDER builds a minhash index over doc_id < 300, publishes the
+  table locations + the initial probe pair set, then appends five
+  40-doc deltas while the prober runs;
+- the PROBER registers EXTERNAL parquet tables over the same locations
+  (its own in-memory catalog cannot see the appender's) and probes in a
+  loop, refreshing the table file listings each pass — the serving
+  pattern of a long-lived prober process.
+
+File-marker protocol under <root>: ready.json (appender: locations +
+initial pairs) → b_started (prober's first successful probe) →
+appends run → done.json (final pairs) → prober does one last probe and
+writes observations.json. The parent test asserts the generation
+sandwich: every observed pair set S satisfies initial ⊆ S ⊆ final with
+no duplicate (doc_a, doc_b) rows — a probe concurrent with appends sees
+the old generation, the new one, or a valid prefix of the append
+(bands-before-sidecar write order makes half-visible docs VANISH from
+results rather than corrupt them), never a mix of garbage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+TABLE = "race_idx"
+SIDES = ("", "__docs", "__meta")
+
+
+def _session(root: str, name: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.warehouse.dir", os.path.join(root, "wh"))
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName(name)
+        .getOrCreate()
+    )
+
+
+def _pairs(df) -> list:
+    return sorted(
+        [int(r["doc_a"]), int(r["doc_b"]), float(r["jac"])] for r in df.collect()
+    )
+
+
+def _wait_for(path: str, timeout: float = 180.0) -> None:
+    t0 = time.time()
+    while not os.path.exists(path):
+        if time.time() - t0 > timeout:
+            raise TimeoutError(path)
+        time.sleep(0.05)
+
+
+def appender(root: str) -> None:
+    from pyspark.sql import functions as F
+
+    from wod_ascii_to_parquet_spark_spark.plans.minhash_index import (
+        append_minhash_index,
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    spark = _session(root, "idx-race-appender")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(DOCS).select("doc_id", "text")
+    build_minhash_index(
+        spark, docs.filter(F.col("doc_id") < 300), table=TABLE, family="md5"
+    )
+    initial = _pairs(probe_minhash_index(spark, docs, table=TABLE, self_probe=True))
+    locations = {}
+    for side in SIDES:
+        for row in spark.sql(f"DESCRIBE TABLE EXTENDED {TABLE}{side}").collect():
+            if row[0].strip() == "Location":
+                locations[side] = row[1]
+    tmp = os.path.join(root, "ready.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"locations": locations, "initial": initial}, fh)
+    os.rename(tmp, os.path.join(root, "ready.json"))
+
+    _wait_for(os.path.join(root, "b_started"))
+    for i in range(5):
+        lo, hi = 300 + 40 * i, 300 + 40 * (i + 1)
+        append_minhash_index(
+            spark,
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            table=TABLE,
+        )
+        time.sleep(0.2)
+    final = _pairs(probe_minhash_index(spark, docs, table=TABLE, self_probe=True))
+    tmp = os.path.join(root, "done.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"final": final}, fh)
+    os.rename(tmp, os.path.join(root, "done.json"))
+    spark.stop()
+
+
+def prober(root: str) -> None:
+    from wod_ascii_to_parquet_spark_spark.plans.minhash_index import (
+        probe_minhash_index,
+    )
+
+    spark = _session(root, "idx-race-prober")
+    spark.sparkContext.setLogLevel("ERROR")
+    _wait_for(os.path.join(root, "ready.json"))
+    with open(os.path.join(root, "ready.json")) as fh:
+        locations = json.load(fh)["locations"]
+    for side in SIDES:
+        # external registration over the appender's managed locations —
+        # schema inferred from the files; bucket spec deliberately not
+        # claimed (correctness under test, not Exchange-freeness)
+        spark.sql(
+            f"CREATE TABLE {TABLE}{side} USING PARQUET "
+            f"LOCATION '{locations[side]}'"
+        )
+    docs = spark.read.parquet(DOCS).select("doc_id", "text")
+    done = os.path.join(root, "done.json")
+    observations: list = []
+    duplicates = 0
+    started = False
+    while True:
+        was_done = os.path.exists(done)
+        for side in SIDES:
+            # the catalog caches each table's file listing; a long-lived
+            # prober refreshes per pass to see concurrent appends
+            spark.catalog.refreshTable(f"{TABLE}{side}")
+        rows = probe_minhash_index(
+            spark, docs, table=TABLE, self_probe=True
+        ).collect()
+        keyset = {(r["doc_a"], r["doc_b"]) for r in rows}
+        if len(keyset) != len(rows):
+            duplicates += 1
+        observations.append(
+            sorted([int(r["doc_a"]), int(r["doc_b"]), float(r["jac"])] for r in rows)
+        )
+        if not started:
+            started = True
+            with open(os.path.join(root, "b_started"), "w") as fh:
+                fh.write("1")
+        if was_done:  # this probe started after the last append committed
+            break
+    with open(os.path.join(root, "observations.json"), "w") as fh:
+        json.dump({"observations": observations, "duplicates": duplicates}, fh)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    {"appender": appender, "prober": prober}[sys.argv[1]](sys.argv[2])
