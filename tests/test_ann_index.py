@@ -441,3 +441,62 @@ def test_cli_vacuum_index_ann_dry_run_and_run(spark, capsys):
     finally:
         for side in ("", "__codebooks", "__vacuum_tmp"):
             spark.sql(f"DROP TABLE IF EXISTS {t}{side}")
+
+
+def test_verify_ann_index_detects_duplicates_and_stranded_generations(spark):
+    """r11 lifecycle symmetry: verify_ann_index is the deterministic
+    integrity report for the codes table — duplicate vec_ids (the
+    top-k-displacing corruption of a double-append) and stranded
+    build generations (rows encoded against a superseded quantizer),
+    both healed by vacuum."""
+    from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+        _table_num_buckets,
+        vacuum_ann_index,
+        verify_ann_index,
+    )
+
+    t = "test_ann_idx_verify"
+    try:
+        build_ann_index(spark, SF_DIR, table=t, n_buckets=8, n_cells=16)
+        rep = verify_ann_index(spark, table=t)
+        assert rep["consistent"] and rep["current_generation_only"]
+        assert rep["stranded_build_ids"] == []
+
+        n_buckets = _table_num_buckets(spark, t)
+        # double-append: re-land 25 existing rows byte-identically
+        dup = spark.table(t).filter(F.col("vec_id") < 25)
+        (
+            dup.write.bucketBy(n_buckets, "cell")
+            .sortBy("cell")
+            .format("parquet")
+            .mode("append")
+            .saveAsTable(t)
+        )
+        rep = verify_ann_index(spark, table=t)
+        assert not rep["consistent"] and rep["duplicate_code_vecids"] == 25
+        assert rep["current_generation_only"]  # same build, still one gen
+
+        # stranded generation: rows from a superseded build
+        stale = (
+            spark.table(t)
+            .filter((F.col("vec_id") >= 25) & (F.col("vec_id") < 40))
+            .withColumn("build_id", F.lit("superseded-build"))
+        )
+        (
+            stale.write.bucketBy(n_buckets, "cell")
+            .sortBy("cell")
+            .format("parquet")
+            .mode("append")
+            .saveAsTable(t)
+        )
+        rep = verify_ann_index(spark, table=t)
+        assert rep["stranded_build_ids"] == ["superseded-build"]
+        assert not rep["current_generation_only"]
+
+        vacuum_ann_index(spark, table=t)
+        rep = verify_ann_index(spark, table=t)
+        assert rep["consistent"] and rep["current_generation_only"]
+        assert rep["duplicate_code_vecids"] == 0
+    finally:
+        for side in ("", "__codebooks", "__vacuum_tmp"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{side}")

@@ -417,3 +417,45 @@ def test_cli_vacuum_index_minhash_dry_run_and_run(spark, capsys):
     finally:
         for side in ("", "__docs", "__meta", "__vacuum_tmp", "__docs__vacuum_tmp"):
             spark.sql(f"DROP TABLE IF EXISTS {t}{side}")
+
+
+def test_cli_verify_index_reports_and_exit_code(spark, capsys):
+    """r11: verify-index through the ops CLI — clean index exits 0 with
+    consistent=true; a double-append exits 1 (scheduled-health-check
+    contract); vacuum restores exit 0."""
+    import json as _json
+
+    from wod_ascii_to_parquet_spark_spark import table_cli
+
+    t = "test_mh_idx_vfycli"
+    try:
+        d = load(spark, SF_DIR, "documents").select("doc_id", "text")
+        build_minhash_index(
+            spark, d.filter(F.col("doc_id") < 200), table=t, family="md5"
+        )
+        assert table_cli.main(["verify-index", t, "--kind", "minhash"]) == 0
+        rep = _json.loads(capsys.readouterr().out.strip())
+        assert rep["consistent"] and rep["current_generation_only"]
+
+        # double append duplicates sidecar rows = probe-corrupting state
+        append_minhash_index(
+            spark, d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 250)),
+            table=t,
+        )
+        append_minhash_index(
+            spark, d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 250)),
+            table=t,
+        )
+        assert table_cli.main(["verify-index", t, "--kind", "minhash"]) == 1
+        rep = _json.loads(capsys.readouterr().out.strip())
+        assert rep["duplicate_sidecar_docids"] > 0
+
+        from wod_ascii_to_parquet_spark_spark.plans.minhash_index import (
+            vacuum_minhash_index,
+        )
+
+        vacuum_minhash_index(spark, table=t)
+        assert table_cli.main(["verify-index", t, "--kind", "minhash"]) == 0
+    finally:
+        for side in ("", "__docs", "__meta", "__vacuum_tmp", "__docs__vacuum_tmp"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{side}")

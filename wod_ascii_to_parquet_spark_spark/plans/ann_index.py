@@ -424,6 +424,46 @@ def vacuum_ann_index_dry_run(
     return generation_report(spark, table, ("",), current)
 
 
+def verify_ann_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
+    """Integrity check for the codes table — the ANN twin of
+    ``verify_minhash_index`` (r11, completing the lifecycle symmetry).
+    Two states the probe's O(1) build_id check cannot see:
+
+    - **Duplicate codes rows** (double-append of the same delta): NOT
+      harmless — a vec_id appearing k times occupies k of the top-k
+      slots and displaces distinct neighbors (demonstrated in
+      tests/test_ann_index.py). Detected as vec_ids with >1 row.
+      Recovery: :func:`vacuum_ann_index` (full-row dedup).
+    - **Stranded build generations** (interrupted rebuild): rows whose
+      ``build_id`` differs from the codebooks sidecar — encoded against
+      a DIFFERENT quantizer, so any probe reading them scores garbage
+      distances. Deterministic full DISTINCT comparison (the sampled
+      probe check fires only nondeterministically on mixed tables).
+      Recovery: vacuum drops them.
+
+    ``consistent`` covers the silent-corruption state (duplicates);
+    ``current_generation_only`` carries the stranded-generation verdict
+    separately, mirroring the minhash report's split."""
+    meta_build = (
+        spark.table(f"{table}__codebooks").select("build_id").first()[0]
+    )
+    codes = spark.table(table)
+    stranded = sorted(
+        r[0]
+        for r in codes.select("build_id").distinct().collect()
+        if r[0] != meta_build
+    )
+    dup_vecs = (
+        codes.groupBy("vec_id").count().filter(F.col("count") > 1).count()
+    )
+    return {
+        "duplicate_code_vecids": dup_vecs,
+        "stranded_build_ids": stranded,
+        "current_generation_only": not stranded,
+        "consistent": dup_vecs == 0,
+    }
+
+
 def _table_num_buckets(spark: SparkSession, table: str, default: int = 8) -> int:
     """The bucket count the table was BUILT with, from the catalog — an
     append with a mismatched spec is rejected by Spark, so the spec is

@@ -5,6 +5,7 @@
     python -m wod_ascii_to_parquet_spark_spark.table_cli optimize <dir> [--target-files N]
     python -m wod_ascii_to_parquet_spark_spark.table_cli vacuum   <dir> [--keep N] [--min-age-hours H]
     python -m wod_ascii_to_parquet_spark_spark.table_cli vacuum-index <table> --kind {minhash,ann} [--dry-run]
+    python -m wod_ascii_to_parquet_spark_spark.table_cli verify-index <table> --kind {minhash,ann}
 
 The maintenance surface a scheduled job or an operator at a terminal
 needs — the `DESCRIBE HISTORY` / `OPTIMIZE` / `VACUUM` triple of the
@@ -65,7 +66,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="print the generations a vacuum would drop; change nothing",
     )
 
-    for s in (hist, show, opt, vac, vidx):
+    vfy = sub.add_parser(
+        "verify-index",
+        help="integrity report for a persisted minhash/ANN index "
+        "(torn/double appends, stranded build generations) — read-only",
+    )
+    vfy.add_argument("table", help="catalog table name of the index")
+    vfy.add_argument("--kind", choices=("minhash", "ann"), required=True)
+
+    for s in (hist, show, opt, vac, vidx, vfy):
         s.add_argument("--master", default=None)
     return p
 
@@ -76,6 +85,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "vacuum-index":
         with cached_frames():
             return _vacuum_index(spark, args)
+    if args.cmd == "verify-index":
+        with cached_frames():
+            return _verify_index(spark, args)
     t = LogTable(spark, args.table_dir)
     # cached_frames: get_spark() reuses one session across in-process
     # invocations (a scheduled-ops loop calling main() N times is the
@@ -114,7 +126,18 @@ def _vacuum_index(spark, args) -> int:
     return 0
 
 
-def _dispatch(args, t: LogTable) -> int:
+def _verify_index(spark, args) -> int:
+    """Dispatch `verify-index`: the deterministic integrity report
+    (torn/double appends, duplicate rows, stranded generations) —
+    read-only; exit code 1 when corruption is detected so a scheduled
+    health check can alert on it."""
+    if args.kind == "minhash":
+        from .plans.minhash_index import verify_minhash_index as verify
+    else:
+        from .plans.ann_index import verify_ann_index as verify
+    rep = dict(verify(spark, args.table), table=args.table, kind=args.kind)
+    print(json.dumps(rep))
+    return 0 if rep["consistent"] else 1
     if args.cmd == "history":
         out = [
             {
