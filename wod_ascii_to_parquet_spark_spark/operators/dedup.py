@@ -946,9 +946,12 @@ def dedup_simhash64_seg4(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully-oracled twin of this configuration. Guarded by
     :func:`_check_seg4_candidate_budget` (VERDICT r10 #2) so the labeled
     reference arm cannot silently run its known scale-killer."""
-    d = spread(load(spark, sf_dir, "documents"))
+    d = load(spark, sf_dir, "documents")
+    # guard counts the RAW scan (metadata-served parquet count) — never
+    # the spread() frame, whose round-robin Exchange would turn the
+    # cheap pre-check into a full shuffle of the corpus
     _check_seg4_candidate_budget(d)
-    s = simhash_bits(d, nbits=64)
+    s = simhash_bits(spread(d), nbits=64)
     return _simhash_pairs(s, nbits=64, max_hamming=3, key_cols=())
 
 
