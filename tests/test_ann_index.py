@@ -492,6 +492,9 @@ def test_verify_ann_index_detects_duplicates_and_stranded_generations(spark):
         rep = verify_ann_index(spark, table=t)
         assert rep["stranded_build_ids"] == ["superseded-build"]
         assert not rep["current_generation_only"]
+        # ANN stranded rows ARE corruption (garbage ADC distances can
+        # displace true neighbors), unlike the minhash report's split
+        assert not rep["consistent"]
 
         vacuum_ann_index(spark, table=t)
         rep = verify_ann_index(spark, table=t)

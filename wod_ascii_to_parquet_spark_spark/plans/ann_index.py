@@ -379,14 +379,22 @@ def _compact_bucketed_table(
     }
 
 
+def _current_build_id(spark: SparkSession, table: str) -> str:
+    """The CURRENT generation, as the codebooks sidecar defines it — the
+    single definition vacuum, dry-run, and verify all share (so they can
+    never disagree about which generation is current)."""
+    return spark.table(f"{table}__codebooks").select("build_id").first()[0]
+
+
 def vacuum_ann_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
     """Maintenance: compact the codes table to one bucketed file set and
     drop rows from superseded ``build_id`` generations (the codebooks
     sidecar defines CURRENT). Probe results are unchanged by
     construction — asserted both in tests and by the registered
     ``similarity_ann_index_vacuum_adc`` query under the DuckDB oracle."""
-    current = spark.table(f"{table}__codebooks").select("build_id").first()[0]
-    return _compact_bucketed_table(spark, table, ("cell",), current)
+    return _compact_bucketed_table(
+        spark, table, ("cell",), _current_build_id(spark, table)
+    )
 
 
 def generation_report(
@@ -420,8 +428,9 @@ def vacuum_ann_index_dry_run(
     spark: SparkSession, table: str = INDEX_TABLE
 ) -> dict:
     """:func:`generation_report` for the ANN codes table."""
-    current = spark.table(f"{table}__codebooks").select("build_id").first()[0]
-    return generation_report(spark, table, ("",), current)
+    return generation_report(
+        spark, table, ("",), _current_build_id(spark, table)
+    )
 
 
 def verify_ann_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
@@ -441,12 +450,15 @@ def verify_ann_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
       probe check fires only nondeterministically on mixed tables).
       Recovery: vacuum drops them.
 
-    ``consistent`` covers the silent-corruption state (duplicates);
-    ``current_generation_only`` carries the stranded-generation verdict
-    separately, mirroring the minhash report's split."""
-    meta_build = (
-        spark.table(f"{table}__codebooks").select("build_id").first()[0]
-    )
+    Unlike the minhash report (where stranded band rows cannot change
+    results — candidates are de-duplicated and verified against exact
+    shingles), BOTH states corrupt ANN output: stale codes land in
+    probed cells and their ADC distances against the CURRENT codebooks
+    are garbage that can displace true neighbors. So ``consistent``
+    here covers duplicates AND stranded generations (the CLI health
+    check alerts on either); ``current_generation_only`` remains as the
+    field a vacuum scheduler keys on."""
+    meta_build = _current_build_id(spark, table)
     codes = spark.table(table)
     stranded = sorted(
         r[0]
@@ -460,7 +472,7 @@ def verify_ann_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
         "duplicate_code_vecids": dup_vecs,
         "stranded_build_ids": stranded,
         "current_generation_only": not stranded,
-        "consistent": dup_vecs == 0,
+        "consistent": dup_vecs == 0 and not stranded,
     }
 
 

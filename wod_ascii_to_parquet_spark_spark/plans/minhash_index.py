@@ -269,6 +269,13 @@ def probe_minhash_index(
     )
 
 
+def _current_build_id(spark: SparkSession, table: str) -> str:
+    """The CURRENT generation, as the ``__meta`` row defines it — the
+    single definition vacuum, dry-run, and verify all share (so they can
+    never disagree about which generation is current)."""
+    return spark.table(f"{table}__meta").select("build_id").first()[0]
+
+
 def vacuum_minhash_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
     """Maintenance: compact the band table and the shingle sidecar to one
     bucketed file set each and drop rows from superseded ``build_id``
@@ -281,7 +288,7 @@ def vacuum_minhash_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
     ``dedup_minhash_index_vacuum_md5`` query under the DuckDB oracle."""
     from .ann_index import _compact_bucketed_table
 
-    current = spark.table(f"{table}__meta").select("build_id").first()[0]
+    current = _current_build_id(spark, table)
     return {
         "bands": _compact_bucketed_table(spark, table, ("band", "key"), current),
         "docs": _compact_bucketed_table(
@@ -297,7 +304,7 @@ def vacuum_minhash_index_dry_run(
     sidecar) — see :func:`..ann_index.generation_report`."""
     from .ann_index import generation_report
 
-    current = spark.table(f"{table}__meta").select("build_id").first()[0]
+    current = _current_build_id(spark, table)
     return generation_report(spark, table, ("", "__docs"), current)
 
 
@@ -330,7 +337,7 @@ def verify_minhash_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
     sidecar rows are counted above), so they do not flip ``consistent``;
     ``current_generation_only`` carries the verdict and vacuum heals it.
     """
-    meta_build = spark.table(f"{table}__meta").select("build_id").first()[0]
+    meta_build = _current_build_id(spark, table)
     bands_tbl = spark.table(table)
     docs = spark.table(f"{table}__docs")
     stranded = {

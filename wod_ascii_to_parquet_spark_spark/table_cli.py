@@ -116,7 +116,11 @@ def _vacuum_index(spark, args) -> int:
 
         run, dry = vacuum_ann_index, vacuum_ann_index_dry_run
     if args.dry_run:
-        print(json.dumps(dict(dry(spark, args.table), dry_run=True)))
+        print(
+            json.dumps(
+                dict(dry(spark, args.table), kind=args.kind, dry_run=True)
+            )
+        )
     else:
         print(
             json.dumps(
@@ -138,6 +142,9 @@ def _verify_index(spark, args) -> int:
     rep = dict(verify(spark, args.table), table=args.table, kind=args.kind)
     print(json.dumps(rep))
     return 0 if rep["consistent"] else 1
+
+
+def _dispatch(args, t: LogTable) -> int:
     if args.cmd == "history":
         out = [
             {
