@@ -1,6 +1,8 @@
 """Worker script for the cross-PROCESS persisted-index race test
 (VERDICT r10 #6) — run as ``python index_race_worker.py {appender|prober}
-<root>``. Two OS processes, two JVMs, one shared warehouse directory:
+<root>`` — and the kill-9 crash-injection arm (VERDICT r11 #4) — run as
+``{torn-appender|recoverer} <root>``. Two OS processes, two JVMs, one
+shared warehouse directory:
 
 - the APPENDER builds a minhash index over doc_id < 300, publishes the
   table locations + the initial probe pair set, then appends five
@@ -19,6 +21,20 @@ no duplicate (doc_a, doc_b) rows — a probe concurrent with appends sees
 the old generation, the new one, or a valid prefix of the append
 (bands-before-sidecar write order makes half-visible docs VANISH from
 results rather than corrupt them), never a mix of garbage.
+
+Crash-injection arm: the TORN-APPENDER builds the index under a
+PERSISTENT metastore (embedded derby under <root>, so a successor
+process inherits the catalog — the deployment shape where recovery is
+possible at all), then appends a delta with an ``after_bands_hook``
+that SIGKILLs its own process between the bands append (committed) and
+the sidecar append (never started) — a real process corpse in the
+exact torn window, no sleeps, no simulated flag. The RECOVERER is that
+successor: it must observe (1) verify_minhash_index reporting the torn
+doc_ids / consistent=false, (2) probes still returning EXACTLY the
+pre-append pair set (half-visible docs vanish rather than corrupt), and
+(3) the documented recovery — re-append the same delta, vacuum —
+converging to a consistent index whose probe output is row-identical
+to a fresh build over the union.
 """
 
 from __future__ import annotations
@@ -33,17 +49,27 @@ TABLE = "race_idx"
 SIDES = ("", "__docs", "__meta")
 
 
-def _session(root: str, name: str):
+def _session(root: str, name: str, hive: bool = False):
     from pyspark.sql import SparkSession
 
-    return (
+    b = (
         SparkSession.builder.master("local[4]")
         .config("spark.sql.warehouse.dir", os.path.join(root, "wh"))
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .appName(name)
-        .getOrCreate()
     )
+    if hive:
+        # Embedded-derby metastore under <root>: the catalog survives the
+        # process, which is what makes the kill-9 arm's RECOVERER able to
+        # see the torn tables at all (the default in-memory catalog dies
+        # with the corpse).
+        b = b.config(
+            "spark.hadoop.javax.jdo.option.ConnectionURL",
+            f"jdbc:derby:;databaseName={os.path.join(root, 'metastore_db')}"
+            ";create=true",
+        ).enableHiveSupport()
+    return b.getOrCreate()
 
 
 def _pairs(df) -> list:
@@ -126,7 +152,17 @@ def prober(root: str) -> None:
     observations: list = []
     duplicates = 0
     started = False
+    # Own wall-clock deadline (ADVICE r11): if the appender dies between
+    # ready.json and done.json, fail promptly with a message naming the
+    # dead appender instead of spinning Spark jobs until the parent's
+    # communicate() timeout surfaces a generic TimeoutError.
+    deadline = time.time() + 300.0
     while True:
+        if time.time() > deadline:
+            raise RuntimeError(
+                "prober deadline exceeded: done.json never appeared — "
+                "the appender likely died mid-run; see its stderr"
+            )
         was_done = os.path.exists(done)
         for side in SIDES:
             # the catalog caches each table's file listing; a long-lived
@@ -152,6 +188,109 @@ def prober(root: str) -> None:
     spark.stop()
 
 
+def torn_appender(root: str) -> None:
+    """Kill-9 arm, phase 1: build, record the pre-append truth, then die
+    by SIGKILL inside the torn-append window. Everything after the hook
+    fires is unreachable — the parent asserts the corpse's returncode."""
+    import signal
+
+    from pyspark.sql import functions as F
+
+    from wod_ascii_to_parquet_spark_spark.plans.minhash_index import (
+        append_minhash_index,
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    spark = _session(root, "idx-torn-appender", hive=True)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(DOCS).select("doc_id", "text")
+    build_minhash_index(
+        spark, docs.filter(F.col("doc_id") < 300), table=TABLE, family="md5"
+    )
+    initial = _pairs(probe_minhash_index(spark, docs, table=TABLE, self_probe=True))
+    tmp = os.path.join(root, "ready.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"initial": initial}, fh)
+    os.rename(tmp, os.path.join(root, "ready.json"))
+
+    def die() -> None:
+        # self-report the phase, then a REAL kill -9: no atexit, no JVM
+        # shutdown hooks, no stream flush — the hardest crash there is,
+        # delivered deterministically inside the bands→sidecar window
+        # (the parent killing "between the writes" from outside would
+        # need a sleep to hit this window; the hook needs none)
+        with open(os.path.join(root, "phase_bands_committed"), "w") as fh:
+            fh.write("1")
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.kill(os.getpid(), signal.SIGKILL)
+
+    append_minhash_index(
+        spark,
+        docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 340)),
+        table=TABLE,
+        after_bands_hook=die,
+    )
+    raise AssertionError("unreachable: the SIGKILL hook did not fire")
+
+
+def recoverer(root: str) -> None:
+    """Kill-9 arm, phase 2 (fresh process over the derby catalog the
+    corpse left): observe the torn state, prove probes stay exact, run
+    the documented recovery, prove convergence to a fresh build."""
+    from pyspark.sql import functions as F
+
+    from wod_ascii_to_parquet_spark_spark.plans.minhash_index import (
+        append_minhash_index,
+        build_minhash_index,
+        probe_minhash_index,
+        vacuum_minhash_index,
+        verify_minhash_index,
+    )
+
+    spark = _session(root, "idx-recoverer", hive=True)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(DOCS).select("doc_id", "text")
+    report_torn = verify_minhash_index(spark, table=TABLE)
+    torn_probe = _pairs(
+        probe_minhash_index(spark, docs, table=TABLE, self_probe=True)
+    )
+    # documented recovery: re-append the SAME delta (band dups are
+    # de-duplicated at probe; vacuum removes them), then vacuum
+    delta = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 340))
+    append_minhash_index(spark, delta, table=TABLE)
+    vacuum_minhash_index(spark, table=TABLE)
+    report_healed = verify_minhash_index(spark, table=TABLE)
+    healed_probe = _pairs(
+        probe_minhash_index(spark, docs, table=TABLE, self_probe=True)
+    )
+    # ground truth: a fresh build over the union must be probe-identical
+    build_minhash_index(
+        spark, docs.filter(F.col("doc_id") < 340), table="fresh_idx", family="md5"
+    )
+    fresh_probe = _pairs(
+        probe_minhash_index(spark, docs, table="fresh_idx", self_probe=True)
+    )
+    with open(os.path.join(root, "recovery.json"), "w") as fh:
+        json.dump(
+            {
+                "report_torn": report_torn,
+                "torn_probe": torn_probe,
+                "report_healed": report_healed,
+                "healed_probe": healed_probe,
+                "fresh_probe": fresh_probe,
+            },
+            fh,
+        )
+    spark.stop()
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    {"appender": appender, "prober": prober}[sys.argv[1]](sys.argv[2])
+    {
+        "appender": appender,
+        "prober": prober,
+        "torn-appender": torn_appender,
+        "recoverer": recoverer,
+    }[sys.argv[1]](sys.argv[2])

@@ -495,11 +495,79 @@ def test_verify_ann_index_detects_duplicates_and_stranded_generations(spark):
         # ANN stranded rows ARE corruption (garbage ADC distances can
         # displace true neighbors), unlike the minhash report's split
         assert not rep["consistent"]
+        # VERDICT r11 wrong #1: the duplicate count is scoped to the
+        # CURRENT generation — the stranded rows 25..39 must not
+        # double-count as duplicates; the field stays at the 25 rows the
+        # double-append landed, so each field isolates one corruption
+        # class
+        assert rep["duplicate_code_vecids"] == 25
 
         vacuum_ann_index(spark, table=t)
         rep = verify_ann_index(spark, table=t)
         assert rep["consistent"] and rep["current_generation_only"]
         assert rep["duplicate_code_vecids"] == 0
+    finally:
+        for side in ("", "__codebooks", "__vacuum_tmp"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{side}")
+
+
+def test_verify_duplicate_count_zero_on_stranded_only_table(spark):
+    """VERDICT r11 wrong #1 regression: a table whose ONLY corruption is
+    a stranded generation must report duplicate_code_vecids == 0 — the
+    old all-generations groupBy double-counted every shadowed vec_id as
+    a duplicate, conflating the interrupted-rebuild and double-append
+    corruption classes in the report."""
+    from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+        _table_num_buckets,
+        verify_ann_index,
+    )
+
+    t = "test_ann_idx_strandedonly"
+    try:
+        build_ann_index(spark, SF_DIR, table=t, n_buckets=8, n_cells=16)
+        n_buckets = _table_num_buckets(spark, t)
+        stale = (
+            spark.table(t)
+            .filter(F.col("vec_id") < 40)
+            .withColumn("build_id", F.lit("superseded-build"))
+        )
+        (
+            stale.write.bucketBy(n_buckets, "cell")
+            .sortBy("cell")
+            .format("parquet")
+            .mode("append")
+            .saveAsTable(t)
+        )
+        rep = verify_ann_index(spark, table=t)
+        assert rep["duplicate_code_vecids"] == 0  # no double-append here
+        assert rep["stranded_build_ids"] == ["superseded-build"]
+        assert not rep["consistent"]  # stranded alone still flips it
+    finally:
+        for side in ("", "__codebooks", "__vacuum_tmp"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{side}")
+
+
+def test_vacuum_recovery_refuses_empty_tmp(spark):
+    """ADVICE r11: an EMPTY __vacuum_tmp must never be published over the
+    index name — the old `if tmp_builds and ...` guard skipped validation
+    entirely on a zero-row tmp and renamed it into place, silently
+    replacing the index with an empty table while reporting success."""
+    from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+        vacuum_ann_index,
+    )
+
+    t = "test_ann_idx_emptytmp"
+    try:
+        build_ann_index(spark, SF_DIR, table=t, n_buckets=8, n_cells=16)
+        spark.table(t).limit(0).write.format("parquet").saveAsTable(
+            f"{t}__vacuum_tmp"
+        )
+        spark.sql(f"DROP TABLE {t}")
+        with pytest.raises(ValueError, match="EMPTY"):
+            vacuum_ann_index(spark, table=t)
+        # refusal leaves the tmp for inspection and publishes nothing
+        assert spark.catalog.tableExists(f"{t}__vacuum_tmp")
+        assert not spark.catalog.tableExists(t)
     finally:
         for side in ("", "__codebooks", "__vacuum_tmp"):
             spark.sql(f"DROP TABLE IF EXISTS {t}{side}")

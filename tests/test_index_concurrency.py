@@ -11,44 +11,78 @@ a valid append prefix (the bands-before-sidecar write order makes a
 half-visible doc VANISH from output instead of corrupting it), never a
 mix of garbage. The ANN codes table shares the identical append/commit
 mechanics with fewer sides (one data table), so the minhash index is
-the strictly harder case."""
+the strictly harder case.
+
+Crash-injection arm (VERDICT r11 #4): a worker SIGKILLs itself between
+the bands append and the sidecar append — a real kill -9 corpse in the
+exact torn window — and a successor process over the persistent derby
+catalog must observe the torn report, unchanged probe output, and full
+recovery (re-append + vacuum ≡ fresh build). No sleeps anywhere: the
+kill is delivered deterministically by the append's fault-injection
+hook, and phase files are the only synchronization."""
 
 from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
+import time
 
 WORKER = os.path.join(os.path.dirname(__file__), "index_race_worker.py")
 
 
-def test_probe_during_concurrent_append_sees_no_mixed_generation(tmp_path):
-    root = str(tmp_path)
+def _spawn(role: str, root: str):
+    """Start a worker with stdout/stderr to FILES (not pipes — Spark's
+    stderr volume can fill a pipe buffer and deadlock a polling parent)."""
     env = dict(
         os.environ,
         PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(WORKER))),
     )
-    procs = {
-        role: subprocess.Popen(
-            [sys.executable, WORKER, role, root],
-            env=env,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
-        )
-        for role in ("appender", "prober")
-    }
-    outs = {}
+    out = open(os.path.join(root, f"{role}.out"), "wb")
+    err = open(os.path.join(root, f"{role}.err"), "wb")
+    p = subprocess.Popen(
+        [sys.executable, WORKER, role, root], env=env, stdout=out, stderr=err
+    )
+    p._logs = (out, err)  # type: ignore[attr-defined]
+    return p
+
+
+def _err_tail(root: str, role: str) -> str:
+    with open(os.path.join(root, f"{role}.err"), "rb") as fh:
+        return fh.read().decode(errors="replace")[-4000:]
+
+
+def test_probe_during_concurrent_append_sees_no_mixed_generation(tmp_path):
+    root = str(tmp_path)
+    procs = {role: _spawn(role, root) for role in ("appender", "prober")}
+    deadline = time.time() + 420
     try:
-        for role, p in procs.items():
-            out, err = p.communicate(timeout=420)
-            outs[role] = (p.returncode, out, err)
+        # Poll BOTH processes (ADVICE r11): if one dies nonzero while the
+        # other still runs, kill the survivor immediately so the failure
+        # surfaces as a prompt assertion naming the dead worker, not a
+        # 420 s TimeoutError from a prober spinning against a corpse.
+        while any(p.poll() is None for p in procs.values()):
+            assert time.time() < deadline, "race workers exceeded deadline"
+            for role, p in procs.items():
+                rc = p.poll()
+                if rc is not None and rc != 0:
+                    for q in procs.values():
+                        if q.poll() is None:
+                            q.kill()
+                    raise AssertionError(
+                        f"{role} died rc={rc}:\n{_err_tail(root, role)}"
+                    )
+            time.sleep(0.1)
     finally:
         for p in procs.values():
             if p.poll() is None:
                 p.kill()
-    for role, (rc, out, err) in outs.items():
-        assert rc == 0, f"{role} failed:\n{err.decode()[-4000:]}"
+            for fh in p._logs:  # type: ignore[attr-defined]
+                fh.close()
+    for role, p in procs.items():
+        assert p.returncode == 0, f"{role} failed:\n{_err_tail(root, role)}"
 
     with open(os.path.join(root, "ready.json")) as fh:
         initial = {tuple(p) for p in json.load(fh)["initial"]}
@@ -70,3 +104,49 @@ def test_probe_during_concurrent_append_sees_no_mixed_generation(tmp_path):
     # the post-done probe (last observation) must see the full new
     # generation — visibility converges once the append commits
     assert observations[-1] == final
+
+
+def test_kill9_mid_append_heals_to_fresh_build(tmp_path):
+    """kill -9 between the bands append and the sidecar append, then the
+    full documented recovery in a successor process. Three claims:
+
+    1. the corpse really died by SIGKILL with the bands half committed
+       (phase file present, recovery.json shows torn doc_ids);
+    2. the torn index NEVER returns wrong pairs — probes equal the
+       pre-append set exactly (half-visible docs vanish);
+    3. re-append + vacuum converges to consistent=true and probe output
+       row-identical to an index built fresh over the union."""
+    root = str(tmp_path)
+    torn = _spawn("torn-appender", root)
+    rc = torn.wait(timeout=420)
+    for fh in torn._logs:  # type: ignore[attr-defined]
+        fh.close()
+    assert rc == -signal.SIGKILL, (
+        f"torn-appender should die by SIGKILL, got rc={rc}:\n"
+        f"{_err_tail(root, 'torn-appender')}"
+    )
+    assert os.path.exists(os.path.join(root, "phase_bands_committed")), (
+        "the kill fired outside the bands→sidecar window"
+    )
+    with open(os.path.join(root, "ready.json")) as fh:
+        initial = [tuple(p) for p in json.load(fh)["initial"]]
+
+    rec = _spawn("recoverer", root)
+    rc = rec.wait(timeout=420)
+    for fh in rec._logs:  # type: ignore[attr-defined]
+        fh.close()
+    assert rc == 0, f"recoverer failed:\n{_err_tail(root, 'recoverer')}"
+    with open(os.path.join(root, "recovery.json")) as fh:
+        doc = json.load(fh)
+
+    # (1) verify-index sees the torn append the O(1) probe check cannot
+    assert doc["report_torn"]["band_docids_missing_sidecar"] > 0
+    assert doc["report_torn"]["consistent"] is False
+    # (2) torn probes are exact, not wrong — the crashed delta vanishes
+    assert [tuple(p) for p in doc["torn_probe"]] == initial
+    # (3) recovery converges: consistent, single generation, and probe
+    # output row-identical to a fresh build over the union
+    assert doc["report_healed"]["consistent"] is True
+    assert doc["report_healed"]["current_generation_only"] is True
+    assert doc["healed_probe"] == doc["fresh_probe"]
+    assert len(doc["healed_probe"]) > len(initial)  # the delta landed

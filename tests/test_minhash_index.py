@@ -459,3 +459,55 @@ def test_cli_verify_index_reports_and_exit_code(spark, capsys):
     finally:
         for side in ("", "__docs", "__meta", "__vacuum_tmp", "__docs__vacuum_tmp"):
             spark.sql(f"DROP TABLE IF EXISTS {t}{side}")
+
+
+def test_cli_verify_index_strict_alerts_on_stranded_generation(spark, capsys):
+    """ADVICE r11: minhash 'consistent' deliberately excludes stranded
+    generations (they cannot change probe results), so plain verify-index
+    exits 0 on that state — a scheduler keying on the exit code would
+    never trigger the vacuum that heals it. --strict folds
+    current_generation_only into the exit code for BOTH kinds."""
+    import json as _json
+
+    from wod_ascii_to_parquet_spark_spark import table_cli
+    from wod_ascii_to_parquet_spark_spark.plans.minhash_index import (
+        _table_num_buckets,
+        vacuum_minhash_index,
+    )
+
+    t = "test_mh_idx_strictcli"
+    try:
+        d = load(spark, SF_DIR, "documents").select("doc_id", "text")
+        build_minhash_index(
+            spark, d.filter(F.col("doc_id") < 200), table=t, family="md5"
+        )
+        # strand a superseded generation in the band table only
+        n_buckets = _table_num_buckets(spark, t)
+        (
+            spark.table(t)
+            .limit(13)
+            .withColumn("build_id", F.lit("superseded-build"))
+            .write.bucketBy(n_buckets, "band", "key")
+            .sortBy("band", "key")
+            .format("parquet")
+            .mode("append")
+            .saveAsTable(t)
+        )
+        # non-strict: stranded-only state is vacuum-able debt, exit 0
+        assert table_cli.main(["verify-index", t, "--kind", "minhash"]) == 0
+        rep = _json.loads(capsys.readouterr().out.strip())
+        assert rep["consistent"] and not rep["current_generation_only"]
+        # strict: same state exits 1 — schedulers can alert without JSON
+        assert (
+            table_cli.main(["verify-index", t, "--kind", "minhash", "--strict"])
+            == 1
+        )
+        capsys.readouterr()
+        vacuum_minhash_index(spark, table=t)
+        assert (
+            table_cli.main(["verify-index", t, "--kind", "minhash", "--strict"])
+            == 0
+        )
+    finally:
+        for side in ("", "__docs", "__meta", "__vacuum_tmp", "__docs__vacuum_tmp"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{side}")

@@ -21,21 +21,24 @@ from .conftest import SF_DIR
 
 QUERIES = load_all_operators()
 
-#: (arm, env var that bounds it, headline tier the refusal must name)
+#: (arm, env var that bounds it, headline tier the refusal must name).
+#: The catalyst arms are bounded by PER-ARM vars (ADVICE r11: the shared
+#: SPARK_GRAFT_CATALYST_ROW_BUDGET is a raise-only floor and can never
+#: lower a budget — tested separately below).
 GUARDED = [
     (
         "dedup_embedding_ann_catalyst",
-        "SPARK_GRAFT_CATALYST_ROW_BUDGET",
+        "SPARK_GRAFT_CATALYST_ROW_BUDGET_KERNEL",
         "dedup_embedding_ann",
     ),
     (
         "dedup_semdedup_prune_catalyst",
-        "SPARK_GRAFT_CATALYST_ROW_BUDGET",
+        "SPARK_GRAFT_CATALYST_ROW_BUDGET_KERNEL",
         "dedup_semdedup_prune",
     ),
     (
         "vector_pq_encode_catalyst",
-        "SPARK_GRAFT_CATALYST_ROW_BUDGET",
+        "SPARK_GRAFT_CATALYST_ROW_BUDGET_ENCODE",
         "vector_pq_encode",
     ),
     (
@@ -80,3 +83,25 @@ def test_env_override_permits_deliberate_run(spark, monkeypatch):
         QUERIES["dedup_simhash64_seg4"].fn(spark, SF_DIR)
     monkeypatch.setenv("SPARK_GRAFT_SIMHASH_CAND_BUDGET", str(1 << 60))
     assert QUERIES["dedup_simhash64_seg4"].fn(spark, SF_DIR).count() >= 0
+
+
+def test_shared_catalyst_override_is_raise_only(spark, monkeypatch):
+    """ADVICE r11: the shared SPARK_GRAFT_CATALYST_ROW_BUDGET must act
+    as max(override, per-arm default) — setting it BELOW an arm's
+    default (e.g. 0) must not make that arm start refusing, so a
+    deliberate raise for one arm can never silently shrink another's
+    budget. Fixture scale (500 vectors) is under every default, so the
+    arm must still run."""
+    monkeypatch.delenv("SPARK_GRAFT_CATALYST_ROW_BUDGET_KERNEL", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_CATALYST_ROW_BUDGET", "0")
+    assert QUERIES["dedup_embedding_ann_catalyst"].fn(spark, SF_DIR).count() >= 0
+
+
+def test_per_arm_catalyst_override_wins_over_shared(spark, monkeypatch):
+    """The per-arm var wins outright (it CAN lower, for tests and for
+    deliberately tightening one arm): with the shared floor set huge,
+    a per-arm 0 still refuses."""
+    monkeypatch.setenv("SPARK_GRAFT_CATALYST_ROW_BUDGET", str(1 << 60))
+    monkeypatch.setenv("SPARK_GRAFT_CATALYST_ROW_BUDGET_KERNEL", "0")
+    with pytest.raises(ReferenceArmBudgetExceeded):
+        QUERIES["dedup_embedding_ann_catalyst"].fn(spark, SF_DIR)

@@ -265,3 +265,24 @@ def test_coverage_twin_audit_table_covers_every_rows_only_query():
     rows_only = {n for n, q in QUERIES.items() if q.oracle is None}
     missing = rows_only - documented
     assert not missing, f"rows-only queries absent from twin audit: {missing}"
+
+
+def test_registry_doc_matches_generator():
+    """VERDICT r11 #6: REGISTRY.md is the autogenerated one-row-per-query
+    reference; pin it to the live registry by regenerating in-memory and
+    diffing, so a registration without `python tools/gen_registry_doc.py`
+    fails the suite instead of silently drifting the doc."""
+    import pathlib
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(repo / "tools"))
+    try:
+        import gen_registry_doc
+    finally:
+        sys.path.pop(0)
+    expected = gen_registry_doc.render()
+    actual = (repo / "REGISTRY.md").read_text()
+    assert actual == expected, (
+        "REGISTRY.md is stale — re-run `python tools/gen_registry_doc.py`"
+    )

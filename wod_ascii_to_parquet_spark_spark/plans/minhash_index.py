@@ -166,6 +166,7 @@ def append_minhash_index(
     spark: SparkSession,
     new_docs: DataFrame,
     table: str = INDEX_TABLE,
+    after_bands_hook=None,
 ) -> int:
     """INCREMENTAL growth: signature-encode only the delta under the
     index's OWN hash family and append into the same bucketed tables —
@@ -174,7 +175,16 @@ def append_minhash_index(
     Exactness is preserved forever (not just "usually", as with a stale
     IVF quantizer): the hash family is data-independent, so an index
     grown by any sequence of appends is row-identical to one built fresh
-    over the union (asserted in tests/test_minhash_index.py)."""
+    over the union (asserted in tests/test_minhash_index.py).
+
+    ``after_bands_hook``: fault-injection seam for crash testing — a
+    callable invoked between the bands append (committed) and the
+    sidecar append (not yet started), i.e. inside the exact torn-append
+    window the bands-before-sidecar write order is designed around.
+    Production callers leave it None; tests/index_race_worker.py SIGKILLs
+    the process from it to prove the documented recovery (re-append the
+    same delta, then vacuum) heals a REAL process corpse, not a
+    simulated one."""
     meta = spark.table(f"{table}__meta").first()
     s = _sig_frame(new_docs, meta["family"]).persist()
     n = s.count()
@@ -188,6 +198,8 @@ def append_minhash_index(
         .mode("append")
         .saveAsTable(table)
     )
+    if after_bands_hook is not None:
+        after_bands_hook()
     (
         s.select("doc_id", "sh")
         .withColumn("build_id", F.lit(meta["build_id"]))

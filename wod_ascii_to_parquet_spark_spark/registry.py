@@ -162,6 +162,9 @@ def _with_runtime_confs(fn: QueryFn) -> QueryFn:
 
     wrapped.__doc__ = fn.__doc__
     wrapped.__name__ = getattr(fn, "__name__", "query")
+    # standard introspection chain: lets tools/gen_registry_doc.py point
+    # REGISTRY.md rows at the real module:line instead of this wrapper
+    wrapped.__wrapped__ = fn
     return wrapped
 
 

@@ -5,7 +5,7 @@
     python -m wod_ascii_to_parquet_spark_spark.table_cli optimize <dir> [--target-files N]
     python -m wod_ascii_to_parquet_spark_spark.table_cli vacuum   <dir> [--keep N] [--min-age-hours H]
     python -m wod_ascii_to_parquet_spark_spark.table_cli vacuum-index <table> --kind {minhash,ann} [--dry-run]
-    python -m wod_ascii_to_parquet_spark_spark.table_cli verify-index <table> --kind {minhash,ann}
+    python -m wod_ascii_to_parquet_spark_spark.table_cli verify-index <table> --kind {minhash,ann} [--strict]
 
 The maintenance surface a scheduled job or an operator at a terminal
 needs — the `DESCRIBE HISTORY` / `OPTIMIZE` / `VACUUM` triple of the
@@ -69,10 +69,25 @@ def build_parser() -> argparse.ArgumentParser:
     vfy = sub.add_parser(
         "verify-index",
         help="integrity report for a persisted minhash/ANN index "
-        "(torn/double appends, stranded build generations) — read-only",
+        "(torn/double appends, stranded build generations) — read-only. "
+        "Exit 1 on corruption ('consistent' false). NOTE the kind "
+        "asymmetry: minhash counts stranded generations as vacuum-able "
+        "debt, not corruption (probe results are unaffected — candidates "
+        "are deduped and verified against exact shingles), so its "
+        "'consistent' excludes them; ANN counts them as corruption "
+        "(stale codes score garbage ADC distances). Use --strict to "
+        "alert on stranded generations for BOTH kinds.",
     )
     vfy.add_argument("table", help="catalog table name of the index")
     vfy.add_argument("--kind", choices=("minhash", "ann"), required=True)
+    vfy.add_argument(
+        "--strict",
+        action="store_true",
+        help="exit nonzero unless consistent AND current-generation-only "
+        "— lets a scheduler alert on the state vacuum heals without "
+        "parsing JSON (ADVICE r11: minhash stranded generations "
+        "otherwise exit 0)",
+    )
 
     for s in (hist, show, opt, vac, vidx, vfy):
         s.add_argument("--master", default=None)
@@ -141,7 +156,14 @@ def _verify_index(spark, args) -> int:
         from .plans.ann_index import verify_ann_index as verify
     rep = dict(verify(spark, args.table), table=args.table, kind=args.kind)
     print(json.dumps(rep))
-    return 0 if rep["consistent"] else 1
+    ok = rep["consistent"]
+    if getattr(args, "strict", False):
+        # --strict folds vacuum-able debt into the exit code: minhash
+        # deliberately keeps stranded generations out of 'consistent'
+        # (they cannot change probe results), so a scheduler keying on
+        # the exit code alone would miss the state vacuum heals.
+        ok = ok and rep["current_generation_only"]
+    return 0 if ok else 1
 
 
 def _dispatch(args, t: LogTable) -> int:
