@@ -31,3 +31,63 @@ def test_cli_convert_subset(spark, tmp_path, capsys):
     assert rc == 0
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(payload["skipped"]) == 2 and not payload["converted"]
+
+
+def test_cli_compact_target_bytes_consolidates_datasets(spark, tmp_path, capsys):
+    """VERDICT r11 #3: --compact-target-bytes consolidates the per-input-
+    file datasets into one geohash3-partitioned dataset per (ds, level)
+    under <output>/compacted/ — fewer files, identical row content, and
+    the yearly/ _SUCCESS resume markers untouched (a re-run still skips
+    every finished input)."""
+    import shutil
+
+    src = tmp_path / "src" / "CTD" / "OBS"
+    src.mkdir(parents=True)
+    fixture = WOD + "/CTD/OBS/CTDO1971.gz"
+    # two input files in one (dataset, level): the consolidation case —
+    # the same geohash3 dirs appear once per input dataset
+    shutil.copy(fixture, src / "CTDO1971.gz")
+    shutil.copy(fixture, src / "CTDO1972.gz")
+    out = str(tmp_path / "out")
+    rc = main([
+        "--source", str(tmp_path / "src"), "--output", out,
+        "-d", "CTD", "-p", "OBS",
+        "--compact-target-bytes", str(256 * 1024 * 1024),
+    ])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(payload["converted"]) == 2 and not payload["failed"]
+    stats = payload["compacted"]["CTD/OBS"]
+    assert stats["inputs"] == 2
+    # the whole run fits one 256 MB target file per geohash3 dir: the
+    # two per-input copies of every geohash3 merge into one
+    assert stats["files_after"] < stats["files_before"]
+
+    # identical row content (both directions; duplicates preserved)
+    yearly = (
+        spark.read.parquet(f"{out}/yearly/CTD/OBS/CTDO1971.parquet")
+        .unionByName(
+            spark.read.parquet(f"{out}/yearly/CTD/OBS/CTDO1972.parquet")
+        )
+        .drop("geohash3")
+    )
+    compacted = spark.read.parquet(f"{out}/compacted/CTD/OBS").drop("geohash3")
+    assert compacted.count() == yearly.count()
+    assert yearly.exceptAll(compacted).count() == 0
+    assert compacted.exceptAll(yearly).count() == 0
+
+    # the compacted dataset is a complete GeoParquet publish of its own
+    import os
+
+    assert os.path.exists(f"{out}/compacted/CTD/OBS/_SUCCESS")
+    assert os.path.exists(f"{out}/compacted/CTD/OBS/_geo_metadata.json")
+
+    # resume semantics survive: a re-run (no compact flag) skips both
+    rc = main(["--source", str(tmp_path / "src"), "--output", out,
+               "-d", "CTD", "-p", "OBS"])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(payload["skipped"]) == 2 and not payload["converted"]
+    # and the consolidated dataset is still there, untouched by the rerun
+    assert spark.read.parquet(f"{out}/compacted/CTD/OBS").count() == \
+        yearly.count()

@@ -1,0 +1,410 @@
+"""ANN recall@k ledger (VERDICT r11 #1) — the evidence artifact for the
+one question the DuckDB oracles cannot answer: the oracles prove each
+approximate-search tier computes its SPEC exactly, but not how good the
+spec's *approximation* is. For every ANN search tier, measure
+
+    recall@10 = |approx top-10 ∩ exact top-10| / 10
+
+averaged over a 100-query corpus batch (qid = vec_id < 100, self-match
+excluded everywhere) against the exact brute-force cosine baseline, at
+sf1 and sf10, with the tier's selectivity knob swept (nprobe for the
+IVF family, probe radius for LSH).
+
+Protocol / faithfulness:
+- Candidate generation runs the PRODUCTION code paths: LSH buckets via
+  ``_lsh_bucket_col`` (the exact plan expression), IVF assignment/probe
+  order via ``_ivf_assign`` / ``_ivf_probes``, PQ codes via the BLAS
+  ``vector_pq_encode`` registered query (codes proven identical to the
+  oracled Catalyst pin), and the persisted-index rows end-to-end via
+  ``build_ann_index`` / ``probe_ann_index``.
+- Ranking within candidates is done driver-side in numpy float64: the
+  exact tiers re-rank by true cosine and the ADC tiers by the PQ
+  table-lookup sum, both with the implementations' (score, vec_id)
+  tie-break. numpy's summation order can differ from Catalyst's
+  left-fold in the last ulp, which could flip an exact near-tie at the
+  k boundary — irrelevant at recall-ledger precision and validated by
+  the knn cross-check below.
+- The numpy exact baseline is cross-checked against the DuckDB-oracled
+  ``similarity_knn_join`` (top-3, 10 queries) before any tier is
+  measured — a wrong baseline invalidates every row, so it is gated.
+- Everything here is deterministic (fixed-seed hyperplanes, medoid
+  seeds/codebooks, no RNG draws at measurement time); recall numbers
+  are exactly reproducible, so no repeat-run protocol is needed (this
+  ledger measures SET OVERLAP, not wall time — timing hygiene lives in
+  tools/bench_scaling.py).
+
+Also recorded per row: mean scanned fraction of the corpus (candidate
+volume / N) — recall is only meaningful against what it cost.
+
+Output: SCALING.json["ann_recall"] + printed table (SCALE.md section).
+
+Usage: python tools/bench_ann_recall.py [sf1] [sf10]   (default: both)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from collections import defaultdict
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+K = 10
+N_QUERIES = 100
+LSH_RADII = (0, 1, 2, 3)  # registered tier: radius 2 (37 probes)
+IVF_NPROBES = (1, 2, 4, 8)  # fixed 16-cell tiers; registered: nprobe 4
+INDEX_NPROBES = (1, 4, 8, 16, 32)  # sqrt(N)-cell persisted index
+
+SF_DIRS = {
+    "sf1": os.path.join(REPO, "spark-warehouse", "sf1"),
+    "sf10": os.path.join(REPO, "spark-warehouse", "sf10"),
+}
+
+
+def _topk_ids(sims: np.ndarray, ids: np.ndarray, k: int) -> list[int]:
+    """Top-k ids by (sim DESC, id ASC) — the implementations' ordering."""
+    if len(ids) == 0:
+        return []
+    k = min(k, len(ids))
+    # lexsort: last key is primary
+    order = np.lexsort((ids, -sims))[:k]
+    return ids[order].tolist()
+
+
+def _bottomk_ids(dists: np.ndarray, ids: np.ndarray, k: int) -> list[int]:
+    """Top-k ids by (dist ASC, id ASC) — the ADC tiers' ordering."""
+    if len(ids) == 0:
+        return []
+    k = min(k, len(ids))
+    order = np.lexsort((ids, dists))[:k]
+    return ids[order].tolist()
+
+
+def _recall_rows(exact: dict[int, set], approx: dict[int, list]) -> dict:
+    per_q = [len(set(approx.get(q, [])) & exact[q]) / K for q in exact]
+    return {
+        "recall_at_10": round(float(np.mean(per_q)), 4),
+        "min_query_recall": round(float(np.min(per_q)), 4),
+    }
+
+
+def _collect_embeddings(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from wod_ascii_to_parquet_spark_spark.registry import load
+
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    E = np.array([r["emb"] for r in rows], dtype=np.float64)
+    if not (ids == np.arange(len(ids))).all():
+        raise ValueError("vec_id not contiguous 0..N-1")
+    return E
+
+
+def _exact_topk(E: np.ndarray) -> dict[int, set]:
+    """Brute-force cosine top-K per query (self excluded), numpy BLAS."""
+    norms = np.linalg.norm(E, axis=1)
+    Q = E[:N_QUERIES]
+    sims = (E @ Q.T) / (norms[:, None] * norms[None, :N_QUERIES])
+    out = {}
+    all_ids = np.arange(len(E), dtype=np.int64)
+    for q in range(N_QUERIES):
+        mask = all_ids != q
+        out[q] = set(_topk_ids(sims[mask, q], all_ids[mask], K))
+    return out, sims
+
+
+def _crosscheck_exact(spark, sf_dir, sims: np.ndarray) -> None:
+    """Gate: numpy baseline top-3 (qid<10) == the oracled knn join."""
+    from wod_ascii_to_parquet_spark_spark.registry import load_all_operators
+
+    qdefs = load_all_operators()
+    got = defaultdict(list)
+    rows = qdefs["similarity_knn_join"].fn(spark, sf_dir).collect()
+    for r in rows:
+        got[r["qid"]].append(r["vec_id"])
+    all_ids = np.arange(sims.shape[0], dtype=np.int64)
+    for q in range(10):
+        mask = all_ids != q
+        want = _topk_ids(sims[mask, q], all_ids[mask], 3)
+        if sorted(got[q]) != sorted(want):
+            raise AssertionError(
+                f"exact-baseline cross-check failed for qid={q}: "
+                f"spark={sorted(got[q])} numpy={sorted(want)}"
+            )
+
+
+def _pq_codebook_np(E: np.ndarray):
+    """Medoid codebooks (vectors 0..15, 8 subspaces x 8 dims) as numpy —
+    mirrors _pq_codebook's positional layout."""
+    return E[:16].reshape(16, 8, 8).transpose(1, 0, 2)  # (s, cent, dim)
+
+
+def _adc_dists(E: np.ndarray, codes: np.ndarray, qids: range) -> np.ndarray:
+    """ADC distance matrix (N x Q): per-query L2 tables against the
+    medoid codebooks, summed at each row's codes — the tiers' kernel."""
+    cb = _pq_codebook_np(E)  # (8, 16, 8)
+    Qs = E[: len(qids)].reshape(len(qids), 8, 8)  # (Q, s, dim)
+    # qtab[q, s, c] = ||Q[q,s] - cb[s,c]||^2
+    diff = Qs[:, :, None, :] - cb[None, :, :, :]  # (Q, s, c, dim)
+    qtab = np.einsum("qscd,qscd->qsc", diff, diff)
+    n = codes.shape[0]
+    out = np.zeros((n, len(qids)), dtype=np.float64)
+    for s in range(8):
+        out += qtab[:, s, codes[:, s]].T  # (n, Q)
+    return out
+
+
+def measure_sf(spark, sf_name: str, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from wod_ascii_to_parquet_spark_spark.operators.similarity import (
+        _ivf_assign,
+        _ivf_probes,
+        _lsh_bucket_col,
+        _probe_masks,
+        _seed_array,
+    )
+    from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+        build_ann_index,
+        probe_ann_index,
+    )
+    from wod_ascii_to_parquet_spark_spark.registry import load, load_all_operators
+
+    qdefs = load_all_operators()
+    E = _collect_embeddings(spark, sf_dir)
+    n = len(E)
+    print(f"[{sf_name}] N={n}", flush=True)
+    exact, sims = _exact_topk(E)
+    _crosscheck_exact(spark, sf_dir, sims)
+    print(f"[{sf_name}] exact baseline cross-checked vs similarity_knn_join",
+          flush=True)
+    all_ids = np.arange(n, dtype=np.int64)
+    result: dict = {"n_vectors": n, "tiers": {}}
+
+    def rank_exact(cands_by_q: dict[int, np.ndarray]) -> dict[int, list]:
+        out = {}
+        for q, c in cands_by_q.items():
+            c = c[c != q]
+            out[q] = _topk_ids(sims[c, q], c, K)
+        return out
+
+    def scanned(cands_by_q) -> float:
+        return round(
+            float(np.mean([len(c) for c in cands_by_q.values()])) / n, 5
+        )
+
+    e_frame = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+    # ---- LSH: production bucket expression, radius sweep -------------
+    brows = e_frame.select("vec_id", _lsh_bucket_col().alias("bucket")).collect()
+    bucket_of = np.zeros(n, dtype=np.int64)
+    members: dict[int, list] = defaultdict(list)
+    for r in brows:
+        bucket_of[r["vec_id"]] = r["bucket"]
+        members[r["bucket"]].append(r["vec_id"])
+    members = {b: np.array(v, dtype=np.int64) for b, v in members.items()}
+    lsh_rows = {}
+    for radius in LSH_RADII:
+        masks = _probe_masks(radius=radius)
+        cands = {
+            q: np.concatenate(
+                [members.get(int(bucket_of[q]) ^ m, np.empty(0, np.int64))
+                 for m in masks]
+            )
+            for q in range(N_QUERIES)
+        }
+        lsh_rows[f"radius_{radius}"] = dict(
+            _recall_rows(exact, rank_exact(cands)),
+            probes=len(masks),
+            scanned_fraction=scanned(cands),
+            registered=(radius == 2),
+        )
+        print(f"[{sf_name}] lsh radius={radius}: {lsh_rows[f'radius_{radius}']}",
+              flush=True)
+    result["tiers"]["similarity_ann_lsh"] = lsh_rows
+
+    # ---- IVF fixed 16 medoid cells: nprobe sweep ----------------------
+    seeds = e_frame.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
+    )
+    seed_arr = _seed_array(seeds)
+    arows = _ivf_assign(e_frame, seed_arr).select("vec_id", "cell").collect()
+    cell_members: dict[int, list] = defaultdict(list)
+    for r in arows:
+        cell_members[r["cell"]].append(r["vec_id"])
+    cell_members = {
+        c: np.array(v, dtype=np.int64) for c, v in cell_members.items()
+    }
+    q_frame = e_frame.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    probes_by_np = {}
+    for nprobe in IVF_NPROBES:
+        prow = _ivf_probes(q_frame, seed_arr, nprobe=nprobe).select(
+            "qid", "cell"
+        ).collect()
+        cells_of = defaultdict(list)
+        for r in prow:
+            cells_of[r["qid"]].append(r["cell"])
+        probes_by_np[nprobe] = cells_of
+    ivf_rows = {}
+    ivf_cands_by_np = {}
+    for nprobe in IVF_NPROBES:
+        cands = {
+            q: np.concatenate(
+                [cell_members.get(c, np.empty(0, np.int64))
+                 for c in probes_by_np[nprobe][q]]
+            )
+            for q in range(N_QUERIES)
+        }
+        ivf_cands_by_np[nprobe] = cands
+        ivf_rows[f"nprobe_{nprobe}"] = dict(
+            _recall_rows(exact, rank_exact(cands)),
+            scanned_fraction=scanned(cands),
+            registered=(nprobe == 4),
+        )
+        print(f"[{sf_name}] ivf16 nprobe={nprobe}: {ivf_rows[f'nprobe_{nprobe}']}",
+              flush=True)
+    result["tiers"]["similarity_ann_ivf"] = ivf_rows
+    # the join tier shares assignment, probe order, and exact re-rank
+    # with similarity_ann_ivf (same helpers, same oracle CTEs) — its
+    # recall is identical BY CONSTRUCTION; recorded as a reference, not
+    # a second measurement.
+    result["tiers"]["similarity_ann_ivf_join"] = {
+        "same_as": "similarity_ann_ivf",
+        "note": "identical _ivf_assign/_ivf_probes candidates and exact "
+        "re-rank; only the join strategy differs (broadcast vs cell "
+        "equi-join), which cannot change the result set",
+    }
+
+    # ---- PQ codes (BLAS encode query — proven identical to the pin) ---
+    crows = qdefs["vector_pq_encode"].fn(spark, sf_dir).collect()
+    codes = np.zeros((n, 8), dtype=np.int64)
+    for r in crows:
+        codes[r["vec_id"]] = [int(x) for x in r["codes_csv"].split(",")]
+    adc = _adc_dists(E, codes, range(N_QUERIES))  # (n, Q)
+
+    def rank_adc(cands_by_q: dict[int, np.ndarray]) -> dict[int, list]:
+        out = {}
+        for q, c in cands_by_q.items():
+            c = c[c != q]
+            out[q] = _bottomk_ids(adc[c, q], c, K)
+        return out
+
+    # full-scan ADC: recall loss is pure PQ quantization error
+    full = {q: all_ids for q in range(N_QUERIES)}
+    result["tiers"]["similarity_pq_adc"] = {
+        "full_scan": dict(
+            _recall_rows(exact, rank_adc(full)),
+            scanned_fraction=1.0,
+            registered=True,
+            note="no IVF pruning; recall gap is PQ (m=8, k=16 medoid "
+            "codebooks) quantization error alone",
+        )
+    }
+    print(f"[{sf_name}] pq_adc full-scan: "
+          f"{result['tiers']['similarity_pq_adc']['full_scan']}", flush=True)
+
+    # ---- IVFADC (16 cells + PQ ranking) -------------------------------
+    ivfadc_rows = {}
+    for nprobe in IVF_NPROBES:
+        ivfadc_rows[f"nprobe_{nprobe}"] = dict(
+            _recall_rows(exact, rank_adc(ivf_cands_by_np[nprobe])),
+            scanned_fraction=scanned(ivf_cands_by_np[nprobe]),
+            registered=(nprobe == 4),
+        )
+        print(f"[{sf_name}] ivfadc nprobe={nprobe}: "
+              f"{ivfadc_rows[f'nprobe_{nprobe}']}", flush=True)
+    result["tiers"]["similarity_ann_ivf_adc"] = ivfadc_rows
+
+    # ---- persisted index (sqrt(N) cells + PQ), real probe path --------
+    table = "recall_ann_idx"
+    build_ann_index(spark, sf_dir, table=table, n_buckets=8)
+    n_cells = spark.table(f"{table}__codebooks").select(
+        F.size("__seeds")
+    ).first()[0]
+    # per-cell sizes for the scanned-fraction column
+    sizes = {
+        r["cell"]: r["cnt"]
+        for r in spark.table(table).groupBy("cell").count()
+        .withColumnRenamed("count", "cnt").collect()
+    }
+    books = spark.table(f"{table}__codebooks")
+    ivf_row = books.select("__seeds")
+    idx_rows = {}
+    for nprobe in INDEX_NPROBES:
+        got = defaultdict(list)
+        for r in probe_ann_index(
+            spark, q_frame, table=table, nprobe=nprobe, k=K, exclude_self=True
+        ).collect():
+            got[r["qid"]].append(r["vec_id"])
+        prow = _ivf_probes(q_frame, ivf_row, nprobe=nprobe).select(
+            "qid", "cell"
+        ).collect()
+        vol = defaultdict(int)
+        for r in prow:
+            vol[r["qid"]] += sizes.get(r["cell"], 0)
+        idx_rows[f"nprobe_{nprobe}"] = dict(
+            _recall_rows(exact, dict(got)),
+            scanned_fraction=round(
+                float(np.mean([vol[q] for q in range(N_QUERIES)])) / n, 5
+            ),
+            registered=(nprobe == 4),
+        )
+        print(f"[{sf_name}] index({n_cells} cells) nprobe={nprobe}: "
+              f"{idx_rows[f'nprobe_{nprobe}']}", flush=True)
+    result["tiers"]["ann_index_probe"] = dict(idx_rows, n_cells=n_cells)
+    for side in ("", "__codebooks"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{side}")
+    return result
+
+
+def main() -> None:
+    from bench import CPUS
+    from wod_ascii_to_parquet_spark_spark.session import get_spark
+
+    names = sys.argv[1:] or list(SF_DIRS)
+    spark = get_spark(
+        app_name="bench-ann-recall",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    out = {
+        "k": K,
+        "n_queries": N_QUERIES,
+        "protocol": "candidates from production code paths (_lsh_bucket_col,"
+        " _ivf_assign/_ivf_probes, vector_pq_encode BLAS codes,"
+        " build/probe_ann_index end-to-end); exact/ADC re-rank in numpy"
+        " float64 with the implementations' tie-break; numpy exact"
+        " baseline gated on equality with the oracled similarity_knn_join;"
+        " self-match excluded everywhere",
+    }
+    for name in names:
+        out[name] = measure_sf(spark, name, SF_DIRS[name])
+
+    path = os.path.join(REPO, "SCALING.json")
+    try:
+        with open(path) as fh:
+            rec = json.load(fh)
+    except FileNotFoundError:
+        rec = {}
+    rec["ann_recall"] = {**rec.get("ann_recall", {}), **out}
+    with open(path, "w") as fh:
+        json.dump(rec, fh, indent=1)
+    print(f"wrote ann_recall for {names} to {path}")
+
+
+if __name__ == "__main__":
+    main()

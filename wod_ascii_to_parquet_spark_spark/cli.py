@@ -77,6 +77,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="geometry encoding: GeoParquet 1.1 native point (default) or "
         "1.0 WKB for readers that predate native encoding",
     )
+    p.add_argument(
+        "--compact-target-bytes", type=int, default=None, metavar="BYTES",
+        help="after all file jobs publish, consolidate the per-input-file "
+        "datasets into one geohash3-partitioned dataset per "
+        "(dataset, level) under <output>/compacted/ with ~BYTES-sized "
+        "files (OPTIMIZE; yearly/ and its _SUCCESS resume markers are "
+        "left untouched)",
+    )
     return p
 
 
@@ -124,15 +132,21 @@ def main(argv: list[str] | None = None) -> int:
         max_concurrent=args.max_concurrent,
         geometry_encoding=args.geo_encoding,
     )
-    print(
-        json.dumps(
-            {
-                "converted": result.converted,
-                "skipped": result.skipped,
-                "failed": result.failed,
-            }
+    doc = {
+        "converted": result.converted,
+        "skipped": result.skipped,
+        "failed": result.failed,
+    }
+    if args.compact_target_bytes is not None:
+        from .plans.convert import compact_convert_output
+
+        doc["compacted"] = compact_convert_output(
+            spark,
+            output=_with_scheme(args.output, args.output_file_system),
+            target_bytes=args.compact_target_bytes,
+            geometry_encoding=args.geo_encoding,
         )
-    )
+    print(json.dumps(doc))
     return 0
 
 

@@ -832,6 +832,28 @@ def _ann_lsh_oracle_sql() -> str:
     """
 
 
+def _lsh_bucket_col() -> "F.Column":
+    """The 8-sign-bit hyperplane bucket of the ``emb`` column as an int —
+    extracted from ``similarity_ann_lsh`` so the recall ledger
+    (tools/bench_ann_recall.py) buckets the corpus through the EXACT
+    production expression rather than a numpy re-derivation whose sign
+    bits could drift at |dot| ≈ ulp."""
+    planes = _hyperplanes()
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("emb"),
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(0)
+    return bucket.cast("int")
+
+
 @register("similarity_ann_lsh", _ann_lsh_oracle_sql(), tags=("similarity",))
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH with multi-probe: 8 sign bits → integer
@@ -849,21 +871,8 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    planes = _hyperplanes()
-    bucket = F.lit(0)
-    for i, plane in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(
-                F.col("emb"),
-                F.array(*[F.lit(v) for v in plane]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda s, v: s + v,
-        )
-        bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(0)
     bucketed = (
-        e.withColumn("bucket", bucket.cast("int"))
+        e.withColumn("bucket", _lsh_bucket_col())
         .repartition(F.col("bucket"))
         # Row norm computed once post-shuffle (not per candidate pair);
         # the query side inherits it as qnorm below. Bit-same value.
