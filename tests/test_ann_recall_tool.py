@@ -1,0 +1,70 @@
+"""The recall ledger's numpy kernels (tools/bench_ann_recall.py) pinned
+to the DuckDB-oracled queries at fixture scale: the ledger's evidence is
+only as good as its baselines, so the exact-cosine ranking and the ADC
+table-lookup ranking must reproduce the oracle-checked Spark outputs
+exactly. (The tool gates its own sf1/sf10 runs on the knn cross-check;
+this test keeps the pin in every suite run at sf0.001.)"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from wod_ascii_to_parquet_spark_spark.registry import load, load_all_operators
+
+from .conftest import SF_DIR
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+import bench_ann_recall as bar  # noqa: E402
+
+QUERIES = load_all_operators()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = (
+        load(spark, SF_DIR, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    return np.array([r["emb"] for r in rows], dtype=np.float64)
+
+
+def test_numpy_exact_topk_matches_oracled_knn_join(spark, emb):
+    """The ledger's exact baseline == the oracled similarity_knn_join
+    (top-3, 10 queries) — same neighbors, same tie-break."""
+    norms = np.linalg.norm(emb, axis=1)
+    sims = (emb @ emb[:10].T) / (norms[:, None] * norms[None, :10])
+    got = {q: [] for q in range(10)}
+    for r in QUERIES["similarity_knn_join"].fn(spark, SF_DIR).collect():
+        got[r["qid"]].append(r["vec_id"])
+    ids = np.arange(len(emb), dtype=np.int64)
+    for q in range(10):
+        mask = ids != q
+        want = bar._topk_ids(sims[mask, q], ids[mask], 3)
+        assert sorted(got[q]) == sorted(want), f"qid={q}"
+
+
+def test_numpy_adc_matches_oracled_pq_adc(spark, emb):
+    """The ledger's ADC kernel (codebook slicing, query tables, lookup
+    sum, (dist, vec_id) tie-break) == the oracled similarity_pq_adc
+    top-10 for query vec_id=0."""
+    crows = QUERIES["vector_pq_encode"].fn(spark, SF_DIR).collect()
+    codes = np.zeros((len(emb), 8), dtype=np.int64)
+    for r in crows:
+        codes[r["vec_id"]] = [int(x) for x in r["codes_csv"].split(",")]
+    adc = bar._adc_dists(emb, codes, range(1))  # query 0 only
+    ids = np.arange(len(emb), dtype=np.int64)
+    mask = ids != 0
+    want = bar._bottomk_ids(adc[mask, 0], ids[mask], 10)
+    got = [
+        r["vec_id"]
+        for r in QUERIES["similarity_pq_adc"].fn(spark, SF_DIR).collect()
+    ]
+    assert got == want

@@ -55,6 +55,15 @@ sys.path.insert(0, REPO)
 
 K = 10
 N_QUERIES = 100
+#: FAISS-style refine stage depth: ADC top-R exact-reranked to top-K.
+#: The ADC-ranked tiers NEED this column to be interpretable: the sf10
+#: synthesis gives every base vector ~100 jittered near-duplicates, all
+#: of which PQ (m=8, k=16) maps to ONE code — ADC ties across the whole
+#: cluster, so plain ADC@10 measures within-cluster tie-break luck, not
+#: search quality (cluster identification itself is perfect: measured
+#: code-mates == same-base siblings exactly). Refine re-scores R true
+#: vectors per query — O(R·dim) reads, never the corpus.
+REFINE_DEPTH = 100
 LSH_RADII = (0, 1, 2, 3)  # registered tier: radius 2 (37 probes)
 IVF_NPROBES = (1, 2, 4, 8)  # fixed 16-cell tiers; registered: nprobe 4
 INDEX_NPROBES = (1, 4, 8, 16, 32)  # sqrt(N)-cell persisted index
@@ -203,9 +212,18 @@ def measure_sf(spark, sf_name: str, sf_dir: str) -> dict:
             float(np.mean([len(c) for c in cands_by_q.values()])) / n, 5
         )
 
-    e_frame = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    # one parquet file => 1-2 input splits; the per-row Catalyst folds
+    # below (LSH planes, IVF argmax, PQ argmin in build_ann_index) are
+    # the expensive part, so spread them across every core first
+    e_frame = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
     )
+    e_frame.count()
 
     # ---- LSH: production bucket expression, radius sweep -------------
     brows = e_frame.select("vec_id", _lsh_bucket_col().alias("bucket")).collect()
@@ -296,11 +314,24 @@ def measure_sf(spark, sf_name: str, sf_dir: str) -> dict:
         codes[r["vec_id"]] = [int(x) for x in r["codes_csv"].split(",")]
     adc = _adc_dists(E, codes, range(N_QUERIES))  # (n, Q)
 
-    def rank_adc(cands_by_q: dict[int, np.ndarray]) -> dict[int, list]:
+    def rank_adc(
+        cands_by_q: dict[int, np.ndarray], k: int = K
+    ) -> dict[int, list]:
         out = {}
         for q, c in cands_by_q.items():
             c = c[c != q]
-            out[q] = _bottomk_ids(adc[c, q], c, K)
+            out[q] = _bottomk_ids(adc[c, q], c, k)
+        return out
+
+    def refine(adc_topr: dict[int, list]) -> dict[int, list]:
+        """FAISS-style refine stage: exact-rerank the ADC top-R with the
+        true vectors, keep top-K. This is what recovers within-cluster
+        ranking when many corpus vectors share one PQ code (ADC ties) —
+        production reads R true vectors per query, never the corpus."""
+        out = {}
+        for q, ids in adc_topr.items():
+            c = np.array(ids, dtype=np.int64)
+            out[q] = _topk_ids(sims[c, q], c, K)
         return out
 
     # full-scan ADC: recall loss is pure PQ quantization error
@@ -308,6 +339,10 @@ def measure_sf(spark, sf_name: str, sf_dir: str) -> dict:
     result["tiers"]["similarity_pq_adc"] = {
         "full_scan": dict(
             _recall_rows(exact, rank_adc(full)),
+            refined_recall_at_10=_recall_rows(
+                exact, refine(rank_adc(full, k=REFINE_DEPTH))
+            )["recall_at_10"],
+            refine_depth=REFINE_DEPTH,
             scanned_fraction=1.0,
             registered=True,
             note="no IVF pruning; recall gap is PQ (m=8, k=16 medoid "
@@ -322,6 +357,11 @@ def measure_sf(spark, sf_name: str, sf_dir: str) -> dict:
     for nprobe in IVF_NPROBES:
         ivfadc_rows[f"nprobe_{nprobe}"] = dict(
             _recall_rows(exact, rank_adc(ivf_cands_by_np[nprobe])),
+            refined_recall_at_10=_recall_rows(
+                exact,
+                refine(rank_adc(ivf_cands_by_np[nprobe], k=REFINE_DEPTH)),
+            )["recall_at_10"],
+            refine_depth=REFINE_DEPTH,
             scanned_fraction=scanned(ivf_cands_by_np[nprobe]),
             registered=(nprobe == 4),
         )
@@ -330,8 +370,18 @@ def measure_sf(spark, sf_name: str, sf_dir: str) -> dict:
     result["tiers"]["similarity_ann_ivf_adc"] = ivfadc_rows
 
     # ---- persisted index (sqrt(N) cells + PQ), real probe path --------
+    # vectors=e_frame reuses the repartitioned/persisted corpus (the
+    # build's Catalyst encode folds are the slow part); n_cells passed
+    # explicitly as the SAME ceil(sqrt(N)) the default would compute
     table = "recall_ann_idx"
-    build_ann_index(spark, sf_dir, table=table, n_buckets=8)
+    build_ann_index(
+        spark,
+        sf_dir,
+        table=table,
+        n_buckets=8,
+        n_cells=int(np.ceil(np.sqrt(n))),
+        vectors=e_frame,
+    )
     n_cells = spark.table(f"{table}__codebooks").select(
         F.size("__seeds")
     ).first()[0]
@@ -350,6 +400,13 @@ def measure_sf(spark, sf_name: str, sf_dir: str) -> dict:
             spark, q_frame, table=table, nprobe=nprobe, k=K, exclude_self=True
         ).collect():
             got[r["qid"]].append(r["vec_id"])
+        # refine column: a second probe at depth R, exact-reranked
+        got_deep = defaultdict(list)
+        for r in probe_ann_index(
+            spark, q_frame, table=table, nprobe=nprobe, k=REFINE_DEPTH,
+            exclude_self=True,
+        ).collect():
+            got_deep[r["qid"]].append(r["vec_id"])
         prow = _ivf_probes(q_frame, ivf_row, nprobe=nprobe).select(
             "qid", "cell"
         ).collect()
@@ -358,6 +415,10 @@ def measure_sf(spark, sf_name: str, sf_dir: str) -> dict:
             vol[r["qid"]] += sizes.get(r["cell"], 0)
         idx_rows[f"nprobe_{nprobe}"] = dict(
             _recall_rows(exact, dict(got)),
+            refined_recall_at_10=_recall_rows(exact, refine(got_deep))[
+                "recall_at_10"
+            ],
+            refine_depth=REFINE_DEPTH,
             scanned_fraction=round(
                 float(np.mean([vol[q] for q in range(N_QUERIES)])) / n, 5
             ),
@@ -368,6 +429,7 @@ def measure_sf(spark, sf_name: str, sf_dir: str) -> dict:
     result["tiers"]["ann_index_probe"] = dict(idx_rows, n_cells=n_cells)
     for side in ("", "__codebooks"):
         spark.sql(f"DROP TABLE IF EXISTS {table}{side}")
+    e_frame.unpersist()
     return result
 
 
