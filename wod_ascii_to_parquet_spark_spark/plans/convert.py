@@ -283,15 +283,32 @@ def convert_file(
     # residual write cost is the floor: 1,652 parquet file creations
     # (header + nested-schema footer each), which IS the layout contract.
     n_write_tasks = min(16, spark.sparkContext.defaultParallelism)
+    # Writer distribution: geohash3-hash by default. Real WOD occupancy
+    # is coastal-skewed, and a hash repartition routes a hot geohash3
+    # ENTIRELY to one writer task — measured on byte-matched arms at a
+    # 50% hot cell: 1.13x the uniform arm (tools/bench_convert_skew.py,
+    # SCALING.json convert.skew_x16), i.e. the straggler does NOT
+    # dominate at file-job scale (the single-gzip decode bound does), so
+    # the default stays the static exchange and per-file skew remains
+    # bounded by file size as the module docstring argues. The escape
+    # hatch for inputs whose hot-cell volume dwarfs the AQE advisory
+    # partition size is Spark's own REBALANCE exchange (splits oversized
+    # same-key partitions, coalesces cold ones — the hot dir then gets
+    # several geohash-sorted files, cold dirs keep one), opt-in via
+    # SPARK_GRAFT_CONVERT_REBALANCE=1; measured no worse on either arm
+    # (uniform 7.4 vs 8.1 s, skewed 8.8 vs 9.1 s).
+    if os.environ.get("SPARK_GRAFT_CONVERT_REBALANCE", "0") == "1":
+        staged = casts.hint("rebalance", F.col("geohash3"))
+    else:
+        staged = casts.repartition(n_write_tasks, F.col("geohash3"))
     (
-        casts.repartition(n_write_tasks, F.col("geohash3"))
         # Sort by (geohash3, geohash): the partitioned writer requires
         # ordering by the partition column and would insert its own
         # non-stable sort (destroying the geohash order) unless the
         # existing sort order starts with it. Equivalent row order to
         # the reference's sortWithinPartitions("geohash") since
         # geohash3 is a prefix of geohash.
-        .sortWithinPartitions("geohash3", "geohash")
+        staged.sortWithinPartitions("geohash3", "geohash")
         .write.mode("overwrite")
         # static overwrite: the job owns the whole directory, and the
         # dynamic committer would skip the _SUCCESS marker the
