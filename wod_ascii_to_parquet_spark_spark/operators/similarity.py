@@ -1439,6 +1439,178 @@ def similarity_ann_index_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_adc_refined_sql(refine_depth: int = 100, k: int = 3) -> str:
+    """DuckDB mirror of IVFADC + the FAISS refine stage: the `_ivf_adc_sql`
+    CTE stack kept to the ADC top-``refine_depth`` per query, then an
+    exact-cosine re-rank over the candidates' TRUE vectors keeps
+    top-``k``. The r12 recall ledger measured why this stage exists: on a
+    corpus with near-duplicates, whole sibling clusters share one PQ code
+    and ADC ties across them (recall@10 floor 0.14 at sf10); re-scoring
+    the top-R true vectors recovers 0.999 at <1% of the corpus scanned
+    (SCALE.md §Round 12)."""
+    scaled_a = _IVF_SCALED.format(a="e.emb", b="x.cemb")
+    scaled_q = _IVF_SCALED.format(a="q.emb", b="x.cemb")
+    pivot = " + ".join(
+        f"max(CASE WHEN qd.s = {s} THEN qd.dist END)" for s in range(_PQ_M)
+    )
+    cos = _IVF_COS.format(a="c.emb", b="qe.emb")
+    return (
+        _PQ_BASE_SQL.format(dist_union=_pq_dist_union_sql())
+        + f"""
+    , assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, x.cent AS cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {scaled_a} DESC, x.cent
+                   ) AS rn
+            FROM e CROSS JOIN seeds x
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT qid, cell FROM (
+            SELECT q.vec_id AS qid, x.cent AS cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {scaled_q} DESC, x.cent
+                   ) AS rn
+            FROM e q CROSS JOIN seeds x
+            WHERE q.vec_id < 10
+        ) WHERE rn <= 4
+    ),
+    qd AS (SELECT vec_id AS qid, s, cent, dist FROM d WHERE vec_id < 10),
+    topr AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+            FROM (
+                SELECT p.qid, a.vec_id, {pivot} AS adc
+                FROM probes p
+                JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.qid
+                JOIN picked pk ON pk.vec_id = a.vec_id
+                JOIN qd ON qd.qid = p.qid AND qd.s = pk.s AND qd.cent = pk.cent
+                GROUP BY p.qid, a.vec_id
+            )
+        ) WHERE rn <= {int(refine_depth)}
+    )
+    SELECT qid, vec_id, round(sim, 6) AS cos_sim FROM (
+        SELECT t.qid, t.vec_id, sim,
+               row_number() OVER (
+                   PARTITION BY t.qid ORDER BY sim DESC, t.vec_id
+               ) AS rn2
+        FROM (
+            SELECT t.qid, t.vec_id, {cos} AS sim
+            FROM topr t
+            JOIN e c ON c.vec_id = t.vec_id
+            JOIN e qe ON qe.vec_id = t.qid
+        ) t
+    ) WHERE rn2 <= {int(k)}
+    """
+    )
+
+
+@register(
+    "similarity_ann_ivf_adc_refined",
+    _ivf_adc_refined_sql(),
+    tags=("similarity",),
+)
+def similarity_ann_ivf_adc_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC + the FAISS refine stage — the serving configuration the r12
+    recall ledger certifies (SCALE.md §Round 12): ADC keeps a top-R=100
+    shortlist per query from the codes stream (8 bytes/candidate), then
+    ONLY the shortlist's true vectors are read back for an exact-cosine
+    re-rank to top-3. On corpora with near-duplicates this is the
+    difference between recall@10 = 0.14 (ADC ties across sibling
+    clusters sharing one PQ code) and 0.999, at O(R·dim) extra reads per
+    query — never a corpus re-scan.
+
+    Plan shape: identical to ``similarity_ann_ivf_adc`` through the ADC
+    window, then the Q×R shortlist (tiny) is BROADCAST back onto the
+    embeddings scan — an equi-join on vec_id the corpus side streams
+    through — and the final top-k window runs over Q×R rows. The corpus
+    is read twice (encode pass + refine lookups); at 100 TB the second
+    read touches only the shortlist's row groups via the vec_id
+    equi-join, and a production layout would make it a point-lookup
+    table (the persisted-index twin below serves from stored tables)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    seeds = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
+    )
+    seed_arr = _seed_array(seeds)
+    cb = _pq_codebook(e)
+    encoded = (
+        _ivf_assign(e, seed_arr)
+        .crossJoin(F.broadcast(cb))
+        .select("vec_id", "cell", _pq_codes_col().alias("codes"))
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    probes = _ivf_probes(q, seed_arr, nprobe=4).select("qid", "cell")
+    qtabs = q.crossJoin(F.broadcast(cb)).select(
+        "qid", _pq_qtabs_col().alias("__qtabs")
+    )
+    topr = _adc_topk(encoded, probes, qtabs, k=100, exclude_self=True)
+    return _refine_topk(e, q, topr.select("qid", "vec_id"), k=3)
+
+
+def _refine_topk(
+    e: DataFrame, q: DataFrame, shortlist: DataFrame, k: int
+) -> DataFrame:
+    """Exact-cosine re-rank of a per-query ``(qid, vec_id)`` shortlist
+    against the true vectors: broadcast the shortlist onto the embeddings
+    scan, attach the (broadcast) query vectors, window top-``k`` by
+    (cosine DESC, vec_id). Shared by the one-shot refined query and the
+    persisted-index ``probe_ann_index_refined`` path so the rerank
+    semantics cannot drift. Norms hoisted as in ``similarity_knn_join``."""
+    from pyspark.sql import Window as W
+
+    norm = F.expr(f"sqrt({_dot_sql('emb', 'emb')})")
+    qn = q.select(
+        "qid", "qemb", F.expr(f"sqrt({_dot_sql('qemb', 'qemb')})").alias("qnorm")
+    )
+    sim = F.expr(_dot_sql("emb", "qemb")) / (F.col("enorm") * F.col("qnorm"))
+    w = W.partitionBy("qid").orderBy(F.desc("__raw"), F.asc("vec_id"))
+    return (
+        e.join(F.broadcast(shortlist), "vec_id")
+        .withColumn("enorm", norm)
+        .join(F.broadcast(qn), "qid")
+        .select("qid", "vec_id", sim.alias("__raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", F.round(F.col("__raw"), 6).alias("cos_sim"))
+    )
+
+
+@register(
+    "similarity_ann_index_adc_refined",
+    _ivf_adc_refined_sql(),
+    tags=("similarity",),
+)
+def similarity_ann_index_adc_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refined serving path from STORED tables (same oracle as the
+    one-shot refined query): ``probe_ann_index_refined`` pulls the ADC
+    top-R shortlist from the persisted codes table, then re-ranks it
+    against a vectors frame — the production shape where the index serves
+    the shortlist and only R true vectors per query are ever read."""
+    from ..plans.ann_index import build_ann_index, probe_ann_index_refined
+
+    table = "ann_ivfadc_index_rq"
+    build_ann_index(spark, sf_dir, table=table, n_buckets=8, n_cells=16)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    return probe_ann_index_refined(
+        spark, q, e, table=table, nprobe=4, k=3, refine_depth=100,
+        exclude_self=True,
+    )
+
+
 @register("similarity_ann_index_vacuum_adc", _ivf_adc_sql(), tags=("similarity",))
 def similarity_ann_index_vacuum_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN-index LIFECYCLE under the hash gate (VERDICT r9 #5): build

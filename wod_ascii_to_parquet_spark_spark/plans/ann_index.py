@@ -193,6 +193,50 @@ def probe_ann_index(
     )
 
 
+def probe_ann_index_refined(
+    spark: SparkSession,
+    queries: DataFrame,
+    vectors: DataFrame,
+    table: str = INDEX_TABLE,
+    nprobe: int = 4,
+    k: int = 3,
+    refine_depth: int = 100,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """ADC probe + the FAISS refine stage: pull the ADC top-``refine_depth``
+    shortlist per query from the stored codes (never the corpus), then
+    exact-cosine re-rank ONLY the shortlist against ``vectors`` (columns
+    ``vec_id, emb`` — the true-vector table) and keep top-``k``.
+
+    When to use over :func:`probe_ann_index` (measured, r12 recall
+    ledger — SCALE.md §Round 12): on a corpus with near-duplicates,
+    whole sibling clusters share one PQ code, ADC ties across them, and
+    plain ADC top-k measures tie-break luck (recall@10 floor 0.14 at
+    sf10); the refine stage recovers 0.999 at O(R·dim) true-vector reads
+    per query. The shortlist (Q×R rows) is broadcast onto the vectors
+    scan, so the second data touch is an equi-join the corpus side
+    streams through — row-group pruned by vec_id at a real layout.
+    Pick ``refine_depth`` ≥ the largest expected tie-cluster: a fixed R
+    fills with tie-mass as nprobe grows (measured: sf1 refined recall
+    0.978 at nprobe 1 falling to 0.935 at 32 for R=100)."""
+    from ..operators.similarity import _refine_topk
+
+    shortlist = probe_ann_index(
+        spark,
+        queries,
+        table=table,
+        nprobe=nprobe,
+        k=refine_depth,
+        exclude_self=exclude_self,
+    ).select("qid", "vec_id")
+    return _refine_topk(
+        vectors.select("vec_id", "emb"),
+        queries.select("qid", "qemb"),
+        shortlist,
+        k=k,
+    )
+
+
 def append_to_ann_index(
     spark: SparkSession,
     new_vectors: DataFrame,
