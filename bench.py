@@ -47,6 +47,7 @@ HEADLINERS = [
     "similarity_ann_ivf_join",     # large-batch ANN join tier (round 5)
     "similarity_pq_adc",           # PQ code search, FAISS ADC shape (round 5)
     "similarity_ann_ivf_adc",      # IVFADC: cells + codes combined (round 6)
+    "similarity_ann_ivf_adc_refined",  # + FAISS refine stage (round 12)
     "curation_domain_mix",         # target-mixture resampling (round 6)
     "join_asof_bucketed",          # equi-join-only as-of plan (round 2)
     "curation_pack_sequences",     # sharded context-window packing (round 2)
