@@ -64,6 +64,12 @@ N_QUERIES = 100
 #: code-mates == same-base siblings exactly). Refine re-scores R true
 #: vectors per query — O(R·dim) reads, never the corpus.
 REFINE_DEPTH = 100
+#: refine-depth sensitivity for the persisted index at the registered
+#: nprobe=4: the fixed-R refined column measures one point; this sweep
+#: answers "how deep must refine be" — R must exceed the largest
+#: ADC-tie cluster the probed cells contribute, or true neighbors are
+#: crowded out of the shortlist before the exact rerank sees them.
+REFINE_SWEEP = (10, 30, 100, 300, 1000)
 LSH_RADII = (0, 1, 2, 3)  # registered tier: radius 2 (37 probes)
 IVF_NPROBES = (1, 2, 4, 8)  # fixed 16-cell tiers; registered: nprobe 4
 INDEX_NPROBES = (1, 4, 8, 16, 32)  # sqrt(N)-cell persisted index
@@ -426,7 +432,21 @@ def measure_sf(spark, sf_name: str, sf_dir: str) -> dict:
         )
         print(f"[{sf_name}] index({n_cells} cells) nprobe={nprobe}: "
               f"{idx_rows[f'nprobe_{nprobe}']}", flush=True)
-    result["tiers"]["ann_index_probe"] = dict(idx_rows, n_cells=n_cells)
+    # refine-depth sensitivity at the registered nprobe=4
+    sweep = {}
+    for r_depth in REFINE_SWEEP:
+        got_deep = defaultdict(list)
+        for r in probe_ann_index(
+            spark, q_frame, table=table, nprobe=4, k=r_depth,
+            exclude_self=True,
+        ).collect():
+            got_deep[r["qid"]].append(r["vec_id"])
+        sweep[f"R_{r_depth}"] = _recall_rows(exact, refine(got_deep))
+        print(f"[{sf_name}] index refine sweep R={r_depth}: "
+              f"{sweep[f'R_{r_depth}']}", flush=True)
+    result["tiers"]["ann_index_probe"] = dict(
+        idx_rows, n_cells=n_cells, refine_depth_sweep_nprobe4=sweep
+    )
     for side in ("", "__codebooks"):
         spark.sql(f"DROP TABLE IF EXISTS {table}{side}")
     e_frame.unpersist()
