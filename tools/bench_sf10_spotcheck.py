@@ -84,8 +84,17 @@ def main() -> None:
 
     vols = {}
     for sf_name, sf_dir in (("sf1", SF1), ("sf10", SF10)):
-        e = load(spark, sf_dir, "embeddings").select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        # one parquet file => 1-2 input splits; the sqrt(N)-cell argmax
+        # fold is the expensive part, so spread it across every core
+        # (same fix as tools/bench_ann_recall.py — without it the sf10
+        # pass runs the 448-cell fold on one core for ~an hour)
+        e = (
+            load(spark, sf_dir, "embeddings")
+            .select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("emb"),
+            )
+            .repartition(spark.sparkContext.defaultParallelism)
         )
         n = e.count()
         assign = _ivf_assign(e, _seed_array(_sqrt_n_seeds(e)))
