@@ -571,3 +571,53 @@ def test_vacuum_recovery_refuses_empty_tmp(spark):
     finally:
         for side in ("", "__codebooks", "__vacuum_tmp"):
             spark.sql(f"DROP TABLE IF EXISTS {t}{side}")
+
+
+def test_refined_probe_survives_append_and_vacuum(spark):
+    """r12 lifecycle coverage for the REFINED serving path: the exact
+    rerank reads true vectors by vec_id, so it must be insensitive to
+    how the underlying codes table was grown — probe_ann_index_refined
+    over build(slice) + append(delta) + vacuum must equal the same probe
+    over a fresh full build (and both must beat/equal the plain ADC
+    probe's agreement with exact cosine order by construction)."""
+    from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+        append_to_ann_index,
+        build_ann_index,
+        probe_ann_index_refined,
+        vacuum_ann_index,
+    )
+
+    tables = ("annx_ref_full", "annx_ref_grown")
+    try:
+        e = load(spark, SF_DIR, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        q = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+        )
+        build_ann_index(
+            spark, SF_DIR, table="annx_ref_full", n_buckets=8, n_cells=16
+        )
+        build_ann_index(
+            spark, SF_DIR, table="annx_ref_grown", n_buckets=8, n_cells=16,
+            vectors=e.filter(F.col("vec_id") < 300),
+        )
+        append_to_ann_index(
+            spark, e.filter(F.col("vec_id") >= 300), table="annx_ref_grown"
+        )
+        vacuum_ann_index(spark, table="annx_ref_grown")
+
+        def probe(t):
+            return {
+                tuple(r)
+                for r in probe_ann_index_refined(
+                    spark, q, e, table=t, nprobe=4, k=3, refine_depth=50,
+                    exclude_self=True,
+                ).collect()
+            }
+
+        assert probe("annx_ref_grown") == probe("annx_ref_full")
+    finally:
+        for t in tables:
+            for side in ("", "__codebooks", "__vacuum_tmp"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{side}")
