@@ -340,7 +340,11 @@ def _compact_bucketed_table(
     requires a persistent metastore: with the repo's default in-memory
     catalog a restart forgets both table entries, so a re-run raises the
     "neither exists" error below while the data sits orphaned in the
-    warehouse directory — that error names the orphan path to check."""
+    warehouse directory — that error names the orphan path to check.
+    The embedded-derby session shape that makes successor-process
+    recovery work end-to-end (enableHiveSupport + a ConnectionURL under
+    the deployment root) is demonstrated live by the kill -9 arm in
+    tests/index_race_worker.py::_session(hive=True)."""
     from .minhash_index import _clear_table
 
     tmp = f"{table}__vacuum_tmp"
