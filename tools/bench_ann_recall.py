@@ -447,6 +447,70 @@ def measure_sf(spark, sf_name: str, sf_dir: str) -> dict:
     result["tiers"]["ann_index_probe"] = dict(
         idx_rows, n_cells=n_cells, refine_depth_sweep_nprobe4=sweep
     )
+
+    # ---- EXTERNAL query batch (the serving case: unseen vectors, ----
+    # exclude_self=False — the corpus-member sweep above cannot see a
+    # self-exclusion or overfit artifact). Held-out queries synthesized
+    # the same way make_sf.py grows the corpus: seeded jitter of random
+    # corpus rows, renormalized — near a cluster but never a stored row.
+    rng = np.random.default_rng(7)
+    base_ids = rng.choice(n, size=N_QUERIES, replace=False)
+    jitter = rng.standard_normal((N_QUERIES, E.shape[1]))
+    Qext = E[base_ids] + 0.3 * jitter * E[base_ids].std(axis=0)
+    Qext /= np.linalg.norm(Qext, axis=1, keepdims=True)
+    norms = np.linalg.norm(E, axis=1)
+    sims_ext = (E @ Qext.T) / norms[:, None]  # queries are unit vectors
+    exact_ext = {
+        q: set(_topk_ids(sims_ext[:, q], all_ids, K))
+        for q in range(N_QUERIES)
+    }
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    q_ext = spark.createDataFrame(
+        [(int(i), [float(x) for x in Qext[i]]) for i in range(N_QUERIES)],
+        StructType(
+            [
+                StructField("qid", LongType()),
+                StructField("qemb", ArrayType(DoubleType())),
+            ]
+        ),
+    )
+    ext_rows = {}
+    for nprobe in (1, 4):
+        got = defaultdict(list)
+        for r in probe_ann_index(
+            spark, q_ext, table=table, nprobe=nprobe, k=K, exclude_self=False
+        ).collect():
+            got[r["qid"]].append(r["vec_id"])
+        got_ref = defaultdict(list)
+        # the REAL production refine API, end to end (Spark-side rerank)
+        from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+            probe_ann_index_refined,
+        )
+
+        for r in probe_ann_index_refined(
+            spark, q_ext, e_frame, table=table, nprobe=nprobe, k=K,
+            refine_depth=REFINE_DEPTH, exclude_self=False,
+        ).collect():
+            got_ref[r["qid"]].append(r["vec_id"])
+        ext_rows[f"nprobe_{nprobe}"] = dict(
+            _recall_rows(exact_ext, dict(got)),
+            refined_recall_at_10=_recall_rows(exact_ext, dict(got_ref))[
+                "recall_at_10"
+            ],
+            refine_depth=REFINE_DEPTH,
+            registered=(nprobe == 4),
+        )
+        print(f"[{sf_name}] EXTERNAL queries nprobe={nprobe}: "
+              f"{ext_rows[f'nprobe_{nprobe}']}", flush=True)
+    result["tiers"]["ann_index_probe_external_queries"] = ext_rows
+
     for side in ("", "__codebooks"):
         spark.sql(f"DROP TABLE IF EXISTS {table}{side}")
     e_frame.unpersist()
