@@ -36,6 +36,14 @@ Protocol / faithfulness:
 Also recorded per row: mean scanned fraction of the corpus (candidate
 volume / N) — recall is only meaningful against what it cost.
 
+Two extra blocks beyond the per-tier sweeps: a refine-depth sensitivity
+sweep on the persisted index (R must exceed the largest ADC-tie
+cluster), and an EXTERNAL held-out query batch (seeded jitter of corpus
+rows through the real probe/refined-probe APIs with exclude_self=False
+— the serving case, where a query has nonzero quantized distance to
+every cluster and recall is structurally below the corpus-member
+sweep's; see SCALE.md §Round 12 for the interpretation).
+
 Output: SCALING.json["ann_recall"] + printed table (SCALE.md section).
 
 Usage: python tools/bench_ann_recall.py [sf1] [sf10]   (default: both)
