@@ -489,8 +489,21 @@ def measure_sf(spark, sf_name: str, sf_dir: str) -> dict:
             ]
         ),
     )
+    from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+        probe_ann_index_refined,
+    )
+
     ext_rows = {}
-    for nprobe in (1, 4):
+    # (nprobe, R) grid: the nprobe axis at the default R shows the
+    # structural gap; the higher-(nprobe, R) points find the measured
+    # serving operating point for external traffic.
+    for nprobe, r_depth in (
+        (1, REFINE_DEPTH),
+        (4, REFINE_DEPTH),
+        (4, 300),
+        (4, 1000),
+        (16, 300),
+    ):
         got = defaultdict(list)
         for r in probe_ann_index(
             spark, q_ext, table=table, nprobe=nprobe, k=K, exclude_self=False
@@ -498,25 +511,22 @@ def measure_sf(spark, sf_name: str, sf_dir: str) -> dict:
             got[r["qid"]].append(r["vec_id"])
         got_ref = defaultdict(list)
         # the REAL production refine API, end to end (Spark-side rerank)
-        from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
-            probe_ann_index_refined,
-        )
-
         for r in probe_ann_index_refined(
             spark, q_ext, e_frame, table=table, nprobe=nprobe, k=K,
-            refine_depth=REFINE_DEPTH, exclude_self=False,
+            refine_depth=r_depth, exclude_self=False,
         ).collect():
             got_ref[r["qid"]].append(r["vec_id"])
-        ext_rows[f"nprobe_{nprobe}"] = dict(
+        key = f"nprobe_{nprobe}_R_{r_depth}"
+        ext_rows[key] = dict(
             _recall_rows(exact_ext, dict(got)),
             refined_recall_at_10=_recall_rows(exact_ext, dict(got_ref))[
                 "recall_at_10"
             ],
-            refine_depth=REFINE_DEPTH,
-            registered=(nprobe == 4),
+            refine_depth=r_depth,
+            registered=(nprobe == 4 and r_depth == REFINE_DEPTH),
         )
-        print(f"[{sf_name}] EXTERNAL queries nprobe={nprobe}: "
-              f"{ext_rows[f'nprobe_{nprobe}']}", flush=True)
+        print(f"[{sf_name}] EXTERNAL queries {key}: {ext_rows[key]}",
+              flush=True)
     result["tiers"]["ann_index_probe_external_queries"] = ext_rows
 
     for side in ("", "__codebooks"):
