@@ -133,7 +133,7 @@ def _collect_embeddings(spark, sf_dir):
     return E
 
 
-def _exact_topk(E: np.ndarray) -> dict[int, set]:
+def _exact_topk(E: np.ndarray) -> tuple[dict[int, set], np.ndarray]:
     """Brute-force cosine top-K per query (self excluded), numpy BLAS."""
     norms = np.linalg.norm(E, axis=1)
     Q = E[:N_QUERIES]

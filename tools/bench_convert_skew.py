@@ -52,10 +52,6 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from wod_ascii_to_parquet_spark_spark.session import get_spark
-
-spark = get_spark(app_name="convskew", master="local[32]", shuffle_partitions=32)
-
 from wod_ascii_to_parquet_spark_spark.functions.geohash import (
     geohash_encode_numpy,
 )
@@ -142,6 +138,14 @@ def _wrap80(rec: str) -> str:
 
 
 def main() -> None:
+    # session created HERE, not at import time (ADVICE r12): importing
+    # this module (as the ledger tests import bench_ann_recall) must not
+    # spin up a JVM as a side effect.
+    from wod_ascii_to_parquet_spark_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="convskew", master="local[32]", shuffle_partitions=32
+    )
     raw = gzip.decompress(open(SRC, "rb").read()).decode("ascii")
     recs = list(split_records(raw))
     n_casts = len(recs)

@@ -51,7 +51,11 @@ _CATALYST_ROW_BUDGET_ENCODE = 1_000_000
 
 
 def _check_catalyst_row_budget(
-    e: DataFrame, what: str, headline: str, budget_default: int
+    e: DataFrame,
+    what: str,
+    headline: str,
+    budget_default: int,
+    env_suffix: str,
 ) -> None:
     """Refusal guard for the labeled `_catalyst` reference arms: one
     cheap count (metadata-served on a bare parquet scan) against a
@@ -66,14 +70,17 @@ def _check_catalyst_row_budget(
     ``SPARK_GRAFT_CATALYST_ROW_BUDGET_{KERNEL,ENCODE}`` wins outright;
     the shared ``SPARK_GRAFT_CATALYST_ROW_BUDGET`` is treated as a
     FLOOR — ``max(shared, per-arm default)`` — so raising the 100k
-    kernel budget to 500k cannot silently halve the 1M encode budget."""
+    kernel budget to 500k cannot silently halve the 1M encode budget.
+
+    ``env_suffix`` names the per-arm override variable EXPLICITLY
+    (ADVICE r12): the previous inference from ``budget_default ==
+    _CATALYST_ROW_BUDGET_KERNEL`` would silently bind a new arm (or two
+    arms with coincidentally equal budgets) to the wrong variable."""
     import os
 
     from .dedup import ReferenceArmBudgetExceeded
 
-    suffix = (
-        "KERNEL" if budget_default == _CATALYST_ROW_BUDGET_KERNEL else "ENCODE"
-    )
+    suffix = env_suffix
     per_arm = os.environ.get(f"SPARK_GRAFT_CATALYST_ROW_BUDGET_{suffix}")
     shared = os.environ.get("SPARK_GRAFT_CATALYST_ROW_BUDGET")
     if per_arm is not None:
@@ -679,6 +686,7 @@ def dedup_embedding_ann_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dedup_embedding_ann_catalyst",
         "dedup_embedding_ann",
         _CATALYST_ROW_BUDGET_KERNEL,
+        env_suffix="KERNEL",
     )
     seeds = _sqrt_n_seeds(e)
     # Per-row norm hoisted out of the per-pair kernel (see
@@ -1109,6 +1117,7 @@ def vector_pq_encode_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vector_pq_encode_catalyst",
         "vector_pq_encode",
         _CATALYST_ROW_BUDGET_ENCODE,
+        env_suffix="ENCODE",
     )
     cb = _pq_codebook(e)
     codes_csv = F.expr(
@@ -1719,6 +1728,7 @@ def dedup_semdedup_prune_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame
         "dedup_semdedup_prune_catalyst",
         "dedup_semdedup_prune",
         _CATALYST_ROW_BUDGET_KERNEL,
+        env_suffix="KERNEL",
     )
     seeds = _sqrt_n_seeds(e)
     # Per-ROW norm, computed once per row: cosine's denominator factors
