@@ -1620,6 +1620,212 @@ def similarity_ann_index_adc_refined(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+#: Held-out query synthesis constants, shared by the Spark helper and the
+#: DuckDB mirror below. Jitter amplitude 0.13 on a [-0.5, 0.5) LCG
+#: uniform per (query, dim) gives per-component RMS 0.13/sqrt(12) ~ 0.0375 —
+#: CALIBRATED to the recall ledger's construction (0.3 x per-dim-std
+#: gaussian on a unit-norm 64-dim corpus: 0.3 x 0.125 ~ 0.0375 RMS), so
+#: the registered arm probes queries of the same held-out difficulty the
+#: certified operating point was measured on (amplitude 0.3 was measured
+#: 2.3x harder: sf1 recall 0.926 vs the ledger's 0.98). Queries land
+#: NEAR a base row's cluster but are never a stored vector (every
+#: quantized distance is nonzero) — the serving regime of SCALE.md
+#: SS:Round 12.
+_EXT_N_QUERIES = 10
+_EXT_NPROBE = 16
+_EXT_REFINE_DEPTH = 300
+_EXT_TOPK = 10
+
+
+def _external_queries(e: DataFrame, n_queries: int = _EXT_N_QUERIES) -> DataFrame:
+    """A DETERMINISTIC held-out query batch ``(qid, qemb)`` synthesized
+    from the corpus with only cross-engine-exact arithmetic, so the
+    serving path over it can be fully DuckDB-oracled:
+
+    - base rows: the ``n_queries`` corpus vectors ranked first by
+      ``md5(cast(vec_id as string))`` — a pseudo-random spread both
+      engines order identically; ``qid`` keeps the base ``vec_id``.
+    - jitter: per (query, dim) an integer-LCG uniform
+      ``((qid+1)·1000003 + dim·7919) mod 97 / 97 − ½`` scaled by 0.3 —
+      integer ops are exact and +,×,/ are correctly rounded IEEE, so the
+      perturbed vectors are BIT-identical in Spark and DuckDB (unlike the
+      recall ledger's numpy-RNG jitter, which certifies recall but cannot
+      gate a value-hash).
+    - renormalized to unit length (sqrt + divide, both correctly
+      rounded).
+
+    The result is never a stored row: the serving case where a query has
+    nonzero quantized distance to every cluster and corpus-member recall
+    sweeps structurally overstate quality (measured 0.999 member vs 0.82
+    external at the member-certified knobs — SCALING.json
+    ``ann_index_probe_external_queries``)."""
+    base = e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id").limit(
+        n_queries
+    )
+    jit = F.expr(
+        "transform(emb, (v, i) -> v + 0.13D * ("
+        "cast(((vec_id + 1) * 1000003 + (i + 1) * 7919) % 97 as double)"
+        " / 97.0D - 0.5D))"
+    )
+    qraw = base.select(F.col("vec_id").alias("qid"), jit.alias("qr"))
+    unit = F.expr(f"transform(qr, v -> v / sqrt({_dot_sql('qr', 'qr')}))")
+    return qraw.select("qid", unit.alias("qemb"))
+
+
+def _external_queries_sql(n_queries: int = _EXT_N_QUERIES) -> str:
+    """DuckDB mirror of :func:`_external_queries` (CTEs ``qraw``/``qx``;
+    expects the ``e`` CTE in scope). DuckDB's two-arg lambda index is
+    1-based where Spark's is 0-based — the Spark side uses ``i + 1`` so
+    both feed 1..dim into the LCG."""
+    return f"""
+    qraw AS (
+        SELECT vec_id AS qid,
+               list_transform(emb, (v, i) -> v + (0.13)::DOUBLE * (
+                   (((vec_id + 1) * 1000003 + i * 7919) % 97)
+                   / (97.0)::DOUBLE - (0.5)::DOUBLE)) AS qr
+        FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {int(n_queries)}
+    ),
+    qx AS (
+        SELECT qid,
+               list_transform(qr, v -> v / sqrt(list_dot_product(qr, qr)))
+                   AS qemb
+        FROM qraw
+    )"""
+
+
+def _external_refined_sql(
+    nprobe: int = _EXT_NPROBE,
+    refine_depth: int = _EXT_REFINE_DEPTH,
+    k: int = _EXT_TOPK,
+) -> str:
+    """DuckDB mirror of the EXTERNAL-query serving configuration: the
+    held-out batch (``_external_queries_sql``) probed through the
+    √N-cell IVFADC index (scalar-subquery seed rule, as
+    ``_SQRT_N_SEEDS_SQL``) with per-query PQ distance tables computed
+    from the SYNTHESIZED vectors, ADC top-``refine_depth`` with NO
+    self-exclusion, then the exact-cosine refine to top-``k``."""
+    pivot = " + ".join(
+        f"max(CASE WHEN qd.s = {s} THEN qd.dist END)" for s in range(_PQ_M)
+    )
+    cos = _IVF_COS.format(a="c.emb", b="qe.qemb")
+    qd_parts = []
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_SUBDIM + 1, (s + 1) * _PQ_SUBDIM
+        a, b = f"q.qemb[{lo}:{hi}]", f"x.cemb[{lo}:{hi}]"
+        qd_parts.append(
+            f"SELECT q.qid, {s} AS s, x.cent,"
+            f" {_L2_SQL.format(a=a, b=b)} AS dist"
+            f" FROM qx q CROSS JOIN seeds x"
+        )
+    qd_union = "\n        UNION ALL\n        ".join(qd_parts)
+    return (
+        _PQ_BASE_SQL.format(dist_union=_pq_dist_union_sql())
+        + f"""
+    , ivfseeds AS (
+        SELECT vec_id AS cell, emb AS cemb FROM e
+        WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e)
+    ),
+    {_external_queries_sql().lstrip()},
+    qd2 AS (
+        {qd_union}
+    ),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, x.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_IVF_SCALED.format(a="e.emb", b="x.cemb")}
+                                DESC, x.cell
+                   ) AS rn
+            FROM e CROSS JOIN ivfseeds x
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT qid, cell FROM (
+            SELECT q.qid, x.cell,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {_IVF_SCALED.format(a="q.qemb", b="x.cemb")}
+                                DESC, x.cell
+                   ) AS rn
+            FROM qx q CROSS JOIN ivfseeds x
+        ) WHERE rn <= {int(nprobe)}
+    ),
+    topr AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id)
+                       AS rn
+            FROM (
+                SELECT p.qid, a.vec_id, {pivot} AS adc
+                FROM probes p
+                JOIN assign a ON a.cell = p.cell
+                JOIN picked pk ON pk.vec_id = a.vec_id
+                JOIN qd2 qd ON qd.qid = p.qid AND qd.s = pk.s
+                           AND qd.cent = pk.cent
+                GROUP BY p.qid, a.vec_id
+            )
+        ) WHERE rn <= {int(refine_depth)}
+    )
+    SELECT qid, vec_id, round(sim, 6) AS cos_sim FROM (
+        SELECT t.qid, t.vec_id, sim,
+               row_number() OVER (
+                   PARTITION BY t.qid ORDER BY sim DESC, t.vec_id
+               ) AS rn2
+        FROM (
+            SELECT t.qid, t.vec_id, {cos} AS sim
+            FROM topr t
+            JOIN e c ON c.vec_id = t.vec_id
+            JOIN qx qe ON qe.qid = t.qid
+        ) t
+    ) WHERE rn2 <= {int(k)}
+    """
+    )
+
+
+@register(
+    "similarity_ann_index_external_refined",
+    _external_refined_sql(),
+    tags=("similarity",),
+)
+def similarity_ann_index_external_refined(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The EXTERNAL-query serving configuration, registered first-class
+    (VERDICT r12 #1): the r12 recall ledger's most operationally
+    important finding was that held-out queries — the actual serving
+    case — recall 0.56/0.82 at the corpus-member-certified knobs, and
+    the certified EXTERNAL operating point is nprobe 16 / R 300 /
+    ``exclude_self=False`` → 0.974–0.98 recall@10 (SCALE.md §Round 12,
+    SCALING.json ``ann_index_probe_external_queries``). A user copying
+    the registered member-query pattern for external traffic would get
+    0.82; THIS query is the pattern to copy for serving.
+
+    Shape: the production stored-table path end to end — default
+    √N-cell ``build_ann_index`` (the FAISS cell rule; the member arms'
+    fixed 16-cell quantizer would make nprobe 16 a full scan), a
+    deterministic held-out batch (:func:`_external_queries` — seeded
+    LCG jitter of md5-spread corpus rows, renormalized; bit-identical
+    across engines, unlike the ledger's numpy jitter), then
+    ``probe_ann_index_refined`` at the certified knobs. No
+    self-exclusion: external qids are their own numbering, and the base
+    row a query was jittered from is a legitimate (usually top-1)
+    neighbor. Fully DuckDB-oracled end to end; recall at these knobs is
+    pinned ≥0.97 at sf1 in tests/test_ann_recall_tool.py."""
+    from ..plans.ann_index import build_ann_index, probe_ann_index_refined
+
+    table = "ann_ivfadc_index_ext"
+    build_ann_index(spark, sf_dir, table=table, n_buckets=8)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = _external_queries(e)
+    return probe_ann_index_refined(
+        spark, q, e, table=table, nprobe=_EXT_NPROBE, k=_EXT_TOPK,
+        refine_depth=_EXT_REFINE_DEPTH, exclude_self=False,
+    )
+
+
 @register("similarity_ann_index_vacuum_adc", _ivf_adc_sql(), tags=("similarity",))
 def similarity_ann_index_vacuum_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN-index LIFECYCLE under the hash gate (VERDICT r9 #5): build
