@@ -621,3 +621,90 @@ def test_refined_probe_survives_append_and_vacuum(spark):
         for t in tables:
             for side in ("", "__codebooks", "__vacuum_tmp"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}{side}")
+
+
+def test_refine_depth_refused_below_expected_tie_mass(
+    spark, ann_index, monkeypatch
+):
+    """VERDICT r12 #2, static guard: a caller-provided bound on the
+    largest ADC-tie cluster refuses refine_depth < nprobe x bound up
+    front (no job), naming the measured 0.39-at-R=30 failure mode; the
+    env override permits a deliberate run past the bound."""
+    from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+        probe_ann_index_refined,
+    )
+
+    e = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    with pytest.raises(ValueError, match="expected_tie_cluster"):
+        probe_ann_index_refined(
+            spark, q, e, table=ann_index, nprobe=4, k=3, refine_depth=100,
+            exclude_self=True, expected_tie_cluster=100,
+        )
+    monkeypatch.setenv("SPARK_GRAFT_REFINE_DEPTH_OVERRIDE", "1")
+    rows = probe_ann_index_refined(
+        spark, q, e, table=ann_index, nprobe=4, k=3, refine_depth=100,
+        exclude_self=True, expected_tie_cluster=100,
+    ).collect()
+    assert len(rows) == 9
+
+
+def test_refine_tie_truncation_detected_at_execution(spark):
+    """VERDICT r12 #2, measured guard: on a corpus with an ADC-tie
+    cluster larger than refine_depth (20 byte-identical vectors -> one
+    PQ code -> exactly tied ADC distances), check_tie_truncation=True
+    fails AT EXECUTION with the named error instead of silently
+    returning tie-break-luck neighbors; with refine_depth covering the
+    cluster the same probe passes and equals the unchecked probe."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+        build_ann_index,
+        probe_ann_index_refined,
+    )
+
+    table = "annx_tie_flood"
+    try:
+        e = load(spark, SF_DIR, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        base = e.filter(F.col("vec_id") < 16)
+        clones = (
+            e.filter(F.col("vec_id") == 0)
+            .crossJoin(spark.range(100, 120).select(F.col("id")))
+            .select(F.col("id").alias("vec_id"), "emb")
+        )
+        corpus = base.unionByName(clones)
+        build_ann_index(
+            spark, SF_DIR, table=table, n_buckets=4, n_cells=16,
+            vectors=corpus,
+        )
+        q = e.filter(F.col("vec_id") == 0).select(
+            F.lit(0).cast("bigint").alias("qid"), F.col("emb").alias("qemb")
+        )
+        truncated = probe_ann_index_refined(
+            spark, q, corpus, table=table, nprobe=4, k=3, refine_depth=5,
+            exclude_self=False, check_tie_truncation=True,
+        )
+        with pytest.raises(
+            (SparkRuntimeException, Py4JJavaError), match="truncates a tie"
+        ):
+            truncated.collect()
+        ok = probe_ann_index_refined(
+            spark, q, corpus, table=table, nprobe=4, k=3, refine_depth=30,
+            exclude_self=False, check_tie_truncation=True,
+        ).collect()
+        plain = probe_ann_index_refined(
+            spark, q, corpus, table=table, nprobe=4, k=3, refine_depth=30,
+            exclude_self=False,
+        ).collect()
+        assert {tuple(r) for r in ok} == {tuple(r) for r in plain}
+        assert len(ok) == 3
+    finally:
+        for side in ("", "__codebooks"):
+            spark.sql(f"DROP TABLE IF EXISTS {table}{side}")

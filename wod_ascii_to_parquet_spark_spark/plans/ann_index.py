@@ -202,6 +202,8 @@ def probe_ann_index_refined(
     k: int = 3,
     refine_depth: int = 100,
     exclude_self: bool = False,
+    expected_tie_cluster: int | None = None,
+    check_tie_truncation: bool = False,
 ) -> DataFrame:
     """ADC probe + the FAISS refine stage: pull the ADC top-``refine_depth``
     shortlist per query from the stored codes (never the corpus), then
@@ -217,18 +219,109 @@ def probe_ann_index_refined(
     scan, so the second data touch is an equi-join the corpus side
     streams through — row-group pruned by vec_id at a real layout.
     Pick ``refine_depth`` ≥ the largest expected tie-cluster: a fixed R
-    fills with tie-mass as nprobe grows (measured: sf1 refined recall
-    0.978 at nprobe 1 falling to 0.935 at 32 for R=100)."""
+    fills with tie-mass as nprobe grows. SILENT RECALL LOSS is the
+    failure mode — the r12 ledger measured it directly (SCALING.json
+    ``ann_recall``, refine-depth sweep at nprobe 4):
+
+    ========  =====================  ==========================
+    R         sf10 refined recall    interpretation
+    ========  =====================  ==========================
+    30        0.39                   R < ~100-sibling tie cluster:
+                                     true neighbors crowded out of
+                                     the shortlist BEFORE the exact
+                                     rerank can see them
+    100       0.999                  R ≥ largest tie cluster
+    ========  =====================  ==========================
+
+    (and at fixed R=100, sf1 recall falls 0.978 → 0.935 as nprobe grows
+    1 → 32: more probed cells contribute more tie-mass into the same R.)
+
+    Two guards against it (VERDICT r12 #2), both off by default because
+    each has a cost the serving hot path should opt into knowingly:
+
+    - ``expected_tie_cluster``: a caller-provided bound on the largest
+      ADC-tie cluster (≈ the corpus' largest near-duplicate cluster —
+      PQ maps whole sibling clusters to one code; the r12 ledger
+      verified code-mates == same-base siblings exactly). Costs
+      nothing: refuses up front when ``refine_depth < nprobe ×
+      expected_tie_cluster`` (each probed cell can contribute its own
+      tie cluster). Override with ``SPARK_GRAFT_REFINE_DEPTH_OVERRIDE=1``
+      for a deliberate run past the bound.
+    - ``check_tie_truncation``: measures instead of trusting — pulls the
+      shortlist one row deeper (R+1) and fails AT EXECUTION (in-plan
+      ``assert_true``, no extra job) if the dropped (R+1)-th candidate
+      ties the kept R-th on ADC distance: the exact signature of a tie
+      cluster crossing the shortlist boundary. Detection uses the
+      probe's 6-decimal-rounded ADC distances, so a near-tie at <1e-6
+      also trips it — conservative by design.
+    """
+    import os
+
     from ..operators.similarity import _refine_topk
 
+    if expected_tie_cluster is not None:
+        required = nprobe * expected_tie_cluster
+        if refine_depth < required and os.environ.get(
+            "SPARK_GRAFT_REFINE_DEPTH_OVERRIDE", "0"
+        ) != "1":
+            raise ValueError(
+                f"probe_ann_index_refined: refine_depth={refine_depth} is "
+                f"below nprobe × expected_tie_cluster = {nprobe} × "
+                f"{expected_tie_cluster} = {required}. ADC ties across a "
+                "near-duplicate cluster sharing one PQ code crowd true "
+                "neighbors out of the shortlist BEFORE the exact rerank "
+                "sees them — measured recall 0.39 at R=30 vs 0.999 at "
+                "R=100 on a ~100-sibling corpus (SCALE.md §Round 12). "
+                "Raise refine_depth, lower nprobe, or set "
+                "SPARK_GRAFT_REFINE_DEPTH_OVERRIDE=1 for a deliberate "
+                "run past the bound."
+            )
+    depth = refine_depth + 1 if check_tie_truncation else refine_depth
     shortlist = probe_ann_index(
         spark,
         queries,
         table=table,
         nprobe=nprobe,
-        k=refine_depth,
+        k=depth,
         exclude_self=exclude_self,
-    ).select("qid", "vec_id")
+    )
+    if check_tie_truncation:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("qid").orderBy("adc_dist", "vec_id")
+        flagged = shortlist.select(
+            "qid",
+            "vec_id",
+            "adc_dist",
+            F.row_number().over(w).alias("__rn"),
+            F.lag("adc_dist").over(w).alias("__prev"),
+        ).withColumn(
+            "__trunc",
+            F.max(
+                F.when(
+                    (F.col("__rn") == refine_depth + 1)
+                    & (F.col("adc_dist") == F.col("__prev")),
+                    1,
+                ).otherwise(0)
+            ).over(W.partitionBy("qid")),
+        )
+        msg = (
+            f"probe_ann_index_refined: the ADC shortlist at refine_depth="
+            f"{refine_depth} truncates a tie cluster (the dropped candidate "
+            "R+1 ties the kept candidate R) — true neighbors may be crowded "
+            "out before the exact rerank; raise refine_depth (measured: "
+            "recall 0.39 at R=30 vs 0.999 at R=100 on a ~100-sibling "
+            "corpus, SCALE.md Round 12)"
+        )
+        guarded = F.expr(
+            f"CASE WHEN assert_true(__trunc = 0, '{msg}') IS NULL "
+            "THEN vec_id END"
+        )
+        shortlist = flagged.filter(
+            F.col("__rn") <= refine_depth
+        ).select("qid", guarded.alias("vec_id"))
+    else:
+        shortlist = shortlist.select("qid", "vec_id")
     return _refine_topk(
         vectors.select("vec_id", "emb"),
         queries.select("qid", "qemb"),
