@@ -91,3 +91,75 @@ def test_cli_compact_target_bytes_consolidates_datasets(spark, tmp_path, capsys)
     # and the consolidated dataset is still there, untouched by the rerun
     assert spark.read.parquet(f"{out}/compacted/CTD/OBS").count() == \
         yearly.count()
+
+
+def test_compact_preserves_digit_only_geohash3_cells(spark, tmp_path):
+    """ADVICE r12 (medium): a dataset whose geohash3 dirs are ALL
+    digit-only base32 cells ('077', '978') must not have them inferred
+    as integers during the compaction read — that either fails the
+    unionByName against string-typed sibling datasets or silently
+    rewrites '077' -> '77' in the compacted layout, breaking the
+    geohash-prefix invariant. The corruption happens at partition-value
+    parse time, so compact_convert_output reads with type inference
+    disabled."""
+    import os
+
+    from wod_ascii_to_parquet_spark_spark.plans.convert import (
+        compact_convert_output,
+    )
+
+    out = str(tmp_path / "out")
+    digit_only = spark.createDataFrame(
+        [("077abc", "077", 1.0), ("978def", "978", 2.0)],
+        "geohash string, geohash3 string, v double",
+    )
+    digit_only.write.partitionBy("geohash3").parquet(
+        f"{out}/yearly/CTD/OBS/A.parquet"
+    )
+    mixed = spark.createDataFrame(
+        [("9q8xyz", "9q8", 3.0)], "geohash string, geohash3 string, v double"
+    )
+    mixed.write.partitionBy("geohash3").parquet(
+        f"{out}/yearly/CTD/OBS/B.parquet"
+    )
+    stats = compact_convert_output(spark, out)
+    assert stats["CTD/OBS"]["inputs"] == 2
+    # the leading-zero cell survives verbatim as a directory value
+    assert os.path.isdir(f"{out}/compacted/CTD/OBS/geohash3=077")
+    assert not os.path.isdir(f"{out}/compacted/CTD/OBS/geohash3=77")
+    comp = spark.read.parquet(f"{out}/compacted/CTD/OBS")
+    got = {r["geohash3"] for r in comp.select("geohash3").distinct().collect()}
+    assert got == {"077", "978", "9q8"}
+
+
+def test_compact_target_bytes_splits_oversized_hot_cell(spark, tmp_path):
+    """ADVICE r12: target_bytes must actually bound file sizes — the
+    previous repartition(n, geohash3) routed each cell wholly to one
+    task (one file per dir regardless of BYTES). With the REBALANCE
+    exchange + conf-scoped advisory size, a hot cell larger than
+    target_bytes splits into several geohash-sorted files in its dir
+    while row content is preserved exactly."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from wod_ascii_to_parquet_spark_spark.plans.convert import (
+        compact_convert_output,
+    )
+
+    out = str(tmp_path / "out")
+    # ~50k rows of a single hot geohash3 with fat payload (~ a few MB)
+    hot = spark.range(50_000).select(
+        F.concat(F.lit("9q8"), F.col("id").cast("string")).alias("geohash"),
+        F.lit("9q8").alias("geohash3"),
+        F.sha2(F.col("id").cast("string"), 512).alias("payload"),
+    )
+    hot.write.partitionBy("geohash3").parquet(f"{out}/yearly/CTD/OBS/A.parquet")
+    compact_convert_output(spark, out, target_bytes=512 * 1024)
+    files = glob.glob(f"{out}/compacted/CTD/OBS/geohash3=9q8/part-*")
+    assert len(files) > 1, "hot cell was not split"
+    comp = spark.read.parquet(f"{out}/compacted/CTD/OBS")
+    assert comp.count() == 50_000
+    src = spark.read.parquet(f"{out}/yearly/CTD/OBS/A.parquet")
+    assert src.exceptAll(comp).count() == 0
+    assert comp.exceptAll(src).count() == 0

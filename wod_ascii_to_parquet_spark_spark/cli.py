@@ -81,9 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--compact-target-bytes", type=int, default=None, metavar="BYTES",
         help="after all file jobs publish, consolidate the per-input-file "
         "datasets into one geohash3-partitioned dataset per "
-        "(dataset, level) under <output>/compacted/ with ~BYTES-sized "
-        "files (OPTIMIZE; yearly/ and its _SUCCESS resume markers are "
-        "left untouched)",
+        "(dataset, level) under <output>/compacted/ — one file per cold "
+        "geohash3 dir, hot cells split into several ~BYTES-sized "
+        "geohash-sorted files via a REBALANCE exchange (OPTIMIZE; "
+        "yearly/ and its _SUCCESS resume markers are left untouched)",
     )
     return p
 

@@ -451,68 +451,96 @@ def compact_convert_output(
     where in-place publish renames are copy+delete. Re-running this
     function is idempotent (static overwrite of ``compacted/``).
 
-    Layout: ``repartition(n, geohash3)`` + within-partition
-    ``(geohash3, geohash)`` sort + ``partitionBy(geohash3)`` — the same
-    clustering contract as the per-file jobs (zorder-compatible: the
-    sort key is pluggable the way ``plans/zorder.py`` layers on
-    ``plans/compact.py``), with ``n`` sized from real input bytes via
-    :func:`plans.compact.plan_target_files`. The GeoParquet footer +
-    sidecar are re-attached (compaction must not demote the dataset).
-    Returns per-(dataset, level) stats."""
-    from .compact import _is_data_file, plan_target_files
+    Layout: a ``REBALANCE(geohash3)`` exchange (ADVICE r12: the previous
+    ``repartition(n, geohash3)`` routed each geohash3 WHOLLY to one
+    task, so the output was always exactly one file per geohash3 dir and
+    ``target_bytes`` was inert — a hot coastal cell could not be split)
+    + within-partition ``(geohash3, geohash)`` sort + ``partitionBy
+    (geohash3)``, with AQE's advisory partition size conf-scoped to
+    ``target_bytes`` so the rebalance actually aims at it: cold cells
+    coalesce into shared tasks (still one file each — the writer splits
+    by value), an oversized hot cell splits into several ~``target_
+    bytes`` geohash-sorted files in its dir. Same clustering contract as
+    the per-file jobs (zorder-compatible: the sort key is pluggable the
+    way ``plans/zorder.py`` layers on ``plans/compact.py``); the
+    geohash-prefix dir invariant is enforced by the partitioned writer
+    itself, independent of task layout. The GeoParquet footer + sidecar
+    are re-attached (compaction must not demote the dataset). Returns
+    per-(dataset, level) stats.
+
+    Reads run with partition-column TYPE INFERENCE DISABLED (ADVICE r12
+    medium): a dataset whose geohash3 dirs are all digit-only base32
+    cells (e.g. ``077``, ``978``) would otherwise infer geohash3 as
+    integer — failing the unionByName against string-typed siblings or,
+    worse, silently rewriting ``077`` → ``77`` in the compacted layout
+    and breaking the geohash-prefix invariant. The corruption happens AT
+    READ (partition-value parse), so a post-read cast cannot repair it;
+    only inference-off reads can."""
+    from .compact import _is_data_file
 
     fs = FsClient(spark)
     yearly = _join(output, "yearly")
     stats: dict = {}
-    for ds in fs.list_names(yearly):
-        for lvl in fs.list_names(_join(yearly, ds)):
-            dirs = [
-                _join(yearly, ds, lvl, name)
-                for name in fs.list_names(_join(yearly, ds, lvl))
-            ]
-            # only COMPLETE datasets (the _SUCCESS skip/resume marker);
-            # a concurrent or crashed file-job's partial output must
-            # not leak into the consolidated set
-            dirs = [d for d in dirs if _has_success(fs, d)]
-            if not dirs:
-                continue
-            sizes: dict[str, int] = {}
-            for d in dirs:
-                sizes.update(
-                    (p, n)
-                    for p, n in fs.file_sizes(d).items()
-                    if _is_data_file(p)
-                )
-            total = sum(sizes.values())
-            n_out = plan_target_files(total, target_bytes)
-            # one read per dataset root, unioned: a single multi-path
-            # read trips partition discovery ([CONFLICTING_DIRECTORY_
-            # STRUCTURES] — each root is its own geohash3=* tree)
-            from functools import reduce
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    advisory_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    old_infer = spark.conf.get(infer_key, "true")
+    old_advisory = spark.conf.get(advisory_key, "64MB")
+    spark.conf.set(infer_key, "false")
+    spark.conf.set(advisory_key, str(int(target_bytes)))
+    try:
+        for ds in fs.list_names(yearly):
+            for lvl in fs.list_names(_join(yearly, ds)):
+                dirs = [
+                    _join(yearly, ds, lvl, name)
+                    for name in fs.list_names(_join(yearly, ds, lvl))
+                ]
+                # only COMPLETE datasets (the _SUCCESS skip/resume
+                # marker); a concurrent or crashed file-job's partial
+                # output must not leak into the consolidated set
+                dirs = [d for d in dirs if _has_success(fs, d)]
+                if not dirs:
+                    continue
+                sizes: dict[str, int] = {}
+                for d in dirs:
+                    sizes.update(
+                        (p, n)
+                        for p, n in fs.file_sizes(d).items()
+                        if _is_data_file(p)
+                    )
+                total = sum(sizes.values())
+                # one read per dataset root, unioned: a single multi-path
+                # read trips partition discovery ([CONFLICTING_DIRECTORY_
+                # STRUCTURES] — each root is its own geohash3=* tree)
+                from functools import reduce
 
-            df = reduce(
-                lambda a, b: a.unionByName(b),
-                (spark.read.parquet(d) for d in dirs),
-            )
-            dest = _join(output, "compacted", ds, lvl)
-            (
-                df.repartition(n_out, F.col("geohash3"))
-                .sortWithinPartitions("geohash3", "geohash")
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "static")
-                .partitionBy("geohash3")
-                .parquet(dest)
-            )
-            enc = _footer_encoding(geometry_encoding)
-            attach_geo_footer(fs, dest, spark=spark, encoding=enc)
-            fs.write_bytes(_join(dest, SIDECAR_NAME), geo_sidecar_bytes(enc))
-            stats[f"{ds}/{lvl}"] = {
-                "inputs": len(dirs),
-                "files_before": len(sizes),
-                "files_after": sum(
-                    1 for p in fs.file_sizes(dest) if _is_data_file(p)
-                ),
-                "bytes_total": total,
-                "dest": dest,
-            }
+                df = reduce(
+                    lambda a, b: a.unionByName(b),
+                    (spark.read.parquet(d) for d in dirs),
+                )
+                dest = _join(output, "compacted", ds, lvl)
+                (
+                    df.hint("rebalance", F.col("geohash3"))
+                    .sortWithinPartitions("geohash3", "geohash")
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "static")
+                    .partitionBy("geohash3")
+                    .parquet(dest)
+                )
+                enc = _footer_encoding(geometry_encoding)
+                attach_geo_footer(fs, dest, spark=spark, encoding=enc)
+                fs.write_bytes(
+                    _join(dest, SIDECAR_NAME), geo_sidecar_bytes(enc)
+                )
+                stats[f"{ds}/{lvl}"] = {
+                    "inputs": len(dirs),
+                    "files_before": len(sizes),
+                    "files_after": sum(
+                        1 for p in fs.file_sizes(dest) if _is_data_file(p)
+                    ),
+                    "bytes_total": total,
+                    "dest": dest,
+                }
+    finally:
+        spark.conf.set(infer_key, old_infer)
+        spark.conf.set(advisory_key, old_advisory)
     return stats
