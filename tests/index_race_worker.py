@@ -286,6 +286,120 @@ def recoverer(root: str) -> None:
     spark.stop()
 
 
+def vac_appender(root: str) -> None:
+    """Vacuum-vs-append fence arm (VERDICT r12 #6), ingest side: build
+    the index, then prove BOTH fence directions across a process
+    boundary — a REAL append refuses while the other process holds the
+    vacuum lock, and a REAL append lock (the primitive every append
+    holds) makes the other process's REAL vacuum refuse. Ends with the
+    serialized recovery: append + vacuum + verify + probe vs a fresh
+    build over the union."""
+    from pyspark.sql import functions as F
+
+    from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+        IndexMaintenanceConflict,
+        _maintenance_lock,
+    )
+    from wod_ascii_to_parquet_spark_spark.plans.minhash_index import (
+        append_minhash_index,
+        build_minhash_index,
+        probe_minhash_index,
+        vacuum_minhash_index,
+        verify_minhash_index,
+    )
+
+    spark = _session(root, "vac-race-appender")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(DOCS).select("doc_id", "text")
+    build_minhash_index(
+        spark, docs.filter(F.col("doc_id") < 300), table=TABLE, family="md5"
+    )
+    with open(os.path.join(root, "ready.json.tmp"), "w") as fh:
+        json.dump({"ok": True}, fh)
+    os.rename(
+        os.path.join(root, "ready.json.tmp"), os.path.join(root, "ready.json")
+    )
+    _wait_for(os.path.join(root, "vac_held"))
+    delta = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 340))
+    log: dict = {}
+    try:
+        append_minhash_index(spark, delta, table=TABLE)
+        log["append_during_vacuum"] = "SUCCEEDED (fence failed)"
+    except IndexMaintenanceConflict as e:
+        log["append_during_vacuum"] = f"refused: {e}"
+    with open(os.path.join(root, "appends_refused"), "w") as fh:
+        fh.write("1")
+    _wait_for(os.path.join(root, "vac_released"))
+    # now hold an append lock and let the OTHER process attempt a real
+    # vacuum — its refusal must come from the shared filesystem alone
+    with _maintenance_lock(spark, TABLE, "append"):
+        with open(os.path.join(root, "append_held"), "w") as fh:
+            fh.write("1")
+        _wait_for(os.path.join(root, "vacuum_refused_done"))
+    # serialized aftermath: the refused delta re-applies cleanly, vacuum
+    # compacts, and the result is indistinguishable from a fresh build
+    append_minhash_index(spark, delta, table=TABLE)
+    vacuum_minhash_index(spark, table=TABLE)
+    report = verify_minhash_index(spark, table=TABLE)
+    healed = _pairs(
+        probe_minhash_index(spark, docs, table=TABLE, self_probe=True)
+    )
+    build_minhash_index(
+        spark, docs.filter(F.col("doc_id") < 340), table="fresh_idx",
+        family="md5",
+    )
+    fresh = _pairs(
+        probe_minhash_index(spark, docs, table="fresh_idx", self_probe=True)
+    )
+    with open(os.path.join(root, "vac_race_result.json"), "w") as fh:
+        json.dump(
+            {
+                "log": log,
+                "consistent": report["consistent"],
+                "healed_equals_fresh": healed == fresh,
+            },
+            fh,
+        )
+    spark.stop()
+
+
+def vac_vacuumer(root: str) -> None:
+    """Vacuum-vs-append fence arm, maintenance side: a SEPARATE process
+    (own in-memory catalog — it cannot even see the appender's tables)
+    whose vacuum attempt must be refused purely via the shared
+    FILESYSTEM lock, before any catalog access; and whose held vacuum
+    lock must make the appender's real append refuse cross-process."""
+    from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+        IndexMaintenanceConflict,
+        _maintenance_lock,
+    )
+    from wod_ascii_to_parquet_spark_spark.plans.minhash_index import (
+        vacuum_minhash_index,
+    )
+
+    spark = _session(root, "vac-race-vacuumer")
+    spark.sparkContext.setLogLevel("ERROR")
+    _wait_for(os.path.join(root, "ready.json"))
+    log: dict = {}
+    with _maintenance_lock(spark, TABLE, "vacuum"):
+        with open(os.path.join(root, "vac_held"), "w") as fh:
+            fh.write("1")
+        _wait_for(os.path.join(root, "appends_refused"))
+    with open(os.path.join(root, "vac_released"), "w") as fh:
+        fh.write("1")
+    _wait_for(os.path.join(root, "append_held"))
+    try:
+        vacuum_minhash_index(spark, table=TABLE)
+        log["vacuum_during_append"] = "SUCCEEDED (fence failed)"
+    except IndexMaintenanceConflict as e:
+        log["vacuum_during_append"] = f"refused: {e}"
+    with open(os.path.join(root, "vacuumer_log.json"), "w") as fh:
+        json.dump(log, fh)
+    with open(os.path.join(root, "vacuum_refused_done"), "w") as fh:
+        fh.write("1")
+    spark.stop()
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     {
@@ -293,4 +407,6 @@ if __name__ == "__main__":
         "prober": prober,
         "torn-appender": torn_appender,
         "recoverer": recoverer,
+        "vac-appender": vac_appender,
+        "vac-vacuumer": vac_vacuumer,
     }[sys.argv[1]](sys.argv[2])

@@ -150,3 +150,148 @@ def test_kill9_mid_append_heals_to_fresh_build(tmp_path):
     assert doc["report_healed"]["current_generation_only"] is True
     assert doc["healed_probe"] == doc["fresh_probe"]
     assert len(doc["healed_probe"]) > len(initial)  # the delta landed
+
+
+def test_vacuum_vs_append_cross_process_fence(tmp_path):
+    """VERDICT r12 #6: the scheduled-maintenance collision table_cli
+    invites — a vacuum racing a live appender could drop the appended
+    generation with the directory it replaces, silently. The advisory
+    filesystem lock fence must turn BOTH directions of the collision
+    into NAMED refusals across a process boundary (the vacuumer's
+    refusal arrives before any catalog access — its in-memory catalog
+    cannot even see the appender's tables), and the serialized aftermath
+    must converge to a consistent index probe-identical to a fresh
+    build. Never a mixed generation."""
+    root = str(tmp_path)
+    procs = {
+        role: _spawn(role, root) for role in ("vac-appender", "vac-vacuumer")
+    }
+    deadline = time.time() + 420
+    try:
+        while any(p.poll() is None for p in procs.values()):
+            assert time.time() < deadline, "vacuum-race workers exceeded deadline"
+            for role, p in procs.items():
+                rc = p.poll()
+                if rc is not None and rc != 0:
+                    for q in procs.values():
+                        if q.poll() is None:
+                            q.kill()
+                    raise AssertionError(
+                        f"{role} died rc={rc}:\n{_err_tail(root, role)}"
+                    )
+            time.sleep(0.1)
+    finally:
+        for p in procs.values():
+            if p.poll() is None:
+                p.kill()
+            for fh in p._logs:  # type: ignore[attr-defined]
+                fh.close()
+    for role, p in procs.items():
+        assert p.returncode == 0, f"{role} failed:\n{_err_tail(root, role)}"
+
+    with open(os.path.join(root, "vac_race_result.json")) as fh:
+        result = json.load(fh)
+    with open(os.path.join(root, "vacuumer_log.json")) as fh:
+        vlog = json.load(fh)
+    # direction 1: real append refused while the other process held the
+    # vacuum lock — named, cross-process, before any data was written
+    assert result["log"]["append_during_vacuum"].startswith("refused:"), (
+        result["log"]
+    )
+    assert "vacuum" in result["log"]["append_during_vacuum"]
+    # direction 2: real vacuum refused while the appender held an append
+    # lock — purely via the shared filesystem
+    assert vlog["vacuum_during_append"].startswith("refused:"), vlog
+    assert "append" in vlog["vacuum_during_append"]
+    # aftermath: serialized re-append + vacuum converge to a consistent,
+    # fresh-build-identical index — the refusals lost no data
+    assert result["consistent"] is True
+    assert result["healed_equals_fresh"] is True
+
+
+def test_vacuum_vs_append_threads_serialize_or_refuse(spark):
+    """The SAME-DRIVER collision (one long-lived session, an ingest loop
+    and a scheduled vacuum thread): under the fence every operation
+    either completes or raises IndexMaintenanceConflict, and afterwards
+    the index is consistent and probe-identical to a fresh build over
+    the base plus exactly the deltas whose appends SUCCEEDED."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+        IndexMaintenanceConflict,
+    )
+    from wod_ascii_to_parquet_spark_spark.plans.minhash_index import (
+        append_minhash_index,
+        build_minhash_index,
+        probe_minhash_index,
+        vacuum_minhash_index,
+        verify_minhash_index,
+    )
+
+    docs_path = "/root/testdata/sf0.001/documents.parquet"
+    table, fresh = "thr_race_idx", "thr_fresh_idx"
+    try:
+        docs = spark.read.parquet(docs_path).select("doc_id", "text")
+        build_minhash_index(
+            spark, docs.filter(F.col("doc_id") < 200), table=table,
+            family="md5",
+        )
+        deltas = [(200 + 30 * i, 230 + 30 * i) for i in range(5)]
+        appended, vac_outcomes, errors = [], [], []
+
+        def ingest():
+            try:
+                for lo, hi in deltas:
+                    d = docs.filter(
+                        (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                    )
+                    try:
+                        append_minhash_index(spark, d, table=table)
+                        appended.append((lo, hi))
+                    except IndexMaintenanceConflict:
+                        pass  # named refusal — the delta is simply absent
+            except Exception as e:  # anything else is a real failure
+                errors.append(repr(e))
+
+        def maintain():
+            try:
+                for _ in range(6):
+                    try:
+                        vac_outcomes.append(
+                            ("ok", vacuum_minhash_index(spark, table=table))
+                        )
+                    except IndexMaintenanceConflict:
+                        vac_outcomes.append(("refused", None))
+                    time.sleep(0.05)
+            except Exception as e:
+                errors.append(repr(e))
+
+        t1 = threading.Thread(target=ingest)
+        t2 = threading.Thread(target=maintain)
+        t1.start(); t2.start(); t1.join(120); t2.join(120)
+        assert not errors, errors
+        assert not t1.is_alive() and not t2.is_alive()
+        report = verify_minhash_index(spark, table=table)
+        assert report["consistent"] is True, report
+        cond = F.col("doc_id") < 200
+        for lo, hi in appended:
+            cond = cond | ((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        build_minhash_index(
+            spark, docs.filter(cond), table=fresh, family="md5"
+        )
+
+        def pairs(t):
+            return sorted(
+                (r["doc_a"], r["doc_b"], r["jac"])
+                for r in probe_minhash_index(
+                    spark, docs, table=t, self_probe=True
+                ).collect()
+            )
+
+        assert pairs(table) == pairs(fresh)
+    finally:
+        for t in (table, fresh):
+            for side in ("", "__docs", "__meta", "__vacuum_tmp"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{side}")

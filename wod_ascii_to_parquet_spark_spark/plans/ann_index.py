@@ -33,7 +33,9 @@ codebook.
 
 from __future__ import annotations
 
+import os
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -349,36 +351,39 @@ def append_to_ann_index(
     distribution quantize drifted data worse (recall decays, cell sizes
     skew); production re-trains on a cadence (or when cell-size skew
     crosses a threshold) and rebuilds via :func:`build_ann_index`.
-    Returns the number of vectors appended."""
-    books = spark.table(f"{table}__codebooks")
-    build_id = books.select("build_id").first()[0]
-    ivf_row = books.select("__seeds")
-    pq_row = books.select(F.col("__pq_seeds").alias("__seeds"))
-    encoded = (
-        _ivf_assign(new_vectors.select("vec_id", "emb"), ivf_row)
-        .crossJoin(F.broadcast(pq_row))
-        .select(
-            "vec_id",
-            "cell",
-            _pq_codes_col().alias("codes"),
-            F.lit(build_id).alias("build_id"),
+    Returns the number of vectors appended. Fenced against a concurrent
+    vacuum by :func:`_maintenance_lock` (a vacuum racing this append
+    could drop the appended generation with the directory it replaces)."""
+    with _maintenance_lock(spark, table, "append"):
+        books = spark.table(f"{table}__codebooks")
+        build_id = books.select("build_id").first()[0]
+        ivf_row = books.select("__seeds")
+        pq_row = books.select(F.col("__pq_seeds").alias("__seeds"))
+        encoded = (
+            _ivf_assign(new_vectors.select("vec_id", "emb"), ivf_row)
+            .crossJoin(F.broadcast(pq_row))
+            .select(
+                "vec_id",
+                "cell",
+                _pq_codes_col().alias("codes"),
+                F.lit(build_id).alias("build_id"),
+            )
         )
-    )
-    # count the INPUT (a cheap delta scan), not the encoded frame — the
-    # encode must run exactly once, in the write below
-    n = new_vectors.count()
-    # same bucket spec as the build → the append keeps the index side of
-    # every probe join Exchange-free; read the spec from the catalog so
-    # an index built with any n_buckets appends correctly
-    n_buckets = _table_num_buckets(spark, table)
-    (
-        encoded.write.bucketBy(n_buckets, "cell")
-        .sortBy("cell")
-        .format("parquet")
-        .mode("append")
-        .saveAsTable(table)
-    )
-    return n
+        # count the INPUT (a cheap delta scan), not the encoded frame —
+        # the encode must run exactly once, in the write below
+        n = new_vectors.count()
+        # same bucket spec as the build → the append keeps the index side
+        # of every probe join Exchange-free; read the spec from the
+        # catalog so an index built with any n_buckets appends correctly
+        n_buckets = _table_num_buckets(spark, table)
+        (
+            encoded.write.bucketBy(n_buckets, "cell")
+            .sortBy("cell")
+            .format("parquet")
+            .mode("append")
+            .saveAsTable(table)
+        )
+        return n
 
 
 def _table_location(spark: SparkSession, table: str) -> str:
@@ -386,6 +391,155 @@ def _table_location(spark: SparkSession, table: str) -> str:
         if row[0].strip() == "Location":
             return row[1]
     raise ValueError(f"no location for table {table}")
+
+
+class IndexMaintenanceConflict(RuntimeError):
+    """Concurrent index maintenance refused by the advisory lock fence —
+    retry after the conflicting operation completes."""
+
+
+#: Age (seconds) past which a maintenance lock is considered abandoned
+#: by a crashed process and ignored (override: env
+#: ``SPARK_GRAFT_INDEX_LOCK_TTL_SEC``). Appends and vacuums both finish
+#: in seconds-to-minutes; an hour-old lock is a corpse's.
+_INDEX_LOCK_TTL_SEC_DEFAULT = 3600
+
+
+def _locks_dir(spark: SparkSession, table: str):
+    """Hadoop Path of the index's lock directory: a STABLE sibling of the
+    managed table under the warehouse dir (``<warehouse>/<table>__locks``)
+    — deliberately NOT inside the table location, which vacuum's
+    drop+rename replaces mid-operation. Resolvable without touching the
+    catalog, so a refusal can be issued before any table read."""
+    jvm = spark._jvm
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    return jvm.org.apache.hadoop.fs.Path(warehouse, f"{table}__locks")
+
+
+@contextmanager
+def _maintenance_lock(spark: SparkSession, table: str, op: str):
+    """Advisory cross-process lock fence for the append/vacuum collision
+    (VERDICT r12 #6 — the scheduled-maintenance collision ``table_cli``
+    invites): an append racing a vacuum can commit its generation into
+    the table directory vacuum is about to DROP — silent data loss with
+    no error anywhere. The fence makes every such collision a NAMED
+    REFUSAL instead:
+
+    - ``op="append"`` takes a UNIQUE lock file (concurrent appends stay
+      allowed — they write independent file sets, de-duplicated at probe
+      and healed by vacuum) and refuses if a fresh ``vacuum`` lock
+      exists.
+    - ``op="vacuum"`` takes the SINGLE ``vacuum.lock`` (a second
+      concurrent vacuum refuses) and refuses if any fresh append lock
+      exists.
+
+    Both sides CREATE-THEN-RECHECK: acquire own lock (atomic
+    create-no-overwrite through the Hadoop FS — atomic on local FS and
+    HDFS; on S3 use a consistent store or external coordination), then
+    re-list the opposing locks and back off (delete own + refuse) if one
+    appeared — two racers can at worst BOTH refuse, never both proceed.
+
+    CRASHED HOLDERS must not fence out recovery (the kill-9 arm: a
+    SIGKILLed appender leaves its lock behind, and the documented
+    recovery ends in a vacuum): each lock records ``{pid, host}``; a
+    lock whose holder is on THIS host and provably dead is ignored and
+    cleaned up immediately, and any lock older than the TTL (cross-host
+    corpse, where liveness is unknowable from here) likewise. pid reuse
+    can only make a dead holder look alive — the conservative direction
+    (refusal, retry later). The fence guards the index + its sidecars
+    as ONE unit: one lock dir keyed by the MAIN table name."""
+    import json as _json
+    import socket as _socket
+    import time as _time
+    import uuid as _uuid
+
+    ttl = float(
+        os.environ.get(
+            "SPARK_GRAFT_INDEX_LOCK_TTL_SEC", str(_INDEX_LOCK_TTL_SEC_DEFAULT)
+        )
+    )
+    other = "vacuum" if op == "append" else "append"
+    jvm = spark._jvm
+    d = _locks_dir(spark, table)
+    fs = d.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(d)
+    host = _socket.gethostname()
+
+    def _holder_dead(path) -> bool:
+        """True only when the lock names a holder on THIS host whose pid
+        no longer exists; unreadable/foreign locks are presumed live."""
+        try:
+            stream = fs.open(path)
+            try:
+                raw = bytes(
+                    stream.readNBytes(256)  # java InputStream
+                )
+            finally:
+                stream.close()
+            info = _json.loads(raw.decode("utf-8"))
+            if info.get("host") != host:
+                return False
+            os.kill(int(info["pid"]), 0)
+            return False  # alive (or EPERM -> alive)
+        except ProcessLookupError:
+            return True
+        except Exception:
+            return False
+
+    def fresh_locks(prefix: str) -> list:
+        out = []
+        if not fs.exists(d):
+            return out
+        now_ms = _time.time() * 1000.0
+        for st in fs.listStatus(d):
+            name = st.getPath().getName()
+            if not name.startswith(prefix):
+                continue
+            age = (now_ms - st.getModificationTime()) / 1000.0
+            if age > ttl or _holder_dead(st.getPath()):
+                fs.delete(st.getPath(), False)  # corpse cleanup
+                continue
+            out.append((name, round(age, 1)))
+        return out
+
+    def refuse(found: list) -> None:
+        raise IndexMaintenanceConflict(
+            f"{op} refused on index '{table}': concurrent {other} in "
+            f"progress (locks {found} under {d}). An un-fenced "
+            "append/vacuum overlap can silently drop the appended "
+            "generation with the directory vacuum replaces. Retry after "
+            f"the {other} completes; if its process crashed, the lock "
+            f"expires after SPARK_GRAFT_INDEX_LOCK_TTL_SEC (default "
+            f"{_INDEX_LOCK_TTL_SEC_DEFAULT}s) or can be deleted."
+        )
+
+    found = fresh_locks(other)
+    if found:
+        refuse(found)
+    own_name = (
+        "vacuum.lock" if op == "vacuum"
+        else f"append.{_uuid.uuid4().hex}.lock"
+    )
+    own = jvm.org.apache.hadoop.fs.Path(d, own_name)
+    payload = _json.dumps({"pid": os.getpid(), "host": host}).encode("utf-8")
+    try:
+        stream = fs.create(own, False)  # atomic create-no-overwrite
+        stream.write(payload)
+        stream.close()
+    except Exception:
+        raise IndexMaintenanceConflict(
+            f"vacuum refused on index '{table}': another vacuum holds "
+            f"{own} — one vacuum at a time; a crashed holder's lock is "
+            "ignored once its pid is gone (same host) or after "
+            "SPARK_GRAFT_INDEX_LOCK_TTL_SEC."
+        )
+    try:
+        found = fresh_locks(other)
+        if found:
+            refuse(found)
+        yield
+    finally:
+        fs.delete(own, False)
 
 
 def _table_data_file_count(spark: SparkSession, table: str) -> int:
@@ -547,10 +701,12 @@ def vacuum_ann_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
     drop rows from superseded ``build_id`` generations (the codebooks
     sidecar defines CURRENT). Probe results are unchanged by
     construction — asserted both in tests and by the registered
-    ``similarity_ann_index_vacuum_adc`` query under the DuckDB oracle."""
-    return _compact_bucketed_table(
-        spark, table, ("cell",), _current_build_id(spark, table)
-    )
+    ``similarity_ann_index_vacuum_adc`` query under the DuckDB oracle.
+    Fenced against concurrent appends by :func:`_maintenance_lock`."""
+    with _maintenance_lock(spark, table, "vacuum"):
+        return _compact_bucketed_table(
+            spark, table, ("cell",), _current_build_id(spark, table)
+        )
 
 
 def generation_report(

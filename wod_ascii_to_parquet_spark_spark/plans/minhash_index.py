@@ -184,33 +184,40 @@ def append_minhash_index(
     Production callers leave it None; tests/index_race_worker.py SIGKILLs
     the process from it to prove the documented recovery (re-append the
     same delta, then vacuum) heals a REAL process corpse, not a
-    simulated one."""
-    meta = spark.table(f"{table}__meta").first()
-    s = _sig_frame(new_docs, meta["family"]).persist()
-    n = s.count()
-    n_buckets = _table_num_buckets(spark, table)
-    (
-        _band_keys(s)
-        .withColumn("build_id", F.lit(meta["build_id"]))
-        .write.bucketBy(n_buckets, "band", "key")
-        .sortBy("band", "key")
-        .format("parquet")
-        .mode("append")
-        .saveAsTable(table)
-    )
-    if after_bands_hook is not None:
-        after_bands_hook()
-    (
-        s.select("doc_id", "sh")
-        .withColumn("build_id", F.lit(meta["build_id"]))
-        .write.bucketBy(n_buckets, "doc_id")
-        .sortBy("doc_id")
-        .format("parquet")
-        .mode("append")
-        .saveAsTable(f"{table}__docs")
-    )
-    s.unpersist()
-    return n
+    simulated one.
+
+    Fenced against a concurrent vacuum by ``_maintenance_lock`` (a
+    vacuum racing this append could drop the appended generation with
+    the directories it replaces — VERDICT r12 #6)."""
+    from .ann_index import _maintenance_lock
+
+    with _maintenance_lock(spark, table, "append"):
+        meta = spark.table(f"{table}__meta").first()
+        s = _sig_frame(new_docs, meta["family"]).persist()
+        n = s.count()
+        n_buckets = _table_num_buckets(spark, table)
+        (
+            _band_keys(s)
+            .withColumn("build_id", F.lit(meta["build_id"]))
+            .write.bucketBy(n_buckets, "band", "key")
+            .sortBy("band", "key")
+            .format("parquet")
+            .mode("append")
+            .saveAsTable(table)
+        )
+        if after_bands_hook is not None:
+            after_bands_hook()
+        (
+            s.select("doc_id", "sh")
+            .withColumn("build_id", F.lit(meta["build_id"]))
+            .write.bucketBy(n_buckets, "doc_id")
+            .sortBy("doc_id")
+            .format("parquet")
+            .mode("append")
+            .saveAsTable(f"{table}__docs")
+        )
+        s.unpersist()
+        return n
 
 
 def probe_minhash_index(
@@ -297,16 +304,22 @@ def vacuum_minhash_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
     the build_id filter removes orphaned rows an interrupted rebuild may
     have stranded (which the one-row torn-build check cannot see). Probe
     results are unchanged — asserted in tests and by the registered
-    ``dedup_minhash_index_vacuum_md5`` query under the DuckDB oracle."""
-    from .ann_index import _compact_bucketed_table
+    ``dedup_minhash_index_vacuum_md5`` query under the DuckDB oracle.
+    Fenced against concurrent appends by ``_maintenance_lock`` — ONE
+    lock spans both sides, so an append can never interleave between
+    the bands compaction and the docs compaction."""
+    from .ann_index import _compact_bucketed_table, _maintenance_lock
 
-    current = _current_build_id(spark, table)
-    return {
-        "bands": _compact_bucketed_table(spark, table, ("band", "key"), current),
-        "docs": _compact_bucketed_table(
-            spark, f"{table}__docs", ("doc_id",), current
-        ),
-    }
+    with _maintenance_lock(spark, table, "vacuum"):
+        current = _current_build_id(spark, table)
+        return {
+            "bands": _compact_bucketed_table(
+                spark, table, ("band", "key"), current
+            ),
+            "docs": _compact_bucketed_table(
+                spark, f"{table}__docs", ("doc_id",), current
+            ),
+        }
 
 
 def vacuum_minhash_index_dry_run(
