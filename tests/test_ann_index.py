@@ -708,3 +708,35 @@ def test_refine_tie_truncation_detected_at_execution(spark):
     finally:
         for side in ("", "__codebooks"):
             spark.sql(f"DROP TABLE IF EXISTS {table}{side}")
+
+
+def test_cli_locks_and_refused_vacuum_exit_code(spark, ann_index, capsys):
+    """r13 ops surface for the maintenance fence: `locks` lists a held
+    lock with holder pid/host/liveness, and a scheduled `vacuum-index`
+    colliding with a live append exits 3 (retry-later) with the named
+    conflict as JSON — distinct from real failure, no traceback."""
+    import json as _json
+
+    from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+        _maintenance_lock,
+    )
+    from wod_ascii_to_parquet_spark_spark.table_cli import main
+
+    with _maintenance_lock(spark, ann_index, "append"):
+        rc = main(["locks", ann_index])
+        doc = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0
+        assert len(doc["locks"]) == 1
+        row = doc["locks"][0]
+        assert row["lock"].startswith("append.")
+        assert row["holder_alive"] is True
+        rc = main(["vacuum-index", ann_index, "--kind", "ann"])
+        doc = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 3
+        assert "vacuum refused" in doc["refused"]
+    # lock released: empty listing, vacuum succeeds
+    rc = main(["locks", ann_index])
+    doc = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and doc["locks"] == []
+    rc = main(["vacuum-index", ann_index, "--kind", "ann"])
+    assert rc == 0

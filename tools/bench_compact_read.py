@@ -9,8 +9,8 @@ them to ~1 per geohash3.
 Measured, for yearly-union vs compacted:
 
 - data files (= parquet footers a full scan opens),
-- wall time of a full-scan aggregate (count + sum over a data column —
-  forces real column reads, not metadata-only counts),
+- wall time of a full-scan aggregate (count + sum(latitude) — forces
+  real column reads, not metadata-only counts),
 - wall time of a geohash3-PRUNED read (one hot cell), where the
   partition-pruning win is |inputs| footers vs 1 but the listing cost
   differs: yearly needs one read per dataset root (16 listings).
@@ -137,7 +137,7 @@ def main() -> None:
                 if prune:
                     df = df.filter(F.col("geohash3") == hot)
                 n = df.agg(
-                    F.count(F.lit(1)).alias("n"), F.sum("depth").alias("s")
+                    F.count(F.lit(1)).alias("n"), F.sum("latitude").alias("s")
                 ).collect()[0]["n"]
                 runs.append(time.perf_counter() - t0)
             return {"sec": round(min(runs), 3), "rows": n,

@@ -6,6 +6,7 @@
     python -m wod_ascii_to_parquet_spark_spark.table_cli vacuum   <dir> [--keep N] [--min-age-hours H]
     python -m wod_ascii_to_parquet_spark_spark.table_cli vacuum-index <table> --kind {minhash,ann} [--dry-run]
     python -m wod_ascii_to_parquet_spark_spark.table_cli verify-index <table> --kind {minhash,ann} [--strict]
+    python -m wod_ascii_to_parquet_spark_spark.table_cli locks    <table>
 
 The maintenance surface a scheduled job or an operator at a terminal
 needs — the `DESCRIBE HISTORY` / `OPTIMIZE` / `VACUUM` triple of the
@@ -14,8 +15,12 @@ native formats, against the jar-free tables this engine writes, plus
 (`plans/minhash_index.py` / `plans/ann_index.py`, VERDICT r10 #5):
 `--dry-run` prints the per-side build_id generations a vacuum would
 drop and the file counts it would compact, without touching the index.
-Output is one JSON document per invocation (machine-consumable, like
-bench.py).
+`locks` lists the index's maintenance-lock fence state (r13: the
+append/vacuum collision is refused via advisory filesystem locks —
+see `plans/ann_index._maintenance_lock`); a refused `vacuum-index`
+exits 3 with the named conflict as JSON so a scheduler can
+distinguish "retry later" from real failure. Output is one JSON
+document per invocation (machine-consumable, like bench.py).
 """
 
 from __future__ import annotations
@@ -89,7 +94,15 @@ def build_parser() -> argparse.ArgumentParser:
         "otherwise exit 0)",
     )
 
-    for s in (hist, show, opt, vac, vidx, vfy):
+    lck = sub.add_parser(
+        "locks",
+        help="list an index's maintenance-lock fence state (read-only): "
+        "each advisory lock file with holder pid/host and age — the "
+        "append/vacuum collision guard of plans/ann_index",
+    )
+    lck.add_argument("table", help="catalog table name of the index")
+
+    for s in (hist, show, opt, vac, vidx, vfy, lck):
         s.add_argument("--master", default=None)
     return p
 
@@ -103,6 +116,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "verify-index":
         with cached_frames():
             return _verify_index(spark, args)
+    if args.cmd == "locks":
+        return _index_locks(spark, args)
     t = LogTable(spark, args.table_dir)
     # cached_frames: get_spark() reuses one session across in-process
     # invocations (a scheduled-ops loop calling main() N times is the
@@ -130,18 +145,75 @@ def _vacuum_index(spark, args) -> int:
         )
 
         run, dry = vacuum_ann_index, vacuum_ann_index_dry_run
-    if args.dry_run:
-        print(
-            json.dumps(
-                dict(dry(spark, args.table), kind=args.kind, dry_run=True)
+    from .plans.ann_index import IndexMaintenanceConflict
+
+    try:
+        if args.dry_run:
+            print(
+                json.dumps(
+                    dict(dry(spark, args.table), kind=args.kind, dry_run=True)
+                )
             )
-        )
-    else:
-        print(
-            json.dumps(
-                {"table": args.table, "kind": args.kind, "stats": run(spark, args.table)}
+        else:
+            print(
+                json.dumps(
+                    {
+                        "table": args.table,
+                        "kind": args.kind,
+                        "stats": run(spark, args.table),
+                    }
+                )
             )
-        )
+    except IndexMaintenanceConflict as e:
+        # exit 3 = "retry later", distinct from real failure: a
+        # scheduled vacuum colliding with a live appender is expected
+        # operational weather, not an error to page on
+        print(json.dumps({"table": args.table, "refused": str(e)}))
+        return 3
+    return 0
+
+
+def _index_locks(spark, args) -> int:
+    """Dispatch `locks`: read-only view of the advisory maintenance-lock
+    fence — which appends/vacuums currently hold the index, with holder
+    liveness an operator can act on (a dead same-host holder is cleaned
+    automatically at the next acquire; a live one means wait)."""
+    import os as _os
+    import socket
+    import time as _time
+
+    from .plans.ann_index import _locks_dir
+
+    d = _locks_dir(spark, args.table)
+    fs = d.getFileSystem(spark._jsc.hadoopConfiguration())
+    locks = []
+    if fs.exists(d):
+        now_ms = _time.time() * 1000.0
+        for st in fs.listStatus(d):
+            name = st.getPath().getName()
+            row = {
+                "lock": name,
+                "age_sec": round((now_ms - st.getModificationTime()) / 1000.0, 1),
+            }
+            try:
+                stream = fs.open(st.getPath())
+                try:
+                    info = json.loads(bytes(stream.readNBytes(256)).decode())
+                finally:
+                    stream.close()
+                row.update(info)
+                if info.get("host") == socket.gethostname():
+                    try:
+                        _os.kill(int(info["pid"]), 0)
+                        row["holder_alive"] = True
+                    except ProcessLookupError:
+                        row["holder_alive"] = False
+                    except Exception:
+                        row["holder_alive"] = True
+            except Exception:
+                row["unreadable"] = True
+            locks.append(row)
+    print(json.dumps({"table": args.table, "locks": locks}))
     return 0
 
 
