@@ -511,3 +511,116 @@ def test_cli_verify_index_strict_alerts_on_stranded_generation(spark, capsys):
     finally:
         for side in ("", "__docs", "__meta", "__vacuum_tmp", "__docs__vacuum_tmp"):
             spark.sql(f"DROP TABLE IF EXISTS {t}{side}")
+
+
+# ---------------------------------------------------------------------------
+# Hot-bucket guards on the PERSISTED index (SCALE.md §Round 13 follow-
+# through): the stored band table shares the live band join's quadratic
+# exposure — a band bucket of m docs emits m×|batch-hits| pairs in one
+# probe task — so floods are refused at INGEST (build/append, before any
+# write), the probe's BATCH side carries the live in-plan guard, and
+# verify reports hotness for indexes built under a raised bound.
+
+_FLOOD_TABLE = "test_mh_idx_flood"
+
+
+def _flood(spark, n, start=0):
+    return spark.range(start, start + n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(
+            "identical document text repeated verbatim across the corpus "
+            "many times over and over again"
+        ).alias("text"),
+    )
+
+
+def _drop_index(spark, base):
+    for side in ("", "__docs", "__meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {base}{side}")
+
+
+def test_ingest_guard_refuses_flood_before_any_write(spark, monkeypatch):
+    """A flood build is refused with the dedup_exact-first contract, and
+    the refusal lands BEFORE `_clear_table` — a refused REBUILD leaves
+    the existing healthy index byte-identical."""
+    monkeypatch.setenv("SPARK_GRAFT_MINHASH_BUCKET_BOUND", "10")
+    try:
+        with pytest.raises(RuntimeError, match="dedup_exact"):
+            build_minhash_index(
+                spark, _flood(spark, 40), table=_FLOOD_TABLE, family="md5"
+            )
+        assert not spark.catalog.tableExists(_FLOOD_TABLE)
+        build_minhash_index(
+            spark, _flood(spark, 6), table=_FLOOD_TABLE, family="md5"
+        )
+        before = spark.table(_FLOOD_TABLE).count()
+        with pytest.raises(RuntimeError, match="refusing minhash index build"):
+            build_minhash_index(
+                spark, _flood(spark, 40), table=_FLOOD_TABLE, family="md5"
+            )
+        assert spark.table(_FLOOD_TABLE).count() == before
+        with pytest.raises(RuntimeError, match="refusing minhash index append"):
+            append_minhash_index(
+                spark, _flood(spark, 40, start=100), table=_FLOOD_TABLE
+            )
+        assert spark.table(_FLOOD_TABLE).count() == before
+    finally:
+        _drop_index(spark, _FLOOD_TABLE)
+
+
+def test_append_budget_counts_stored_accumulation(spark, monkeypatch):
+    """Hotness ACCUMULATES: two ingests each under the bound but summing
+    past it must be refused — the append check counts delta + stored
+    rows for the touched keys, not the delta alone."""
+    monkeypatch.setenv("SPARK_GRAFT_MINHASH_BUCKET_BOUND", "10")
+    try:
+        build_minhash_index(
+            spark, _flood(spark, 6), table=_FLOOD_TABLE, family="md5"
+        )
+        with pytest.raises(RuntimeError, match="would hold 12 docs"):
+            append_minhash_index(
+                spark, _flood(spark, 6, start=100), table=_FLOOD_TABLE
+            )
+        # disjoint-key growth is untouched: real fixture docs append fine
+        d = load(spark, SF_DIR, "documents").select("doc_id", "text")
+        assert append_minhash_index(
+            spark, d.limit(20), table=_FLOOD_TABLE
+        ) == 20
+    finally:
+        _drop_index(spark, _FLOOD_TABLE)
+
+
+def test_probe_batch_flood_guarded_in_plan(spark, mh_index, monkeypatch):
+    """The other explosion direction — a flood PROBE batch against a
+    healthy index — fails in-plan (assert_true before the band join)
+    with the same contract."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    monkeypatch.setenv("SPARK_GRAFT_MINHASH_BUCKET_BOUND", "10")
+    with pytest.raises(
+        (SparkRuntimeException, Py4JJavaError), match="dedup_exact"
+    ):
+        probe_minhash_index(spark, _flood(spark, 40), table=mh_index).collect()
+
+
+def test_verify_reports_band_bucket_hotness(spark, mh_index, monkeypatch):
+    """verify_minhash_index surfaces bucket hotness (for indexes built
+    under a raised bound) WITHOUT flipping `consistent` — a capacity
+    hazard, not corruption."""
+    from wod_ascii_to_parquet_spark_spark.operators.dedup import (
+        _MINHASH_BUCKET_BOUND_DEFAULT,
+    )
+    from wod_ascii_to_parquet_spark_spark.plans.minhash_index import (
+        verify_minhash_index,
+    )
+
+    rep = verify_minhash_index(spark, mh_index)
+    assert rep["band_bucket_bound"] == _MINHASH_BUCKET_BOUND_DEFAULT
+    assert rep["hot_band_buckets"] == 0
+    assert rep["max_band_bucket_docs"] >= 1
+    assert rep["consistent"]
+    monkeypatch.setenv("SPARK_GRAFT_MINHASH_BUCKET_BOUND", "0")
+    rep2 = verify_minhash_index(spark, mh_index)
+    assert rep2["hot_band_buckets"] >= 1
+    assert rep2["consistent"]

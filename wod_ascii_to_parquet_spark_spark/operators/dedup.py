@@ -393,6 +393,58 @@ def _band_keys(s: DataFrame) -> DataFrame:
 _MINHASH_BUCKET_BOUND_DEFAULT = 4096
 
 
+def _minhash_bucket_bound() -> int:
+    """The effective hot-bucket bound: env override or the measured
+    default — read at call time so a deliberate run can raise it per
+    invocation (the same contract as the seg4 candidate budget)."""
+    import os
+
+    return int(
+        os.environ.get(
+            "SPARK_GRAFT_MINHASH_BUCKET_BOUND",
+            str(_MINHASH_BUCKET_BOUND_DEFAULT),
+        )
+    )
+
+
+def _hot_bucket_contract(bound: int) -> str:
+    """The refusal text every minhash hot-bucket guard raises with —
+    live band join, persisted-index ingest, and probe batch all name the
+    SAME contract so an operator sees one remediation everywhere. Keep
+    apostrophe-free: the in-plan guards embed it in a SQL string
+    literal."""
+    return (
+        f"minhash LSH band bucket exceeds {bound} docs: a bucket of m "
+        "docs joins into C(m,2) pairs in one task, and buckets this hot "
+        "are identical-document floods, not near-dup clusters (measured "
+        "fixture max 16 at 50k docs). Route byte-identical docs through "
+        "dedup_exact first, or raise SPARK_GRAFT_MINHASH_BUCKET_BOUND "
+        "for a deliberate run."
+    )
+
+
+def _guarded_band_side(exploded: DataFrame, alias: str) -> DataFrame:
+    """``(doc_id, band, key)`` → ``(alias, band, key)`` with the in-plan
+    hot-bucket guard: a per-(band, key) count window whose partitioning
+    is the band JOIN's own hash partitioning — at scale the sort-merge
+    join shuffles on (band, key) anyway, so the window rides the same
+    Exchange — and an ``assert_true`` that fails the stage BEFORE the
+    quadratic bucket is joined, naming the route-identical-docs-through-
+    ``dedup_exact``-first contract. Shared by the live band join (side
+    ``a``) and the persisted-index probe's batch side
+    (``plans/minhash_index.py``)."""
+    from pyspark.sql import Window as W
+
+    bound = _minhash_bucket_bound()
+    guarded = F.expr(
+        f"CASE WHEN assert_true(__bsz <= {bound}, "
+        f"'{_hot_bucket_contract(bound)}') IS NULL THEN doc_id END"
+    )
+    return exploded.withColumn(
+        "__bsz", F.count(F.lit(1)).over(W.partitionBy("band", "key"))
+    ).select(guarded.alias(alias), "band", "key")
+
+
 def _band_candidates(s: DataFrame) -> DataFrame:
     """Banded candidate pairs ``(doc_a, doc_b)`` from a prepared
     ``(doc_id, sig)`` frame: 8 bands x 4 rows -> band-key equi-join.
@@ -401,41 +453,9 @@ def _band_candidates(s: DataFrame) -> DataFrame:
     onto the (tiny) candidate set by the callers.
 
     Hot-bucket guard (:data:`_MINHASH_BUCKET_BOUND_DEFAULT`): side ``a``
-    carries an in-plan per-(band, key) count window whose partitioning is
-    the JOIN's own hash partitioning — at scale the sort-merge join
-    shuffles on (band, key) anyway, so the window rides the same
-    Exchange — and an ``assert_true`` fails the stage BEFORE the
-    quadratic bucket is joined, naming the route-identical-docs-through-
-    ``dedup_exact``-first contract."""
-    import os
-
-    from pyspark.sql import Window as W
-
-    bound = int(
-        os.environ.get(
-            "SPARK_GRAFT_MINHASH_BUCKET_BOUND",
-            str(_MINHASH_BUCKET_BOUND_DEFAULT),
-        )
-    )
-    msg = (
-        f"minhash LSH band bucket exceeds {bound} docs: a bucket of m "
-        "docs joins into C(m,2) pairs in one task, and buckets this hot "
-        "are identical-document floods, not near-dup clusters (measured "
-        "fixture max 16 at 50k docs). Route byte-identical docs through "
-        "dedup_exact first, or raise SPARK_GRAFT_MINHASH_BUCKET_BOUND "
-        "for a deliberate run."
-    )
+    rides through :func:`_guarded_band_side`."""
     exploded = _band_keys(s)
-    guarded = F.expr(
-        f"CASE WHEN assert_true(__bsz <= {bound}, '{msg}') IS NULL "
-        "THEN doc_id END"
-    )
-    a = (
-        exploded.withColumn(
-            "__bsz", F.count(F.lit(1)).over(W.partitionBy("band", "key"))
-        )
-        .select(guarded.alias("doc_a"), "band", "key")
-    )
+    a = _guarded_band_side(exploded, "doc_a")
     b = exploded.select(F.col("doc_id").alias("doc_b"), "band", "key")
     return (
         a.join(b, ["band", "key"])

@@ -49,6 +49,9 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     _band_keys,
+    _guarded_band_side,
+    _hot_bucket_contract,
+    _minhash_bucket_bound,
     jaccard,
     minhash_signature,
     shingle_hashes,
@@ -120,6 +123,52 @@ def _sig_frame(docs: DataFrame, family: str) -> DataFrame:
     )
 
 
+def _check_ingest_bucket_budget(
+    delta_bands: DataFrame,
+    existing_bands: DataFrame | None,
+    what: str,
+) -> None:
+    """Ingest-side hot-bucket guard (the stored twin of the live band
+    join's in-plan guard, SCALE.md §Round 13): a band bucket of m docs
+    makes every future probe of that bucket emit m×|batch-hits| pairs in
+    ONE task, and the exposure is CREATED here — so floods are refused
+    where they enter, and probes stay un-taxed (no full-index count
+    window per probe).
+
+    ``build`` checks the delta alone; ``append`` checks delta +
+    already-stored rows for the touched keys, because hotness
+    ACCUMULATES across appends each individually under the bound. The
+    append check's index-side scan is restricted to the batch's keys via
+    a semi-join and costs about one probe's index-side read — a
+    maintenance-time price for never paying it at probe time. Refusal
+    raises BEFORE any write, so a refused ingest leaves the index
+    byte-identical."""
+    bound = _minhash_bucket_bound()
+    counts = delta_bands.groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("delta_n")
+    )
+    if existing_bands is not None:
+        stored = (
+            existing_bands.join(
+                counts.select("band", "key"), ["band", "key"], "left_semi"
+            )
+            .groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("index_n"))
+        )
+        counts = counts.join(stored, ["band", "key"], "left").select(
+            (
+                F.col("delta_n") + F.coalesce(F.col("index_n"), F.lit(0))
+            ).alias("delta_n")
+        )
+    row = counts.agg(F.max("delta_n").alias("mx")).first()
+    mx = row["mx"] or 0
+    if mx > bound:
+        raise RuntimeError(
+            f"refusing minhash index {what}: hottest band bucket would "
+            f"hold {mx} docs — " + _hot_bucket_contract(bound)
+        )
+
+
 def build_minhash_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -129,13 +178,16 @@ def build_minhash_index(
 ) -> str:
     """One corpus pass → banded keys + shingle sidecar + meta row.
     ``docs`` must have columns ``(doc_id, text)``. Returns the
-    ``build_id`` stamped into all three tables."""
+    ``build_id`` stamped into all three tables. Identical-document
+    floods are refused up front (:func:`_check_ingest_bucket_budget`)
+    before the existing tables are touched."""
     if family not in _FAMILIES:
         raise ValueError(f"unknown hash family {family!r}; one of {sorted(_FAMILIES)}")
     build_id = uuid.uuid4().hex
+    s = _sig_frame(docs, family).persist()  # two consumers: bands, docs
+    _check_ingest_bucket_budget(_band_keys(s), None, "build")
     for t in (f"{table}__meta", table, f"{table}__docs"):
         _clear_table(spark, t)
-    s = _sig_frame(docs, family).persist()  # two consumers: bands, docs
     # meta first: a crash mid-build leaves a meta row whose build_id no
     # data row carries — caught by the probe's torn-build check.
     spark.createDataFrame([(family, build_id)], "family string, build_id string") \
@@ -195,6 +247,10 @@ def append_minhash_index(
         meta = spark.table(f"{table}__meta").first()
         s = _sig_frame(new_docs, meta["family"]).persist()
         n = s.count()
+        # Accumulation-aware hot-bucket budget: delta + stored rows for
+        # the touched keys, so a bucket cannot creep past the bound via
+        # appends each individually under it.
+        _check_ingest_bucket_budget(_band_keys(s), spark.table(table), "append")
         n_buckets = _table_num_buckets(spark, table)
         (
             _band_keys(s)
@@ -239,7 +295,14 @@ def probe_minhash_index(
     batch_id``, which reproduces the live ``dedup_minhash_lsh`` pair set
     exactly. Leave False for external batches with their own numbering —
     dropping ``index_id == batch_id`` there would discard a legitimate
-    match."""
+    match.
+
+    Hot-bucket exposure (SCALE.md §Round 13): the BATCH side carries the
+    live band join's in-plan guard (cheap — the batch is small); the
+    STORED side is guarded at ingest (`_check_ingest_bucket_budget`) and
+    reported by :func:`verify_minhash_index`, deliberately NOT re-counted
+    here — a per-probe full-index count window would tax every probe for
+    a bound the write path already enforced."""
     meta = spark.table(f"{table}__meta").first()
     index_bands = spark.table(table)
     index_docs = spark.table(f"{table}__docs")
@@ -266,7 +329,7 @@ def probe_minhash_index(
     cand = (
         index_bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
         .join(
-            _band_keys(s).select(F.col("doc_id").alias("doc_b"), "band", "key"),
+            _guarded_band_side(_band_keys(s), "doc_b"),
             ["band", "key"],
         )
         .filter(pair_filter)
@@ -361,6 +424,12 @@ def verify_minhash_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
     silent corruption (probe candidates are de-duplicated, duplicate
     sidecar rows are counted above), so they do not flip ``consistent``;
     ``current_generation_only`` carries the verdict and vacuum heals it.
+
+    Also reports band-bucket hotness (``max_band_bucket_docs`` /
+    ``hot_band_buckets`` vs ``band_bucket_bound``) — the quadratic-probe
+    exposure the ingest guard enforces, surfaced here for indexes built
+    under a raised bound. Capacity hazard, not corruption: does not flip
+    ``consistent``.
     """
     meta_build = _current_build_id(spark, table)
     bands_tbl = spark.table(table)
@@ -380,10 +449,30 @@ def verify_minhash_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
     dup_docs = (
         docs.groupBy("doc_id").count().filter(F.col("count") > 1).count()
     )
+    # Band-bucket hotness (band-KEY groups, not the table's file
+    # buckets): the quadratic-probe exposure the ingest guard enforces,
+    # re-measured here so an index built under a raised
+    # SPARK_GRAFT_MINHASH_BUCKET_BOUND is still VISIBLE to a scheduled
+    # health check. Hot buckets are a capacity hazard, not corruption —
+    # probe answers stay exact, one task just pays C(m,2) — so they do
+    # not flip ``consistent``.
+    bound = _minhash_bucket_bound()
+    bstats = (
+        bands_tbl.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.max("n").alias("mx"),
+            F.count(F.when(F.col("n") > bound, 1)).alias("hot"),
+        )
+        .first()
+    )
     return {
         "band_docids_missing_sidecar": torn,
         "duplicate_sidecar_docids": dup_docs,
         "stranded_build_ids": stranded,
+        "max_band_bucket_docs": int(bstats["mx"] or 0),
+        "hot_band_buckets": int(bstats["hot"] or 0),
+        "band_bucket_bound": bound,
         "current_generation_only": not (stranded["bands"] or stranded["docs"]),
         "consistent": torn == 0 and dup_docs == 0,
     }
