@@ -740,3 +740,264 @@ def test_cli_locks_and_refused_vacuum_exit_code(spark, ann_index, capsys):
     assert rc == 0 and doc["locks"] == []
     rc = main(["vacuum-index", ann_index, "--kind", "ann"])
     assert rc == 0
+
+
+def test_delete_masks_probe_and_vacuum_physically_reclaims(spark):
+    """The takedown lifecycle (r13): delete_from_ann_index tombstones a
+    set in O(|set|) without rewriting the codes table; every probe masks
+    the tombstones (deleted vectors never surface); vacuum applies them
+    to the layout (rows physically gone, sidecar cleared) with probe
+    results unchanged — the mask and the reclaim must be equivalent."""
+    from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+        delete_from_ann_index,
+        vacuum_ann_index,
+        vacuum_ann_index_dry_run,
+        verify_ann_index,
+    )
+
+    t = "test_ann_idx_del"
+    try:
+        build_ann_index(spark, SF_DIR, table=t, n_buckets=8, n_cells=16)
+        q = _queries(spark)
+
+        def probe():
+            return {
+                tuple(r)
+                for r in probe_ann_index(
+                    spark, q, table=t, nprobe=4, k=3, exclude_self=True
+                ).collect()
+            }
+
+        clean = probe()
+        rows_full = spark.table(t).count()
+        e = load(spark, SF_DIR, "embeddings")
+        victims = e.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+        n_victims = victims.count()
+        n = delete_from_ann_index(spark, victims, table=t)
+        assert n == n_victims
+        masked = probe()
+        deleted_ids = {r[0] for r in victims.collect()}
+        assert not {r[1] for r in masked} & deleted_ids
+        assert masked != clean  # a deleted neighbor was actually serving
+        # each query still gets k results from the surviving corpus
+        assert len(masked) == len(clean)
+        # delete is O(sidecar): the codes table was NOT rewritten
+        assert spark.table(t).count() == rows_full
+        assert verify_ann_index(spark, t)["tombstoned_vec_ids"] == n_victims
+        dry = vacuum_ann_index_dry_run(spark, t)
+        assert dry["tombstones_to_reclaim"] == n_victims
+        stats = vacuum_ann_index(spark, table=t)
+        assert stats["tombstones_applied"] == n_victims
+        assert stats["rows_dropped"] == n_victims
+        assert spark.table(t).count() == rows_full - n_victims
+        # sidecar cleared: its mass is now encoded in the layout itself
+        assert not spark.catalog.tableExists(f"{t}__tombstones")
+        assert probe() == masked
+        assert verify_ann_index(spark, t)["tombstoned_vec_ids"] == 0
+    finally:
+        for side in ("", "__codebooks", "__tombstones", "__vacuum_tmp"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{side}")
+
+
+def test_delete_is_generation_scoped_rebuild_clears_tombstones(spark):
+    """Tombstones die with the generation they masked: a rebuild encodes
+    whatever corpus the caller passes, so carrying forward deletions of
+    the PREVIOUS corpus would silently mask legitimate rows."""
+    from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+        delete_from_ann_index,
+    )
+
+    t = "test_ann_idx_del_gen"
+    try:
+        build_ann_index(spark, SF_DIR, table=t, n_buckets=8, n_cells=16)
+
+        def probe_ids():
+            return {
+                r[1]
+                for r in probe_ann_index(
+                    spark, _queries(spark), table=t, nprobe=4, k=3,
+                    exclude_self=True,
+                ).collect()
+            }
+
+        victim = max(probe_ids())  # a vector that is actually serving
+        delete_from_ann_index(
+            spark,
+            load(spark, SF_DIR, "embeddings")
+            .filter(F.col("vec_id") == victim)
+            .select("vec_id"),
+            table=t,
+        )
+        gone = probe_ids()
+        build_ann_index(spark, SF_DIR, table=t, n_buckets=8, n_cells=16)
+        assert not spark.catalog.tableExists(f"{t}__tombstones")
+        back = probe_ids()
+        assert victim not in gone and victim in back
+    finally:
+        for side in ("", "__codebooks", "__tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{side}")
+
+
+def test_delete_and_vacuum_fence_each_other(spark, ann_index):
+    """The mutator class (r13): a delete inside a live vacuum refuses
+    and vice versa (a tombstone written mid-vacuum would be cleared
+    without its rows being dropped — silent resurrection); concurrent
+    mutators (append + delete) stay allowed."""
+    from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+        IndexMaintenanceConflict,
+        _maintenance_lock,
+        delete_from_ann_index,
+        vacuum_ann_index,
+    )
+
+    one = spark.range(1).select(F.lit(0).cast("bigint").alias("vec_id"))
+    with _maintenance_lock(spark, ann_index, "vacuum"):
+        with pytest.raises(IndexMaintenanceConflict, match="delete refused"):
+            delete_from_ann_index(spark, one, table=ann_index)
+    with _maintenance_lock(spark, ann_index, "delete"):
+        with pytest.raises(IndexMaintenanceConflict, match="vacuum refused"):
+            vacuum_ann_index(spark, table=ann_index)
+        # mutators don't conflict with each other
+        with _maintenance_lock(spark, ann_index, "append"):
+            pass
+    # fence released: tombstone lands, then clean it up via rebuild
+    try:
+        delete_from_ann_index(spark, one, table=ann_index)
+    finally:
+        build_ann_index(
+            spark, SF_DIR, table=ann_index, n_buckets=8, n_cells=16
+        )
+
+
+def test_filtered_probe_is_prefilter_not_postfilter(spark):
+    """Filtered ANN (r13): the metadata predicate applies to the
+    candidate stream BEFORE top-k, so every query gets k results from
+    the eligible subset; post-filtering the unfiltered top-k (the
+    tempting wrong implementation) returns fewer rows and misses every
+    eligible neighbor that ranked below an ineligible one."""
+    t = "test_ann_idx_filt"
+    try:
+        emb = load(spark, SF_DIR, "embeddings")
+        build_ann_index(
+            spark, SF_DIR, table=t, n_buckets=8, n_cells=16,
+            attributes=emb.select("vec_id", "label"),
+        )
+        q = _queries(spark)
+        filtered = probe_ann_index(
+            spark, q, table=t, nprobe=4, k=3, exclude_self=True,
+            candidate_filter="label % 2 = 0",
+        ).collect()
+        eligible = {
+            r[0] for r in emb.filter(F.col("label") % 2 == 0)
+            .select("vec_id").collect()
+        }
+        assert {r["vec_id"] for r in filtered} <= eligible
+        # pre-filter: every query keeps its full k
+        from collections import Counter
+
+        per_q = Counter(r["qid"] for r in filtered)
+        assert set(per_q.values()) == {3}
+        # the post-filter strawman demonstrably loses results
+        unfiltered = probe_ann_index(
+            spark, q, table=t, nprobe=4, k=3, exclude_self=True
+        ).collect()
+        post = [r for r in unfiltered if r["vec_id"] in eligible]
+        assert len(post) < len(filtered)
+    finally:
+        for side in ("", "__codebooks"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{side}")
+
+
+def test_attributed_append_requires_and_carries_attributes(spark):
+    """An index built with attribute columns must refuse a bare append
+    (appended rows would NULL out of every candidate_filter — silently
+    unfindable); with attributes supplied, slice-build + append serves
+    filtered probes identically to a full attributed build."""
+    from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+        append_to_ann_index,
+    )
+
+    t, t2 = "test_ann_idx_attr", "test_ann_idx_attr_full"
+    try:
+        emb = load(spark, SF_DIR, "embeddings")
+        e = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        attrs = emb.select("vec_id", "label")
+        build_ann_index(
+            spark, SF_DIR, table=t, n_buckets=8, n_cells=16,
+            vectors=e.filter(F.col("vec_id") < 250),
+            attributes=attrs.filter(F.col("vec_id") < 250),
+        )
+        delta = e.filter(F.col("vec_id") >= 250)
+        with pytest.raises(ValueError, match="attribute columns"):
+            append_to_ann_index(spark, delta, table=t)
+        append_to_ann_index(
+            spark, delta, table=t,
+            attributes=attrs.filter(F.col("vec_id") >= 250),
+        )
+        build_ann_index(
+            spark, SF_DIR, table=t2, n_buckets=8, n_cells=16,
+            attributes=attrs,
+        )
+        q = _queries(spark)
+
+        def probe(table):
+            return {
+                tuple(r)
+                for r in probe_ann_index(
+                    spark, q, table=table, nprobe=4, k=3, exclude_self=True,
+                    candidate_filter="label % 2 = 0",
+                ).collect()
+            }
+
+        assert probe(t) == probe(t2)
+    finally:
+        for tbl in (t, t2):
+            for side in ("", "__codebooks"):
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}{side}")
+
+
+def test_cli_delete_index_tombstones_and_refusal_exit_code(spark, capsys):
+    """r13 ops surface for takedowns: `delete-index` tombstones ids from
+    a shell (a compliance runbook doesn't import plans/*), probes stop
+    serving them immediately, and a collision with a live vacuum exits 3
+    (retry-later) with the named conflict as JSON."""
+    import json as _json
+
+    from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+        _maintenance_lock,
+    )
+    from wod_ascii_to_parquet_spark_spark.table_cli import main
+
+    t = "test_ann_idx_cli_del"
+    try:
+        build_ann_index(spark, SF_DIR, table=t, n_buckets=8, n_cells=16)
+        serving = {
+            r[1]
+            for r in probe_ann_index(
+                spark, _queries(spark), table=t, nprobe=4, k=3,
+                exclude_self=True,
+            ).collect()
+        }
+        victim = max(serving)
+        rc = main(["delete-index", t, "--kind", "ann", "--ids", str(victim)])
+        doc = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and doc["tombstoned"] == 1
+        after = {
+            r[1]
+            for r in probe_ann_index(
+                spark, _queries(spark), table=t, nprobe=4, k=3,
+                exclude_self=True,
+            ).collect()
+        }
+        assert victim not in after
+        with _maintenance_lock(spark, t, "vacuum"):
+            rc = main(["delete-index", t, "--kind", "ann", "--ids", "1"])
+            doc = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+            assert rc == 3 and "delete refused" in doc["refused"]
+        rc = main(["delete-index", t, "--kind", "ann", "--ids", "x,y"])
+        assert rc == 2
+    finally:
+        for side in ("", "__codebooks", "__tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{side}")

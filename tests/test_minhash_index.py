@@ -624,3 +624,89 @@ def test_verify_reports_band_bucket_hotness(spark, mh_index, monkeypatch):
     rep2 = verify_minhash_index(spark, mh_index)
     assert rep2["hot_band_buckets"] >= 1
     assert rep2["consistent"]
+
+
+def test_delete_masks_probe_and_vacuum_physically_reclaims(spark):
+    """The takedown lifecycle (r13, minhash side): tombstoned index docs
+    stop generating candidates immediately (mask = broadcast anti-join
+    BEFORE the band join); vacuum applies the tombstones to BOTH
+    bucketed sides and clears the sidecar, with probe results unchanged
+    — the mask and the reclaim must be equivalent."""
+    from wod_ascii_to_parquet_spark_spark.plans.minhash_index import (
+        delete_from_minhash_index,
+        probe_minhash_index,
+        vacuum_minhash_index,
+        vacuum_minhash_index_dry_run,
+        verify_minhash_index,
+    )
+
+    t = "test_mh_idx_del"
+    try:
+        d = load(spark, SF_DIR, "documents").select("doc_id", "text")
+        build_minhash_index(spark, d, table=t, family="md5")
+
+        def probe():
+            return _pairs(probe_minhash_index(spark, d, table=t, self_probe=True))
+
+        clean = probe()
+        assert clean, "fixture must produce near-dup pairs"
+        # delete the index side of one real pair so the mask is visible
+        victim = min(a for a, _b, _j in clean)
+        victims = d.filter(F.col("doc_id") == victim).select("doc_id")
+        bands_before = spark.table(t).count()
+        n = delete_from_minhash_index(spark, victims, table=t)
+        assert n == 1
+        masked = probe()
+        assert not {p for p in masked if p[0] == victim}
+        assert masked == {p for p in clean if p[0] != victim}
+        # O(sidecar): neither bucketed side was rewritten
+        assert spark.table(t).count() == bands_before
+        assert verify_minhash_index(spark, t)["tombstoned_doc_ids"] == 1
+        assert vacuum_minhash_index_dry_run(spark, t)[
+            "tombstones_to_reclaim"
+        ] == 1
+        stats = vacuum_minhash_index(spark, table=t)
+        assert stats["tombstones_applied"] == 1
+        # physically gone from both sides, sidecar cleared
+        assert spark.table(t).filter(F.col("doc_id") == victim).count() == 0
+        assert (
+            spark.table(f"{t}__docs").filter(F.col("doc_id") == victim).count()
+            == 0
+        )
+        assert not spark.catalog.tableExists(f"{t}__tombstones")
+        assert probe() == masked
+        rep = verify_minhash_index(spark, t)
+        assert rep["tombstoned_doc_ids"] == 0 and rep["consistent"]
+    finally:
+        for side in ("", "__docs", "__meta", "__tombstones", "__vacuum_tmp",
+                     "__docs__vacuum_tmp"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{side}")
+
+
+def test_minhash_delete_is_generation_scoped(spark):
+    """A rebuild clears the tombstone sidecar: deletions of the previous
+    corpus must not mask the new one's rows."""
+    from wod_ascii_to_parquet_spark_spark.plans.minhash_index import (
+        delete_from_minhash_index,
+        probe_minhash_index,
+    )
+
+    t = "test_mh_idx_del_gen"
+    try:
+        d = load(spark, SF_DIR, "documents").select("doc_id", "text")
+        build_minhash_index(spark, d, table=t, family="md5")
+        clean = _pairs(probe_minhash_index(spark, d, table=t, self_probe=True))
+        victim = min(a for a, _b, _j in clean)
+        delete_from_minhash_index(
+            spark, d.filter(F.col("doc_id") == victim).select("doc_id"),
+            table=t,
+        )
+        build_minhash_index(spark, d, table=t, family="md5")
+        assert not spark.catalog.tableExists(f"{t}__tombstones")
+        assert (
+            _pairs(probe_minhash_index(spark, d, table=t, self_probe=True))
+            == clean
+        )
+    finally:
+        for side in ("", "__docs", "__meta", "__tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{side}")

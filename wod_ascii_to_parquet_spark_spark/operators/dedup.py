@@ -1747,6 +1747,45 @@ def dedup_minhash_index_vacuum_md5(spark: SparkSession, sf_dir: str) -> DataFram
     return probe_minhash_index(spark, d, table=table, self_probe=True)
 
 
+@register(
+    "dedup_minhash_index_delete_md5",
+    "WITH "
+    + _md5_lsh_sql(
+        "SELECT doc_a, doc_b, round(jac, 6) AS jac FROM verified "
+        "WHERE jac >= 0.5 AND doc_a % 5 <> 2"
+    ),
+    tags=("dedup",),
+)
+def dedup_minhash_index_delete_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TAKEDOWN lifecycle under the hash gate (r13): build the
+    signature index over the whole corpus, tombstone every ``doc_id % 5
+    == 2`` (``plans/minhash_index.delete_from_minhash_index`` — an
+    O(|delete set|) sidecar append; neither bucketed side is rewritten),
+    then self-probe. Removed documents must stop generating candidates
+    immediately: the probe masks tombstoned INDEX docs with a broadcast
+    anti-join BEFORE the band join, so the oracle is the live pair set
+    minus every pair whose index side (``doc_a``) was deleted. Pairs
+    where only the BATCH side is a deleted id survive — the batch is the
+    caller's data, not index state (and under self-probe's ``doc_a <
+    doc_b`` each unordered pair appears exactly once, as index=min,
+    batch=max). The physical-reclaim half (vacuum applies tombstones to
+    both bucketed sides, probe unchanged) is pinned in
+    tests/test_minhash_index.py."""
+    from ..plans.minhash_index import (
+        build_minhash_index,
+        delete_from_minhash_index,
+        probe_minhash_index,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    table = "minhash_lsh_index_delq"
+    build_minhash_index(spark, d, table=table, family="md5")
+    delete_from_minhash_index(
+        spark, d.filter(F.col("doc_id") % 5 == 2).select("doc_id"), table=table
+    )
+    return probe_minhash_index(spark, d, table=table, self_probe=True)
+
+
 def _md5_calibration_sql() -> str:
     """DuckDB mirror of the minhash CALIBRATION query: per band-candidate
     pair, the signature-agreement estimate (matching positions / 32)

@@ -1240,12 +1240,18 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_adc_sql() -> str:
+def _ivf_adc_sql(cand_pred: str = "") -> str:
     """DuckDB mirror of IVFADC: the PQ CTEs (codebook distances + picked
     codes) stacked with the IVF assign/probe CTEs — ``seeds`` doubles as
     both the PQ codebook and the IVF quantizer (identical medoids), the
     ADC sum is the same fixed s=0..7 CASE-pivot order as the Spark chain
-    (fp addition order matters)."""
+    (fp addition order matters).
+
+    ``cand_pred``: optional extra SQL predicate (``AND ...``) on the
+    candidate side ``a`` of the ADC join — mirrors a probe-side
+    tombstone mask (``delete_from_ann_index``) or attribute
+    ``candidate_filter``; both apply BEFORE the top-k window, exactly
+    as the Spark plan does (pre-filtering)."""
     scaled_a = _IVF_SCALED.format(a="e.emb", b="x.cemb")
     scaled_q = _IVF_SCALED.format(a="q.emb", b="x.cemb")
     pivot = " + ".join(
@@ -1283,6 +1289,7 @@ def _ivf_adc_sql() -> str:
             SELECT p.qid, a.vec_id, {pivot} AS adc
             FROM probes p
             JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.qid
+                 {cand_pred}
             JOIN picked pk ON pk.vec_id = a.vec_id
             JOIN qd ON qd.qid = p.qid AND qd.s = pk.s AND qd.cent = pk.cent
             GROUP BY p.qid, a.vec_id
@@ -1860,6 +1867,88 @@ def similarity_ann_index_vacuum_adc(spark: SparkSession, sf_dir: str) -> DataFra
     ).filter(F.col("qid") < 10)
     return probe_ann_index(
         spark, q, table=table, nprobe=4, k=3, exclude_self=True
+    )
+
+
+@register(
+    "similarity_ann_index_delete_adc",
+    _ivf_adc_sql(cand_pred="AND a.vec_id % 7 <> 3"),
+    tags=("similarity",),
+)
+def similarity_ann_index_delete_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE-then-serve under the hash gate — the takedown lifecycle
+    (``plans/ann_index.delete_from_ann_index``): build the stored IVFADC
+    index (same n_cells=16 quantizer as the oracled one-shot), tombstone
+    every ``vec_id % 7 == 3`` (an O(|delete set|) sidecar append — the
+    100 TB codes table is NOT rewritten), then serve the 10-query batch.
+    Deleted vectors must never surface: the probe masks tombstones with
+    a broadcast anti-join on the candidate stream BEFORE the top-k
+    window, so each query still returns k results drawn from the
+    surviving corpus — exactly what the oracle computes by excluding
+    the deleted ids from the candidate side. The physical-reclaim half
+    (vacuum applies tombstones to the layout, probe unchanged) is
+    pinned in tests/test_ann_index.py."""
+    from ..plans.ann_index import (
+        build_ann_index,
+        delete_from_ann_index,
+        probe_ann_index,
+    )
+
+    table = "ann_ivfadc_index_dq"
+    build_ann_index(spark, sf_dir, table=table, n_buckets=8, n_cells=16)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    delete_from_ann_index(
+        spark, e.filter(F.col("vec_id") % 7 == 3).select("vec_id"), table=table
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    return probe_ann_index(
+        spark, q, table=table, nprobe=4, k=3, exclude_self=True
+    )
+
+
+@register(
+    "similarity_ann_index_filtered_adc",
+    _ivf_adc_sql(
+        cand_pred=(
+            "AND a.vec_id IN "
+            "(SELECT vec_id FROM embeddings WHERE label % 2 = 0)"
+        )
+    ),
+    tags=("similarity",),
+)
+def similarity_ann_index_filtered_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN under the hash gate — metadata-constrained serving
+    ("nearest docs in English", "nearest images with license X"), the
+    second-most-common production probe after plain top-k. The index is
+    built with an ATTRIBUTE column stored alongside the codes
+    (``build_ann_index(attributes=...)`` — label rides the 8-byte codes
+    row, so the predicate needs no side join at probe time), and the
+    probe applies ``candidate_filter="label % 2 = 0"`` to the candidate
+    stream BEFORE the top-k window: PRE-filtering, so every query gets
+    k results from the eligible subset. The tempting POST-filter (rank
+    first, filter the top-k) returns <k rows and misses every eligible
+    neighbor that ranked below an ineligible one — with a selective
+    predicate it returns nothing; the oracle computes the pre-filter
+    semantics, so a post-filter implementation hash-fails here."""
+    from ..plans.ann_index import build_ann_index, probe_ann_index
+
+    table = "ann_ivfadc_index_fq"
+    emb = load(spark, sf_dir, "embeddings")
+    build_ann_index(
+        spark, sf_dir, table=table, n_buckets=8, n_cells=16,
+        attributes=emb.select("vec_id", "label"),
+    )
+    q = emb.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qemb"),
+    ).filter(F.col("qid") < 10)
+    return probe_ann_index(
+        spark, q, table=table, nprobe=4, k=3, exclude_self=True,
+        candidate_filter="label % 2 = 0",
     )
 
 

@@ -61,6 +61,7 @@ def build_ann_index(
     n_buckets: int = 8,
     n_cells: int | None = None,
     vectors: DataFrame | None = None,
+    attributes: DataFrame | None = None,
 ) -> str:
     """One map-only corpus pass → ``(vec_id, cell, codes, build_id)``
     persisted as a parquet table bucketed+sorted by ``cell``, plus the two
@@ -69,6 +70,19 @@ def build_ann_index(
     into both tables — the pair-consistency token ``probe_ann_index``
     checks (the two writes are not atomic together; the id turns a crash
     window into a fast failure instead of silently wrong neighbors).
+
+    ``attributes``: optional ``(vec_id, <attr columns...>)`` frame whose
+    non-key columns are stored ALONGSIDE the codes — the filtered-ANN
+    serving pattern (probe with ``candidate_filter="label % 2 = 0"``).
+    Attributes live in the index row, not a side join: at probe time a
+    metadata predicate must apply to the candidate stream BEFORE top-k
+    (pre-filtering — see ``probe_ann_index``), and a per-probe join of
+    a 100 TB attribute table against the candidate stream would pay a
+    shuffle the 8-byte codes layout exists to avoid. Joined on vec_id
+    at build (one-time cost, inside the same corpus pass' stage
+    boundary); vectors without an attribute row keep NULL attrs, which
+    any predicate treats as non-matching (SQL three-valued logic) —
+    the conservative direction for a filter.
 
     ``n_cells``: IVF cell count — default sizes to ``ceil(sqrt(N))`` (the
     FAISS rule; per-query probe work stays ~``nprobe·N/√N`` and the cells
@@ -81,8 +95,11 @@ def build_ann_index(
     from .minhash_index import _clear_table
 
     # session-restart safety: drop catalog entries AND orphaned managed
-    # locations a previous session left (LOCATION_ALREADY_EXISTS guard)
-    for t in (f"{table}__codebooks", table):
+    # locations a previous session left (LOCATION_ALREADY_EXISTS guard).
+    # Tombstones die with the generation they masked: a rebuild encodes
+    # whatever corpus the caller passes, so carrying forward deletions
+    # of the PREVIOUS corpus would silently mask legitimate new rows.
+    for t in (f"{table}__codebooks", f"{table}__tombstones", table):
         _clear_table(spark, t)
     # ``vectors`` (columns vec_id, emb) overrides the default full-corpus
     # read — the initial-build slice of a build→append lifecycle. The
@@ -122,6 +139,14 @@ def build_ann_index(
             F.lit(build_id).alias("build_id"),
         )
     )
+    if attributes is not None:
+        bad = {"cell", "codes", "build_id"} & set(attributes.columns)
+        if bad:
+            raise ValueError(
+                f"build_ann_index(attributes=...) columns {sorted(bad)} "
+                "collide with index payload columns"
+            )
+        encoded = encoded.join(attributes, "vec_id", "left")
     # Codebooks FIRST: a crash before the index write leaves the old
     # index + new codebooks — caught by the build_id check, same as the
     # reverse order, but the index (the big table) is then never the
@@ -150,6 +175,7 @@ def probe_ann_index(
     nprobe: int = 4,
     k: int = 3,
     exclude_self: bool = False,
+    candidate_filter: str | None = None,
 ) -> DataFrame:
     """ADC top-``k`` per query against the persisted index: per-query
     distance tables against the stored PQ codebook (broadcast), probes via
@@ -161,7 +187,26 @@ def probe_ann_index(
     own qid numbering, and dropping index rows with ``vec_id == qid``
     would silently discard a legitimate neighbor. Pass True only when the
     queries ARE corpus vectors (self-match removal — what the one-shot
-    ``similarity_ann_ivf_adc`` does)."""
+    ``similarity_ann_ivf_adc`` does).
+
+    ``candidate_filter``: an optional SQL predicate over the index
+    table's ATTRIBUTE columns (stored at build via
+    ``build_ann_index(attributes=...)``), e.g. ``"label % 2 = 0"`` —
+    filtered ANN, the metadata-constrained serving case ("nearest
+    docs in English", "nearest images with license X"). Applied to the
+    candidate stream BEFORE the top-k window (PRE-filtering): every
+    query still gets ``k`` results and recall is measured against the
+    filtered ground truth. The tempting alternative — probe unfiltered
+    then filter the top-k (POST-filtering) — silently returns fewer
+    than ``k`` rows and misses every neighbor that ranked below the
+    dropped ones; with a selective predicate it can return nothing at
+    all. The filter rides the codes stream (8 B/row + attribute
+    columns), so selective predicates SHRINK the scored candidate set
+    — cheaper than the unfiltered probe, never a corpus re-scan.
+
+    Tombstoned vec_ids (:func:`delete_from_ann_index`) are masked with
+    a broadcast anti-join before ranking — deleted vectors never
+    surface, vacuumed or not."""
     books = spark.table(f"{table}__codebooks")
     index = spark.table(table)
     # fail fast on a torn index/codebook pair (crash between the writes)
@@ -186,8 +231,15 @@ def probe_ann_index(
     qtabs = queries.crossJoin(F.broadcast(pq_row)).select(
         "qid", _pq_qtabs_col().alias("__qtabs")
     )
+    cand = index
+    if candidate_filter is not None:
+        cand = cand.filter(F.expr(candidate_filter))
+    cand = cand.select("vec_id", "cell", "codes")
+    tomb = _live_tombstones(spark, table)
+    if tomb is not None:
+        cand = cand.join(F.broadcast(tomb), "vec_id", "left_anti")
     return _adc_topk(
-        index.select("vec_id", "cell", "codes"),
+        cand,
         probes,
         qtabs,
         k=k,
@@ -206,6 +258,7 @@ def probe_ann_index_refined(
     exclude_self: bool = False,
     expected_tie_cluster: int | None = None,
     check_tie_truncation: bool = False,
+    candidate_filter: str | None = None,
 ) -> DataFrame:
     """ADC probe + the FAISS refine stage: pull the ADC top-``refine_depth``
     shortlist per query from the stored codes (never the corpus), then
@@ -286,6 +339,7 @@ def probe_ann_index_refined(
         nprobe=nprobe,
         k=depth,
         exclude_self=exclude_self,
+        candidate_filter=candidate_filter,
     )
     if check_tie_truncation:
         from pyspark.sql import Window as W
@@ -336,6 +390,7 @@ def append_to_ann_index(
     spark: SparkSession,
     new_vectors: DataFrame,
     table: str = INDEX_TABLE,
+    attributes: DataFrame | None = None,
 ) -> int:
     """INCREMENTAL index growth: encode ``new_vectors`` (columns
     ``vec_id, emb``) against the STORED codebooks — the quantizer is
@@ -369,6 +424,27 @@ def append_to_ann_index(
                 F.lit(build_id).alias("build_id"),
             )
         )
+        # an index built with attributes stores them per row — the delta
+        # must carry them too or the appended rows would NULL out of
+        # every candidate_filter (silently unfindable under filters)
+        attr_cols = [
+            c
+            for c in spark.table(table).columns
+            if c not in ("vec_id", "cell", "codes", "build_id")
+        ]
+        if attr_cols and attributes is None:
+            raise ValueError(
+                f"index '{table}' stores attribute columns {attr_cols}; "
+                "append_to_ann_index requires attributes=(vec_id, "
+                f"{', '.join(attr_cols)}) for the delta — appended rows "
+                "without them would be invisible to every "
+                "candidate_filter"
+            )
+        if attributes is not None:
+            encoded = encoded.join(attributes, "vec_id", "left")
+            encoded = encoded.select(
+                "vec_id", "cell", "codes", "build_id", *attr_cols
+            )
         # count the INPUT (a cheap delta scan), not the encoded frame —
         # the encode must run exactly once, in the write below
         n = new_vectors.count()
@@ -384,6 +460,73 @@ def append_to_ann_index(
             .saveAsTable(table)
         )
         return n
+
+
+def delete_from_ann_index(
+    spark: SparkSession,
+    vec_ids: DataFrame,
+    table: str = INDEX_TABLE,
+) -> int:
+    """DELETE from the persisted index by tombstone — the third lifecycle
+    mutation (build/append/delete), and the one a 100 TB corpus cannot
+    live without: takedowns, right-to-be-forgotten, and curation
+    retractions all remove vectors from serving LONG before the next
+    rebuild. The design is the standard LSM/lakehouse shape:
+
+    - the delete itself is O(|delete set|): ``vec_ids`` (column
+      ``vec_id``) lands as rows in a ``<table>__tombstones`` sidecar
+      stamped with the CURRENT ``build_id`` — the bucketed codes table
+      (the 100 TB side) is NOT rewritten;
+    - every probe masks tombstoned rows with a BROADCAST anti-join
+      (the tombstone set is small relative to the corpus; the index
+      side's bucketing/Exchange-freeness is untouched);
+    - :func:`vacuum_ann_index` physically drops the masked rows during
+      its compaction pass and clears the sidecar — delete cost is
+      deferred into maintenance the operator already schedules.
+
+    Tombstones are generation-scoped: :func:`build_ann_index` clears the
+    sidecar (a rebuild encodes whatever corpus the caller passes —
+    carrying forward old deletions would silently mask new rows), and
+    probes apply only current-``build_id`` tombstones. Deleting a
+    vec_id not in the index is a harmless no-op mask (idempotent;
+    re-deletes are de-duplicated at probe and reclaimed by vacuum).
+
+    Fenced as a MUTATOR against concurrent vacuum by
+    :func:`_maintenance_lock`: vacuum physically applies the tombstone
+    set it read at start, then clears the sidecar — a tombstone written
+    mid-vacuum would be cleared without its rows being dropped and stop
+    masking (silent resurrection). Returns the number of distinct
+    vec_ids tombstoned."""
+    with _maintenance_lock(spark, table, "delete"):
+        build_id = _current_build_id(spark, table)
+        rows = (
+            vec_ids.select("vec_id")
+            .distinct()
+            .withColumn("build_id", F.lit(build_id))
+        )
+        n = rows.count()
+        (
+            rows.write.format("parquet")
+            .mode("append")
+            .saveAsTable(f"{table}__tombstones")
+        )
+        return n
+
+
+def _live_tombstones(spark: SparkSession, table: str) -> DataFrame | None:
+    """Distinct current-generation tombstoned vec_ids, or None when the
+    sidecar doesn't exist (the common no-deletes case — probes skip the
+    anti-join entirely rather than paying an exists-check join)."""
+    tomb = f"{table}__tombstones"
+    if not spark.catalog.tableExists(tomb):
+        return None
+    current = _current_build_id(spark, table)
+    return (
+        spark.table(tomb)
+        .filter(F.col("build_id") == current)
+        .select("vec_id")
+        .distinct()
+    )
 
 
 def _table_location(spark: SparkSession, table: str) -> str:
@@ -425,12 +568,19 @@ def _maintenance_lock(spark: SparkSession, table: str, op: str):
     no error anywhere. The fence makes every such collision a NAMED
     REFUSAL instead:
 
-    - ``op="append"`` takes a UNIQUE lock file (concurrent appends stay
-      allowed — they write independent file sets, de-duplicated at probe
-      and healed by vacuum) and refuses if a fresh ``vacuum`` lock
-      exists.
+    - ``op="append"`` / ``op="delete"`` (the MUTATOR class) take a
+      UNIQUE lock file each (concurrent mutators stay allowed — appends
+      write independent file sets, de-duplicated at probe and healed by
+      vacuum; deletes append independent tombstone rows, and a delete
+      racing an append of the same vec_id resolves at probe time — the
+      tombstone anti-join wins, which is the takedown-correct order)
+      and refuse if a fresh ``vacuum`` lock exists. Deletes MUST be
+      fenced against vacuum: vacuum physically applies the tombstone
+      set it read at start and then CLEARS the sidecar — a tombstone
+      written mid-vacuum would be cleared without its rows ever being
+      dropped AND stop masking at probe time (silent resurrection).
     - ``op="vacuum"`` takes the SINGLE ``vacuum.lock`` (a second
-      concurrent vacuum refuses) and refuses if any fresh append lock
+      concurrent vacuum refuses) and refuses if any fresh mutator lock
       exists.
 
     Both sides CREATE-THEN-RECHECK: acquire own lock (atomic
@@ -458,7 +608,13 @@ def _maintenance_lock(spark: SparkSession, table: str, op: str):
             "SPARK_GRAFT_INDEX_LOCK_TTL_SEC", str(_INDEX_LOCK_TTL_SEC_DEFAULT)
         )
     )
-    other = "vacuum" if op == "append" else "append"
+    _MUTATORS = ("append", "delete")
+    if op not in _MUTATORS + ("vacuum",):
+        raise ValueError(f"unknown maintenance op {op!r}")
+    # opposing lock-name prefixes: mutators conflict only with vacuum;
+    # vacuum conflicts with every mutator
+    others = _MUTATORS if op == "vacuum" else ("vacuum",)
+    other = "/".join(others)
     jvm = spark._jvm
     d = _locks_dir(spark, table)
     fs = d.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -486,14 +642,14 @@ def _maintenance_lock(spark: SparkSession, table: str, op: str):
         except Exception:
             return False
 
-    def fresh_locks(prefix: str) -> list:
+    def fresh_locks(prefixes: tuple[str, ...]) -> list:
         out = []
         if not fs.exists(d):
             return out
         now_ms = _time.time() * 1000.0
         for st in fs.listStatus(d):
             name = st.getPath().getName()
-            if not name.startswith(prefix):
+            if not name.startswith(prefixes):
                 continue
             age = (now_ms - st.getModificationTime()) / 1000.0
             if age > ttl or _holder_dead(st.getPath()):
@@ -513,12 +669,12 @@ def _maintenance_lock(spark: SparkSession, table: str, op: str):
             f"{_INDEX_LOCK_TTL_SEC_DEFAULT}s) or can be deleted."
         )
 
-    found = fresh_locks(other)
+    found = fresh_locks(others)
     if found:
         refuse(found)
     own_name = (
         "vacuum.lock" if op == "vacuum"
-        else f"append.{_uuid.uuid4().hex}.lock"
+        else f"{op}.{_uuid.uuid4().hex}.lock"
     )
     own = jvm.org.apache.hadoop.fs.Path(d, own_name)
     payload = _json.dumps({"pid": os.getpid(), "host": host}).encode("utf-8")
@@ -534,7 +690,7 @@ def _maintenance_lock(spark: SparkSession, table: str, op: str):
             "SPARK_GRAFT_INDEX_LOCK_TTL_SEC."
         )
     try:
-        found = fresh_locks(other)
+        found = fresh_locks(others)
         if found:
             refuse(found)
         yield
@@ -563,6 +719,7 @@ def _compact_bucketed_table(
     table: str,
     bucket_cols: tuple[str, ...],
     current_build_id: str,
+    anti_ids: "tuple[str, DataFrame] | None" = None,
 ) -> dict:
     """Rewrite a bucketed index table as ONE fresh file set containing
     only rows of the CURRENT ``build_id`` (maintenance op — VERDICT r9
@@ -666,10 +823,16 @@ def _compact_bucketed_table(
     # rows duplicate probe output pairs. Rows from a repeated append are
     # byte-identical (same hash family / frozen quantizer, same
     # build_id), so full-row dedup is exact, never lossy.
+    kept = spark.table(table).filter(F.col("build_id") == current_build_id)
+    if anti_ids is not None:
+        # physically reclaim tombstoned rows (delete_from_ann_index):
+        # the mask probes have been applying becomes the layout
+        id_col, ids = anti_ids
+        kept = kept.join(
+            F.broadcast(ids.select(F.col(id_col))), id_col, "left_anti"
+        )
     (
-        spark.table(table)
-        .filter(F.col("build_id") == current_build_id)
-        .dropDuplicates()
+        kept.dropDuplicates()
         .repartition(n_buckets, *[F.col(c) for c in bucket_cols])
         .write.bucketBy(n_buckets, *bucket_cols)
         .sortBy(*bucket_cols)
@@ -697,16 +860,46 @@ def _current_build_id(spark: SparkSession, table: str) -> str:
 
 
 def vacuum_ann_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
-    """Maintenance: compact the codes table to one bucketed file set and
+    """Maintenance: compact the codes table to one bucketed file set,
     drop rows from superseded ``build_id`` generations (the codebooks
-    sidecar defines CURRENT). Probe results are unchanged by
-    construction — asserted both in tests and by the registered
-    ``similarity_ann_index_vacuum_adc`` query under the DuckDB oracle.
-    Fenced against concurrent appends by :func:`_maintenance_lock`."""
+    sidecar defines CURRENT), and physically reclaim tombstoned rows
+    (:func:`delete_from_ann_index`) — after which the tombstone sidecar
+    is cleared, since its rows are now encoded in the layout itself.
+    Probe results are unchanged by construction (tombstones masked
+    before = rows absent after) — asserted both in tests and by the
+    registered ``similarity_ann_index_vacuum_adc`` query under the
+    DuckDB oracle. Fenced against concurrent appends AND deletes by
+    :func:`_maintenance_lock` (a tombstone written mid-vacuum would be
+    cleared without its rows being dropped — silent resurrection).
+
+    Crash window note: the sidecar is cleared only AFTER the compacted
+    table publishes. A crash between publish and clear leaves applied
+    tombstones in the sidecar — they mask rows that no longer exist
+    (harmless no-op anti-join) and the next vacuum clears them."""
     with _maintenance_lock(spark, table, "vacuum"):
-        return _compact_bucketed_table(
-            spark, table, ("cell",), _current_build_id(spark, table)
+        tomb = _live_tombstones(spark, table)
+        n_tomb = 0 if tomb is None else tomb.count()
+        report = _compact_bucketed_table(
+            spark,
+            table,
+            ("cell",),
+            _current_build_id(spark, table),
+            anti_ids=None if tomb is None else ("vec_id", tomb),
         )
+        if report.get("recovered_from_interrupted_vacuum"):
+            # the published tmp reflects only the tombstones the
+            # INTERRUPTED vacuum had read — clearing the sidecar here
+            # would resurrect any tombstone written after that crash.
+            # Leave the sidecar; it keeps masking and the next (normal)
+            # vacuum applies + clears it.
+            report["tombstones_applied"] = 0
+            return report
+        report["tombstones_applied"] = n_tomb
+        if tomb is not None:
+            from .minhash_index import _clear_table
+
+            _clear_table(spark, f"{table}__tombstones")
+        return report
 
 
 def generation_report(
@@ -739,10 +932,14 @@ def generation_report(
 def vacuum_ann_index_dry_run(
     spark: SparkSession, table: str = INDEX_TABLE
 ) -> dict:
-    """:func:`generation_report` for the ANN codes table."""
-    return generation_report(
+    """:func:`generation_report` for the ANN codes table, plus the
+    tombstone mass a vacuum would physically reclaim."""
+    report = generation_report(
         spark, table, ("",), _current_build_id(spark, table)
     )
+    tomb = _live_tombstones(spark, table)
+    report["tombstones_to_reclaim"] = 0 if tomb is None else tomb.count()
+    return report
 
 
 def verify_ann_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
@@ -791,9 +988,15 @@ def verify_ann_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
         .filter(F.col("count") > 1)
         .count()
     )
+    # Tombstones are healthy state (masked at every probe; reclaimed by
+    # vacuum) — reported for the maintenance scheduler, never flipping
+    # ``consistent``. A growing count is the signal to vacuum: each
+    # tombstone is a broadcast-anti-join row every probe pays for.
+    tomb = _live_tombstones(spark, table)
     return {
         "duplicate_code_vecids": dup_vecs,
         "stranded_build_ids": stranded,
+        "tombstoned_vec_ids": 0 if tomb is None else tomb.count(),
         "current_generation_only": not stranded,
         "consistent": dup_vecs == 0 and not stranded,
     }

@@ -186,7 +186,11 @@ def build_minhash_index(
     build_id = uuid.uuid4().hex
     s = _sig_frame(docs, family).persist()  # two consumers: bands, docs
     _check_ingest_bucket_budget(_band_keys(s), None, "build")
-    for t in (f"{table}__meta", table, f"{table}__docs"):
+    # tombstones die with the generation they masked (same rule as
+    # build_ann_index): a rebuild indexes whatever corpus the caller
+    # passes — old deletions must not mask new rows.
+    for t in (f"{table}__meta", table, f"{table}__docs",
+              f"{table}__tombstones"):
         _clear_table(spark, t)
     # meta first: a crash mid-build leaves a meta row whose build_id no
     # data row carries — caught by the probe's torn-build check.
@@ -276,6 +280,64 @@ def append_minhash_index(
         return n
 
 
+def delete_from_minhash_index(
+    spark: SparkSession,
+    doc_ids: DataFrame,
+    table: str = INDEX_TABLE,
+) -> int:
+    """DELETE documents from the persisted signature index by tombstone —
+    the takedown path (DMCA, robots retraction, right-to-be-forgotten):
+    a removed document must stop participating in near-dup candidate
+    generation LONG before the next rebuild, and rewriting two bucketed
+    100 TB-scale sides for each takedown batch is not an option. Same
+    LSM shape as :func:`..ann_index.delete_from_ann_index`:
+
+    - O(|delete set|): ``doc_ids`` (column ``doc_id``) lands in a
+      ``<table>__tombstones`` sidecar stamped with the current
+      ``build_id`` — neither bucketed side is rewritten;
+    - every probe masks tombstoned INDEX docs with a broadcast
+      anti-join BEFORE the band join (pre-filter: masked docs never
+      generate candidates, so the mask also shrinks the join);
+    - :func:`vacuum_minhash_index` physically drops their band keys and
+      shingle rows during compaction and clears the sidecar.
+
+    Generation-scoped and idempotent exactly like the ANN twin; fenced
+    as a MUTATOR against concurrent vacuum (a tombstone written
+    mid-vacuum would be cleared without its rows being dropped — silent
+    resurrection). Returns the number of distinct doc_ids tombstoned."""
+    from .ann_index import _maintenance_lock
+
+    with _maintenance_lock(spark, table, "delete"):
+        build_id = _current_build_id(spark, table)
+        rows = (
+            doc_ids.select("doc_id")
+            .distinct()
+            .withColumn("build_id", F.lit(build_id))
+        )
+        n = rows.count()
+        (
+            rows.write.format("parquet")
+            .mode("append")
+            .saveAsTable(f"{table}__tombstones")
+        )
+        return n
+
+
+def _live_tombstones(spark: SparkSession, table: str) -> DataFrame | None:
+    """Distinct current-generation tombstoned doc_ids, or None when the
+    sidecar doesn't exist (common case — probes skip the anti-join)."""
+    tomb = f"{table}__tombstones"
+    if not spark.catalog.tableExists(tomb):
+        return None
+    current = _current_build_id(spark, table)
+    return (
+        spark.table(tomb)
+        .filter(F.col("build_id") == current)
+        .select("doc_id")
+        .distinct()
+    )
+
+
 def probe_minhash_index(
     spark: SparkSession,
     batch_docs: DataFrame,
@@ -306,6 +368,14 @@ def probe_minhash_index(
     meta = spark.table(f"{table}__meta").first()
     index_bands = spark.table(table)
     index_docs = spark.table(f"{table}__docs")
+    # takedown mask (delete_from_minhash_index): tombstoned index docs
+    # are excluded BEFORE the band join — a broadcast anti-join on the
+    # small tombstone set; masked docs never generate candidates, so the
+    # mask shrinks the join instead of taxing it. Only the INDEX side is
+    # masked: the batch is the caller's data, not index state.
+    tomb = _live_tombstones(spark, table)
+    if tomb is not None:
+        index_bands = index_bands.join(F.broadcast(tomb), "doc_id", "left_anti")
     # Cheap torn-BUILD guard: one sampled row per side, O(1 file read),
     # deliberately NOT a full distinct scan in the per-probe hot path.
     # It deterministically catches a table wholly from another build; on
@@ -375,14 +445,35 @@ def vacuum_minhash_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
 
     with _maintenance_lock(spark, table, "vacuum"):
         current = _current_build_id(spark, table)
-        return {
+        tomb = _live_tombstones(spark, table)
+        # A pending interrupted-vacuum recovery (either side's base
+        # table missing, tmp holding the sole copy) publishes what the
+        # INTERRUPTED vacuum wrote — applying tombstones to only the
+        # healthy side would leave the two sides asymmetric, and
+        # clearing the sidecar would resurrect tombstones written after
+        # the crash. Recovery pass applies none and keeps the sidecar
+        # masking; the next normal vacuum applies + clears (same rule
+        # as vacuum_ann_index).
+        recovery_pending = not (
+            spark.catalog.tableExists(table)
+            and spark.catalog.tableExists(f"{table}__docs")
+        )
+        if tomb is None or recovery_pending:
+            anti, n_tomb = None, 0
+        else:
+            anti, n_tomb = ("doc_id", tomb), tomb.count()
+        report = {
             "bands": _compact_bucketed_table(
-                spark, table, ("band", "key"), current
+                spark, table, ("band", "key"), current, anti_ids=anti
             ),
             "docs": _compact_bucketed_table(
-                spark, f"{table}__docs", ("doc_id",), current
+                spark, f"{table}__docs", ("doc_id",), current, anti_ids=anti
             ),
+            "tombstones_applied": n_tomb,
         }
+        if anti is not None:
+            _clear_table(spark, f"{table}__tombstones")
+        return report
 
 
 def vacuum_minhash_index_dry_run(
@@ -393,7 +484,10 @@ def vacuum_minhash_index_dry_run(
     from .ann_index import generation_report
 
     current = _current_build_id(spark, table)
-    return generation_report(spark, table, ("", "__docs"), current)
+    report = generation_report(spark, table, ("", "__docs"), current)
+    tomb = _live_tombstones(spark, table)
+    report["tombstones_to_reclaim"] = 0 if tomb is None else tomb.count()
+    return report
 
 
 def verify_minhash_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
@@ -466,10 +560,15 @@ def verify_minhash_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
         )
         .first()
     )
+    # tombstones are healthy state (masked at every probe; reclaimed by
+    # vacuum) — reported for the maintenance scheduler, never flipping
+    # ``consistent``
+    tomb = _live_tombstones(spark, table)
     return {
         "band_docids_missing_sidecar": torn,
         "duplicate_sidecar_docids": dup_docs,
         "stranded_build_ids": stranded,
+        "tombstoned_doc_ids": 0 if tomb is None else tomb.count(),
         "max_band_bucket_docs": int(bstats["mx"] or 0),
         "hot_band_buckets": int(bstats["hot"] or 0),
         "band_bucket_bound": bound,

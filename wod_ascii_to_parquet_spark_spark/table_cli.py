@@ -6,6 +6,7 @@
     python -m wod_ascii_to_parquet_spark_spark.table_cli vacuum   <dir> [--keep N] [--min-age-hours H]
     python -m wod_ascii_to_parquet_spark_spark.table_cli vacuum-index <table> --kind {minhash,ann} [--dry-run]
     python -m wod_ascii_to_parquet_spark_spark.table_cli verify-index <table> --kind {minhash,ann} [--strict]
+    python -m wod_ascii_to_parquet_spark_spark.table_cli delete-index <table> --kind {minhash,ann} --ids 1,2,3
     python -m wod_ascii_to_parquet_spark_spark.table_cli locks    <table>
 
 The maintenance surface a scheduled job or an operator at a terminal
@@ -94,6 +95,21 @@ def build_parser() -> argparse.ArgumentParser:
         "otherwise exit 0)",
     )
 
+    didx = sub.add_parser(
+        "delete-index",
+        help="tombstone ids out of a persisted minhash/ANN index (the "
+        "takedown path): O(|id set|) sidecar append, masked at every "
+        "probe, physically reclaimed by the next vacuum-index. Exit 3 "
+        "(retry later) if a vacuum holds the maintenance fence.",
+    )
+    didx.add_argument("table", help="catalog table name of the index")
+    didx.add_argument("--kind", choices=("minhash", "ann"), required=True)
+    didx.add_argument(
+        "--ids",
+        required=True,
+        help="comma-separated vec_ids (ann) / doc_ids (minhash) to delete",
+    )
+
     lck = sub.add_parser(
         "locks",
         help="list an index's maintenance-lock fence state (read-only): "
@@ -102,7 +118,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     lck.add_argument("table", help="catalog table name of the index")
 
-    for s in (hist, show, opt, vac, vidx, vfy, lck):
+    for s in (hist, show, opt, vac, vidx, vfy, didx, lck):
         s.add_argument("--master", default=None)
     return p
 
@@ -116,6 +132,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "verify-index":
         with cached_frames():
             return _verify_index(spark, args)
+    if args.cmd == "delete-index":
+        with cached_frames():
+            return _delete_index(spark, args)
     if args.cmd == "locks":
         return _index_locks(spark, args)
     t = LogTable(spark, args.table_dir)
@@ -170,6 +189,43 @@ def _vacuum_index(spark, args) -> int:
         # operational weather, not an error to page on
         print(json.dumps({"table": args.table, "refused": str(e)}))
         return 3
+    return 0
+
+
+def _delete_index(spark, args) -> int:
+    """Dispatch `delete-index`: the takedown path, operationally
+    reachable (a compliance runbook shells out; it doesn't import
+    plans/*). Ids are parsed as integers; the tombstone append is
+    O(|ids|) and the next scheduled vacuum-index reclaims physically."""
+    from .plans.ann_index import IndexMaintenanceConflict
+
+    try:
+        ids = [int(x) for x in args.ids.split(",") if x.strip()]
+    except ValueError:
+        print(json.dumps({"table": args.table, "error": "non-integer id in --ids"}))
+        return 2
+    if not ids:
+        print(json.dumps({"table": args.table, "error": "--ids is empty"}))
+        return 2
+    id_col = "doc_id" if args.kind == "minhash" else "vec_id"
+    frame = spark.createDataFrame([(i,) for i in ids], f"{id_col} bigint")
+    try:
+        if args.kind == "minhash":
+            from .plans.minhash_index import delete_from_minhash_index
+
+            n = delete_from_minhash_index(spark, frame, table=args.table)
+        else:
+            from .plans.ann_index import delete_from_ann_index
+
+            n = delete_from_ann_index(spark, frame, table=args.table)
+    except IndexMaintenanceConflict as e:
+        print(json.dumps({"table": args.table, "refused": str(e)}))
+        return 3
+    print(
+        json.dumps(
+            {"table": args.table, "kind": args.kind, "tombstoned": n}
+        )
+    )
     return 0
 
 
