@@ -62,6 +62,7 @@ def build_ann_index(
     n_cells: int | None = None,
     vectors: DataFrame | None = None,
     attributes: DataFrame | None = None,
+    seeds: DataFrame | None = None,
 ) -> str:
     """One map-only corpus pass → ``(vec_id, cell, codes, build_id)``
     persisted as a parquet table bucketed+sorted by ``cell``, plus the two
@@ -109,7 +110,7 @@ def build_ann_index(
     # as ceil(sqrt(count(input))), and sqrt(|slice|) cells frozen for a
     # much larger corpus would silently under-partition every future
     # probe (~sqrt(N/|slice|)× the candidate volume of a fresh build).
-    if vectors is not None and n_cells is None:
+    if vectors is not None and n_cells is None and seeds is None:
         raise ValueError(
             "build_ann_index(vectors=...) requires an explicit n_cells: "
             "the default sizes the quantizer from the SLICE count, and "
@@ -119,14 +120,22 @@ def build_ann_index(
     e = vectors if vectors is not None else load(
         spark, sf_dir, "embeddings"
     ).select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    if n_cells is None:
-        from ..operators.similarity import _sqrt_n_seeds
+    # ``seeds`` (columns cell, cemb) overrides the low-vec_id medoid
+    # rules entirely — the requantize path passes a distribution-
+    # representative sample of the CURRENT corpus here, because after
+    # drifted appends the low-id rows describe only the ORIGINAL
+    # distribution (see requantize_ann_index). Cell ids need not be
+    # contiguous: assignment and probing match on the struct's cell
+    # field, never on position (unlike the PQ codebook).
+    if seeds is None:
+        if n_cells is None:
+            from ..operators.similarity import _sqrt_n_seeds
 
-        seeds = _sqrt_n_seeds(e)
-    else:
-        seeds = e.filter(F.col("vec_id") < n_cells).select(
-            F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
-        )
+            seeds = _sqrt_n_seeds(e)
+        else:
+            seeds = e.filter(F.col("vec_id") < n_cells).select(
+                F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
+            )
     seed_arr = _seed_array(seeds)
     cb = _pq_codebook(e)
     encoded = (
@@ -609,11 +618,14 @@ def _maintenance_lock(spark: SparkSession, table: str, op: str):
         )
     )
     _MUTATORS = ("append", "delete")
-    if op not in _MUTATORS + ("vacuum",):
+    _EXCLUSIVE = ("vacuum", "requantize")  # whole-table rewrites
+    if op not in _MUTATORS + _EXCLUSIVE:
         raise ValueError(f"unknown maintenance op {op!r}")
-    # opposing lock-name prefixes: mutators conflict only with vacuum;
-    # vacuum conflicts with every mutator
-    others = _MUTATORS if op == "vacuum" else ("vacuum",)
+    # opposing lock-name prefixes: mutators conflict only with the
+    # exclusive class; exclusive ops conflict with every mutator AND
+    # each other (both exclusive ops take the single vacuum.lock file,
+    # so mutators need only ever check one prefix)
+    others = _MUTATORS if op in _EXCLUSIVE else ("vacuum",)
     other = "/".join(others)
     jvm = spark._jvm
     d = _locks_dir(spark, table)
@@ -673,7 +685,7 @@ def _maintenance_lock(spark: SparkSession, table: str, op: str):
     if found:
         refuse(found)
     own_name = (
-        "vacuum.lock" if op == "vacuum"
+        "vacuum.lock" if op in _EXCLUSIVE
         else f"{op}.{_uuid.uuid4().hex}.lock"
     )
     own = jvm.org.apache.hadoop.fs.Path(d, own_name)
@@ -684,8 +696,9 @@ def _maintenance_lock(spark: SparkSession, table: str, op: str):
         stream.close()
     except Exception:
         raise IndexMaintenanceConflict(
-            f"vacuum refused on index '{table}': another vacuum holds "
-            f"{own} — one vacuum at a time; a crashed holder's lock is "
+            f"{op} refused on index '{table}': another exclusive "
+            f"maintenance op (vacuum/requantize) holds {own} — one "
+            "whole-table rewrite at a time; a crashed holder's lock is "
             "ignored once its pid is gone (same host) or after "
             "SPARK_GRAFT_INDEX_LOCK_TTL_SEC."
         )
@@ -1000,6 +1013,168 @@ def verify_ann_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
         "current_generation_only": not stranded,
         "consistent": dup_vecs == 0 and not stranded,
     }
+
+
+def quantizer_drift_report(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
+    """The RETRAIN TRIGGER for the frozen-quantizer append path: appends
+    encode new vectors against cells trained on the ORIGINAL
+    distribution (``append_to_ann_index`` — the FAISS add-after-train
+    choice), so distribution drift shows up as cell-population skew
+    long before anyone measures recall. This report is the cheap,
+    scheduled health check that decides when :func:`requantize_ann_index`
+    pays: one column-pruned groupBy(cell) over the current generation
+    plus the one-row codebooks read.
+
+    Key metric: ``imbalance_factor`` = n_cells · Σnᵢ²/N² — the standard
+    IVF list-imbalance measure (1.0 = perfectly balanced; κ means probes
+    touching a random data-weighted cell scan κ× the balanced candidate
+    volume, since a query lands in a cell with probability ∝ its mass).
+    ``top_cell_share`` bounds the worst single probe; ``empty_cell
+    fraction`` counts dead lists (trained centers no current vector
+    maps to — capacity the quantizer wastes). Thresholds are corpus-
+    dependent; tools/bench_quantizer_drift.py measures the
+    skew↔recall↔cost relation and SCALE.md records the certified
+    trigger."""
+    books = spark.table(f"{table}__codebooks")
+    n_cells = books.select(F.size("__seeds").alias("k")).first()["k"]
+    current = _current_build_id(spark, table)
+    stats = (
+        spark.table(table)
+        .filter(F.col("build_id") == current)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("used"),
+            F.sum("n").alias("rows"),
+            F.max("n").alias("mx"),
+            F.sum(F.col("n") * F.col("n")).alias("sumsq"),
+        )
+        .first()
+    )
+    rows = int(stats["rows"] or 0)
+    used = int(stats["used"] or 0)
+    mx = int(stats["mx"] or 0)
+    sumsq = int(stats["sumsq"] or 0)
+    return {
+        "table": table,
+        "n_cells": int(n_cells),
+        "cells_used": used,
+        "empty_cell_fraction": round(1.0 - used / n_cells, 6) if n_cells else 0.0,
+        "rows": rows,
+        "max_cell_rows": mx,
+        "mean_cell_rows": round(rows / n_cells, 2) if n_cells else 0.0,
+        "top_cell_share": round(mx / rows, 6) if rows else 0.0,
+        "imbalance_factor": round(n_cells * sumsq / rows**2, 4) if rows else 0.0,
+    }
+
+
+def requantize_ann_index(
+    spark: SparkSession,
+    vectors: DataFrame,
+    table: str = INDEX_TABLE,
+    n_cells: int | None = None,
+    attributes: DataFrame | None = None,
+) -> dict:
+    """RETRAIN the quantizer on the CURRENT corpus and rebuild the codes
+    table — the maintenance op that pays off the frozen-quantizer debt
+    :func:`append_to_ann_index` accrues (its docstring prices the trade:
+    O(|delta|) appends now, re-train on a cadence later). ``vectors``
+    is the live corpus ``(vec_id, emb)`` — typically the same frame the
+    appends came from.
+
+    What makes this a REQUANTIZE and not just build-again: the IVF
+    seeds are a deterministic distribution-representative sample of the
+    current corpus — the first ``ceil(sqrt(N))`` rows ordered by
+    ``md5(vec_id)`` (the same engine-agnostic spread
+    ``_external_queries`` uses) — NOT the low-vec_id rows the default
+    build rule picks. After drifted appends the low-id rows describe
+    only the original distribution, so a rebuild with the default rule
+    would re-freeze the same stale quantizer with a new build_id;
+    md5-spread seeds sample old and new regions in proportion to their
+    mass, which is what shrinks the drift report's ``imbalance_factor``
+    back toward 1. (Cell ids are the sampled rows' vec_ids —
+    non-contiguous is fine, assignment matches on the struct field.)
+
+    Semantics preserved across the rebuild:
+
+    - **deletions survive**: live tombstones are anti-joined out of
+      ``vectors`` BEFORE encoding (requantize is maintenance of the
+      SAME corpus, unlike a caller-initiated ``build_ann_index``, whose
+      sidecar-clearing contract is "new corpus, new delete baseline") —
+      the new generation simply doesn't contain them, and the sidecar
+      is cleared by the inner build;
+    - **attributes**: pass the live attribute frame to keep the index
+      filterable; refused if the old index stored attributes and none
+      are passed (appended-rows-invisible hazard, same rule as append).
+
+    Fenced as an EXCLUSIVE op (shares the vacuum lock class): a
+    concurrent append would encode against whichever quantizer wins the
+    race, a concurrent delete could tombstone into the cleared sidecar,
+    and a concurrent vacuum would compact a table being replaced.
+    Returns old/new build ids and the drift report before/after —
+    the operator's evidence the retrain paid."""
+    import math
+
+    with _maintenance_lock(spark, table, "requantize"):
+        old_build = _current_build_id(spark, table)
+        before = quantizer_drift_report(spark, table)
+        old_attr_cols = [
+            c
+            for c in spark.table(table).columns
+            if c not in ("vec_id", "cell", "codes", "build_id")
+        ]
+        if old_attr_cols and attributes is None:
+            raise ValueError(
+                f"index '{table}' stores attribute columns {old_attr_cols}; "
+                "requantize_ann_index requires the live attributes frame — "
+                "rebuilding without them would drop every candidate_filter "
+                "column"
+            )
+        # MATERIALIZE the tombstone set before the rebuild: the inner
+        # build drops the sidecar table first, and a lazy anti-join
+        # referencing it would execute against a dropped table. The
+        # collect is bounded by the tombstone mass (one bigint per
+        # takedown — sidecar-small by construction).
+        tomb = _live_tombstones(spark, table)
+        live = vectors.select("vec_id", "emb")
+        if tomb is not None:
+            ids = [r[0] for r in tomb.collect()]
+            if ids:
+                live = live.join(
+                    F.broadcast(
+                        spark.createDataFrame(
+                            [(i,) for i in ids], "vec_id bigint"
+                        )
+                    ),
+                    "vec_id",
+                    "left_anti",
+                )
+        k = n_cells if n_cells is not None else math.ceil(
+            math.sqrt(live.count())
+        )
+        seeds = (
+            live.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(k)
+            .select(F.col("vec_id").alias("cell"), F.col("emb").alias("cemb"))
+        )
+        n_buckets = _table_num_buckets(spark, table)
+        new_build = build_ann_index(
+            spark,
+            sf_dir="",  # unused: vectors provided
+            table=table,
+            n_buckets=n_buckets,
+            vectors=live,
+            attributes=attributes,
+            seeds=seeds,
+        )
+        return {
+            "table": table,
+            "old_build_id": old_build,
+            "new_build_id": new_build,
+            "n_cells": k,
+            "drift_before": before,
+            "drift_after": quantizer_drift_report(spark, table),
+        }
 
 
 def _table_num_buckets(spark: SparkSession, table: str, default: int = 8) -> int:

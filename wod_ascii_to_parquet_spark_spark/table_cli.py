@@ -7,6 +7,7 @@
     python -m wod_ascii_to_parquet_spark_spark.table_cli vacuum-index <table> --kind {minhash,ann} [--dry-run]
     python -m wod_ascii_to_parquet_spark_spark.table_cli verify-index <table> --kind {minhash,ann} [--strict]
     python -m wod_ascii_to_parquet_spark_spark.table_cli delete-index <table> --kind {minhash,ann} --ids 1,2,3
+    python -m wod_ascii_to_parquet_spark_spark.table_cli drift-index <table>
     python -m wod_ascii_to_parquet_spark_spark.table_cli locks    <table>
 
 The maintenance surface a scheduled job or an operator at a terminal
@@ -110,6 +111,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="comma-separated vec_ids (ann) / doc_ids (minhash) to delete",
     )
 
+    drf = sub.add_parser(
+        "drift-index",
+        help="quantizer drift report for a persisted ANN index "
+        "(read-only): cell-population imbalance_factor / top_cell_share "
+        "/ empty cells — the scheduled retrain trigger for the frozen-"
+        "quantizer append path (see plans/ann_index.requantize_ann_index)",
+    )
+    drf.add_argument("table", help="catalog table name of the ANN index")
+
     lck = sub.add_parser(
         "locks",
         help="list an index's maintenance-lock fence state (read-only): "
@@ -118,7 +128,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     lck.add_argument("table", help="catalog table name of the index")
 
-    for s in (hist, show, opt, vac, vidx, vfy, didx, lck):
+    for s in (hist, show, opt, vac, vidx, vfy, didx, drf, lck):
         s.add_argument("--master", default=None)
     return p
 
@@ -135,6 +145,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "delete-index":
         with cached_frames():
             return _delete_index(spark, args)
+    if args.cmd == "drift-index":
+        from .plans.ann_index import quantizer_drift_report
+
+        with cached_frames():
+            print(json.dumps(quantizer_drift_report(spark, args.table)))
+        return 0
     if args.cmd == "locks":
         return _index_locks(spark, args)
     t = LogTable(spark, args.table_dir)
