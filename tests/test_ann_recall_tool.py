@@ -133,3 +133,31 @@ def test_external_serving_recall_pinned_at_certified_knobs(spark):
     finally:
         for side in ("", "__codebooks"):
             spark.sql(f"DROP TABLE IF EXISTS {table}{side}")
+
+
+def test_drift_tool_jitter_matches_registered_external_construction(spark, emb):
+    """The drift ledger's vectorized LCG jitter
+    (tools/bench_quantizer_drift._lcg_jitter) must be the SAME held-out
+    construction the registered `similarity_ann_index_external_refined`
+    query uses (`_external_queries`) — amplitude 0.13, integer-LCG per
+    (query, dim), renormalized — so the drift numbers are measured on
+    the certified serving-query difficulty. Importing the tool must not
+    start a Spark session (module-import side-effect pitfall, ADVICE
+    r12)."""
+    import bench_quantizer_drift as bqd
+
+    from wod_ascii_to_parquet_spark_spark.operators.similarity import (
+        _external_queries,
+    )
+
+    e = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    want = {
+        r["qid"]: np.array(r["qemb"])
+        for r in _external_queries(e, n_queries=10).collect()
+    }
+    qids = np.array(sorted(want), dtype=np.int64)
+    got = bqd._lcg_jitter(emb[qids], qids)
+    for j, q in enumerate(qids):
+        assert np.allclose(got[j], want[q], atol=1e-12), f"qid={q}"
