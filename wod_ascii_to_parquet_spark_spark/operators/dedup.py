@@ -1786,6 +1786,43 @@ def dedup_minhash_index_delete_md5(spark: SparkSession, sf_dir: str) -> DataFram
     return probe_minhash_index(spark, d, table=table, self_probe=True)
 
 
+@register(
+    "dedup_minhash_index_probe_batch_md5",
+    "WITH "
+    + _md5_lsh_sql(
+        "SELECT doc_a, doc_b, round(jac, 6) AS jac FROM verified "
+        "WHERE jac >= 0.5 AND doc_a < 400 AND doc_b >= 400"
+    ),
+    tags=("dedup",),
+)
+def dedup_minhash_index_probe_batch_md5(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The DAILY-CRAWL serving shape under the hash gate: yesterday's
+    corpus (docs < 400) is the persisted signature index; today's batch
+    (docs >= 400) probes it with ``self_probe=False`` — external
+    numbering, every (index, batch) near-dup pair kept. This is the
+    probe direction production actually runs (the registered self-probe
+    arms rebuild-and-probe the SAME corpus, which verifies the index but
+    not the cross-snapshot join a crawl pipeline serves). Oracle: the
+    live md5 LSH pair set restricted to index-side < 400 ≤ batch-side —
+    exact because the id ranges are disjoint, so every cross pair
+    appears in the live ``doc_a < doc_b`` set with the index doc first.
+    Batch-side work is O(|batch|): shingle+sign the delta only; the
+    index side of the band join is Exchange-free (bucketed by
+    (band, key))."""
+    from ..plans.minhash_index import build_minhash_index, probe_minhash_index
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    table = "minhash_lsh_index_bq"
+    build_minhash_index(
+        spark, d.filter(F.col("doc_id") < 400), table=table, family="md5"
+    )
+    return probe_minhash_index(
+        spark, d.filter(F.col("doc_id") >= 400), table=table, self_probe=False
+    )
+
+
 def _md5_calibration_sql() -> str:
     """DuckDB mirror of the minhash CALIBRATION query: per band-candidate
     pair, the signature-agreement estimate (matching positions / 32)

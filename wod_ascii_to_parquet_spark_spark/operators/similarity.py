@@ -1952,6 +1952,70 @@ def similarity_ann_index_filtered_adc(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def _probe_cost_sql() -> str:
+    """DuckDB mirror of the probe-cost report: the IVF assign/probe CTEs
+    (16-cell quantizer, nprobe 4, 10 queries) aggregated to per-query
+    probed-cell count + contained candidate rows — no ADC, no codes."""
+    scaled_a = _IVF_SCALED.format(a="e.emb", b="x.cemb")
+    scaled_q = _IVF_SCALED.format(a="q.emb", b="x.cemb")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    seeds AS (SELECT vec_id AS cell, emb AS cemb FROM e WHERE vec_id < 16),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, x.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {scaled_a} DESC, x.cell
+                   ) AS rn
+            FROM e CROSS JOIN seeds x
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT qid, cell FROM (
+            SELECT q.vec_id AS qid, x.cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {scaled_q} DESC, x.cell
+                   ) AS rn
+            FROM e q CROSS JOIN seeds x
+            WHERE q.vec_id < 10
+        ) WHERE rn <= 4
+    )
+    SELECT p.qid, CAST(count(DISTINCT p.cell) AS BIGINT) AS cells_probed,
+           CAST(count(a.vec_id) AS BIGINT) AS candidate_rows
+    FROM probes p LEFT JOIN assign a ON a.cell = p.cell
+    GROUP BY p.qid
+    """
+
+
+@register(
+    "similarity_ann_index_probe_cost", _probe_cost_sql(), tags=("similarity",)
+)
+def similarity_ann_index_probe_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADMISSION CONTROL for the stored index
+    (``plans/ann_index.probe_cost_report``): per query, how many cells
+    the stored quantizer probes and how many candidate rows they
+    contain — the exact ADC workload — WITHOUT touching the codes
+    stream. The r13 drift ledger measured why this is a first-class
+    serving op: hot-cell queries on a drifted index cost 4.5× the
+    balanced candidate volume (SCALE.md §Round 13), and a scheduler
+    that can price a batch in one column-pruned groupBy routes it to a
+    requantized replica or a lower nprobe BEFORE paying the scan.
+    Plan: query batch quantizes against the broadcast stored seeds
+    (map-only) → equi-join against the cell-population aggregate —
+    corpus codes are never read."""
+    from ..plans.ann_index import build_ann_index, probe_cost_report
+
+    table = "ann_ivfadc_index_pc"
+    build_ann_index(spark, sf_dir, table=table, n_buckets=8, n_cells=16)
+    q = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qemb"),
+    ).filter(F.col("qid") < 10)
+    return probe_cost_report(spark, q, table=table, nprobe=4)
+
+
 #: shared oracle of the two SemDeDup arms (Catalyst + BLAS): √N-seed IVF
 #: assignment, per-cell drop of every vector covered by an earlier one.
 _SEMDEDUP_SQL = f"""

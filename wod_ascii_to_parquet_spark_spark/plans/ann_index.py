@@ -1015,6 +1015,46 @@ def verify_ann_index(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
     }
 
 
+def probe_cost_report(
+    spark: SparkSession,
+    queries: DataFrame,
+    table: str = INDEX_TABLE,
+    nprobe: int = 4,
+) -> DataFrame:
+    """PRICE a query batch before serving it: per query, how many cells
+    the stored quantizer would probe and how many candidate rows those
+    cells contain — the exact rows the ADC stage would score. At 100 TB
+    this is the admission-control primitive: a scheduler checks the
+    candidate volume of an incoming batch (hot-cell queries on a
+    drifted index can cost 4.5× the balanced volume — measured,
+    SCALE.md §Round 13) and routes pathological batches to a
+    requantized replica or a lower nprobe instead of discovering the
+    cost mid-scan. Plan shape: the query side quantizes against the
+    broadcast stored seeds (map-only), then one equi-join against the
+    cell-population aggregate of the codes table — never touches the
+    codes themselves, so pricing a batch costs one column-pruned
+    groupBy regardless of corpus width. Tombstones are excluded (they
+    are masked before scoring, so they are not a cost)."""
+    books = spark.table(f"{table}__codebooks")
+    current = _current_build_id(spark, table)
+    codes = spark.table(table).filter(F.col("build_id") == current)
+    tomb = _live_tombstones(spark, table)
+    if tomb is not None:
+        codes = codes.join(F.broadcast(tomb), "vec_id", "left_anti")
+    sizes = codes.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
+    probes = _ivf_probes(
+        queries.select("qid", "qemb"), books.select("__seeds"), nprobe=nprobe
+    ).select("qid", "cell")
+    return (
+        probes.join(sizes, "cell", "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("cells_probed"),
+            F.sum(F.coalesce(F.col("__n"), F.lit(0))).alias("candidate_rows"),
+        )
+    )
+
+
 def quantizer_drift_report(spark: SparkSession, table: str = INDEX_TABLE) -> dict:
     """The RETRAIN TRIGGER for the frozen-quantizer append path: appends
     encode new vectors against cells trained on the ORIGINAL
