@@ -161,3 +161,42 @@ def test_drift_tool_jitter_matches_registered_external_construction(spark, emb):
     got = bqd._lcg_jitter(emb[qids], qids)
     for j, q in enumerate(qids):
         assert np.allclose(got[j], want[q], atol=1e-12), f"qid={q}"
+
+
+def test_residual_tool_kernel_matches_oracled_query(spark, emb):
+    """The residual ledger's numpy kernels (tools/bench_residual_recall)
+    pinned to the DuckDB-oracled `similarity_ann_ivf_adc_residual`
+    top-3 at fixture scale — the negative result (medoid-codebook
+    residual PQ loses recall vs raw) is only trustworthy if the tool
+    measures the registered arithmetic exactly."""
+    import bench_residual_recall as brr
+
+    cells = brr.ivf_assign(emb, emb[:16])
+    R = emb - emb[:16][cells]
+    res_cb = R[16:32].reshape(16, 8, 8).transpose(1, 0, 2)
+    res_codes = brr.pq_codes(R, res_cb)
+    members = {c: np.where(cells == c)[0] for c in range(16)}
+    seeds_n = emb[:16] / np.linalg.norm(emb[:16], axis=1, keepdims=True)
+    got = {q: [] for q in range(10)}
+    for r in QUERIES["similarity_ann_ivf_adc_residual"].fn(spark, SF_DIR).collect():
+        got[r["qid"]].append((r["vec_id"], r["adc_dist"]))
+    for q in range(10):
+        order = np.argsort(-(emb[q] @ seeds_n.T), kind="stable")[:4]
+        ids_parts, d_parts = [], []
+        for c in order:
+            mem = members[c]
+            mem = mem[mem != q]
+            if len(mem) == 0:
+                continue
+            qs = (emb[q] - emb[:16][c]).reshape(8, 8)
+            diff = qs[:, None, :] - res_cb
+            qt = np.einsum("scd,scd->sc", diff, diff)
+            ids_parts.append(mem)
+            d_parts.append(brr.adc_rank(qt, res_codes[mem], mem, 3))
+        ids_all = np.concatenate(ids_parts)
+        d_all = np.concatenate(d_parts)
+        want_ids = bar._bottomk_ids(d_all, ids_all, 3)
+        assert [v for v, _ in sorted(got[q], key=lambda t: (t[1], t[0]))] == want_ids, f"qid={q}"
+        for v, dist in got[q]:
+            j = int(np.where(ids_all == v)[0][0])
+            assert abs(d_all[j] - dist) < 1e-5, f"qid={q} vec={v}"

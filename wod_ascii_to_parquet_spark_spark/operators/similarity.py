@@ -2016,6 +2016,213 @@ def similarity_ann_index_probe_cost(spark: SparkSession, sf_dir: str) -> DataFra
     return probe_cost_report(spark, q, table=table, nprobe=4)
 
 
+def _ivf_adc_residual_sql() -> str:
+    """DuckDB mirror of RESIDUAL IVFADC: identical CTE layering to
+    ``_ivf_adc_sql`` but PQ operates on ``emb − centroid(cell)`` — the
+    residual CTE SHADOWS the corpus name ``e`` so the shared PQ
+    fragments (``_pq_dist_union_sql``, the picked argmin, the CASE
+    pivot) apply verbatim to residuals; query distance tables become
+    per-(qid, probed-cell), since the query's residual differs per cell.
+    All arithmetic stays elementwise IEEE (subtract, dot, sqrt) — which
+    is what lets the production residual refinement be fully
+    hash-checked cross-engine, unlike k-means-trained codebooks."""
+    scaled_a = _IVF_SCALED.format(a="e0.emb", b="x.cemb")
+    scaled_q = _IVF_SCALED.format(a="q.emb", b="x.cemb")
+    pivot = " + ".join(
+        f"max(CASE WHEN qd.s = {s} THEN qd.dist END)" for s in range(_PQ_M)
+    )
+    qd_parts = []
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_SUBDIM + 1, (s + 1) * _PQ_SUBDIM
+        a, b = f"qr.emb[{lo}:{hi}]", f"x.cemb[{lo}:{hi}]"
+        qd_parts.append(
+            f"SELECT qr.qid, qr.cell, {s} AS s, x.cent,"
+            f" {_L2_SQL.format(a=a, b=b)} AS dist"
+            f" FROM qres qr CROSS JOIN seeds x"
+        )
+    qd_union = "\n        UNION ALL\n        ".join(qd_parts)
+    return f"""
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    ivfseeds AS (SELECT vec_id AS cell, emb AS cemb FROM e0 WHERE vec_id < 16),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT e0.vec_id, x.cell,
+                   row_number() OVER (
+                       PARTITION BY e0.vec_id
+                       ORDER BY {scaled_a} DESC, x.cell
+                   ) AS rn
+            FROM e0 CROSS JOIN ivfseeds x
+        ) WHERE rn = 1
+    ),
+    e AS (
+        SELECT a.vec_id,
+               list_transform(v.emb, (x, i) -> x - s.cemb[i]) AS emb
+        FROM assign a
+        JOIN e0 v ON v.vec_id = a.vec_id
+        JOIN ivfseeds s ON s.cell = a.cell
+    ),
+    seeds AS (
+        SELECT vec_id - {_PQ_K} AS cent, emb AS cemb FROM e
+        WHERE vec_id >= {_PQ_K} AND vec_id < {2 * _PQ_K}
+    ),
+    d AS (
+        {_pq_dist_union_sql()}
+    ),
+    picked AS (
+        SELECT vec_id, s, cent FROM (
+            SELECT vec_id, s, cent, row_number() OVER (
+                PARTITION BY vec_id, s ORDER BY dsel, cent) AS rn
+            FROM d
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT qid, cell FROM (
+            SELECT q.vec_id AS qid, x.cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {scaled_q} DESC, x.cell
+                   ) AS rn
+            FROM e0 q CROSS JOIN ivfseeds x
+            WHERE q.vec_id < 10
+        ) WHERE rn <= 4
+    ),
+    qres AS (
+        SELECT p.qid, p.cell,
+               list_transform(v.emb, (x, i) -> x - s.cemb[i]) AS emb
+        FROM probes p
+        JOIN e0 v ON v.vec_id = p.qid
+        JOIN ivfseeds s ON s.cell = p.cell
+    ),
+    qd AS (
+        {qd_union}
+    )
+    SELECT qid, vec_id, round(adc, 6) AS adc_dist FROM (
+        SELECT qid, vec_id, adc,
+               row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+        FROM (
+            SELECT p.qid, a.vec_id, {pivot} AS adc
+            FROM probes p
+            JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.qid
+            JOIN picked pk ON pk.vec_id = a.vec_id
+            JOIN qd ON qd.qid = p.qid AND qd.cell = p.cell
+                   AND qd.s = pk.s AND qd.cent = pk.cent
+            GROUP BY p.qid, a.vec_id
+        )
+    ) WHERE rn <= 3
+    """
+
+
+@register(
+    "similarity_ann_ivf_adc_residual",
+    _ivf_adc_residual_sql(),
+    tags=("similarity",),
+)
+def similarity_ann_ivf_adc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL IVFADC — the production FAISS encoding the plain tier's
+    docstring names as "not modeled" (until r13): PQ quantizes
+    ``emb − centroid(cell)`` instead of the raw vector, with the query
+    distance tables computed per-(query, probed cell) since the query's
+    residual differs per cell. Why production does it: re-centering
+    each cell's population on the origin lets all 8·16 codebook entries
+    resolve within-cell structure instead of re-encoding where the cell
+    is.
+
+    MEASURED VERDICT on this corpus (r13 ledger, SCALING.json
+    ``ann_recall_residual``; numpy kernels test-pinned to this query):
+    with the repo's DETERMINISTIC MEDOID codebooks the residual tier
+    LOSES recall vs raw ADC — 0.655/0.696/0.681/0.654 vs
+    0.664/0.811/0.886/0.899 at nprobe 1/2/4/8 on identical candidate
+    sets — and the raw tier stays the registered default. The honest
+    reading: residual PQ's gains in FAISS come from K-MEANS-TRAINED
+    codebooks (training re-tiles the genuinely re-centered residual
+    distribution); a 16-point sampled residual codebook mis-tiles it,
+    while raw medoids benefit from corpus-points-as-codewords
+    alignment, and scoring MORE candidates through the poorer residual
+    geometry actively displaces true neighbors (recall falls as nprobe
+    grows). Recall recovery at scale is already owned by the refine
+    stage (0.999 at <1 % scanned, SCALE.md §Round 12) — not by a
+    trained codebook this engine deliberately does not model, because
+    training would break cross-engine bit-exactness.
+
+    Composition trap the build guards against: the "first-k rows" medoid
+    rule that is fine for raw vectors DEGENERATES for residuals — the
+    first 16 vectors ARE the IVF seeds, each its own nearest cell, so
+    their residuals are identically zero and the codebook collapses
+    (measured recall 0.0). The codebook therefore samples vectors
+    16..31's residuals, remapped to the contiguous ids the ADC lookup
+    asserts. Cost structure vs the raw tier: one extra broadcast 16-row
+    join + elementwise subtract on the (still map-only) index pass;
+    nprobe× the per-query table arithmetic, tables still
+    broadcast-sized. Fully DuckDB-oracled — deterministic arithmetic
+    end to end."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    seeds = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
+    )
+    seed_arr = _seed_array(seeds)
+    res = (
+        _ivf_assign(e, seed_arr)
+        .join(F.broadcast(seeds), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.expr("zip_with(emb, cemb, (x, y) -> x - y)").alias("emb"),
+        )
+    )
+    # residual codebook from vectors 16..31's residuals, remapped to the
+    # contiguous ids _pq_codebook asserts — NOT 0..15: those ARE the IVF
+    # seeds, each its own nearest cell, so their residuals are
+    # identically ZERO and the medoid rule would hand PQ an all-zero
+    # codebook (every code 0, every ADC distance equal — measured
+    # recall 0.0 before this guard; the first-k rule that is fine for
+    # raw vectors degenerates exactly when composed with IVF residuals)
+    cb = _pq_codebook(
+        res.filter(
+            (F.col("vec_id") >= _PQ_K) & (F.col("vec_id") < 2 * _PQ_K)
+        ).select((F.col("vec_id") - _PQ_K).alias("vec_id"), "emb")
+    )
+    encoded = res.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "cell", _pq_codes_col().alias("codes")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    probes = _ivf_probes(q, seed_arr, nprobe=4).select("qid", "cell")
+    qres = (
+        probes.join(F.broadcast(seeds), "cell")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "cell",
+            F.expr("zip_with(qemb, cemb, (x, y) -> x - y)").alias("qres"),
+        )
+    )
+    qtabs = qres.crossJoin(F.broadcast(cb)).select(
+        "qid", "cell", _pq_qtabs_col("qres").alias("__qtabs")
+    )
+    from pyspark.sql import Window as W
+
+    adc = F.expr(
+        " + ".join(
+            f"element_at(element_at(__qtabs, {s + 1}),"
+            f" element_at(codes, {s + 1}) + 1)"
+            for s in range(_PQ_M)
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.asc("__adc"), F.asc("vec_id"))
+    return (
+        encoded.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(qtabs), ["qid", "cell"])
+        .select("qid", "vec_id", adc.alias("__adc"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id", F.round(F.col("__adc"), 6).alias("adc_dist"))
+    )
+
+
 #: shared oracle of the two SemDeDup arms (Catalyst + BLAS): √N-seed IVF
 #: assignment, per-cell drop of every vector covered by an earlier one.
 _SEMDEDUP_SQL = f"""
