@@ -477,3 +477,112 @@ def stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="full_outer",
         keep_both_users=True,
     )
+
+
+def _stream_ingest_sql() -> str:
+    """Oracle for the STREAMING index-ingest arm: with the micro-batch
+    order pinned (250..374 then 375..), the pairs each probe-before-
+    ingest step reports are exactly the live md5 LSH pair set restricted
+    to (index-so-far, batch) splits — batch 0 probes the base index
+    (doc_a < 250), batch 1 probes base+batch0 (doc_a < 375). Within-
+    batch pairs are intentionally absent (a crawl batch dedups against
+    HISTORY here; intra-batch near-dups are the live query's job)."""
+    from ..operators.dedup import _md5_lsh_sql
+
+    return "WITH " + _md5_lsh_sql(
+        "SELECT doc_a, doc_b, round(jac, 6) AS jac FROM verified "
+        "WHERE jac >= 0.5 AND ("
+        "(doc_b >= 250 AND doc_b < 375 AND doc_a < 250) "
+        "OR (doc_b >= 375 AND doc_a < 375))"
+    )
+
+
+@register(
+    "stream_minhash_ingest", _stream_ingest_sql(), tags=("streaming", "dedup")
+)
+def stream_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup ingest against the persisted signature index —
+    the crawl-pipeline composition run as a REAL Structured Streaming
+    query, fully under the hash gate: ``readStream`` over staged batch
+    files (maxFilesPerTrigger=1, mtime-ordered, AvailableNow) →
+    ``foreachBatch``: probe the micro-batch against the stored index
+    (near-dup pairs vs ALL HISTORY, O(|batch|) signature work +
+    Exchange-free band join), record the pairs, then
+    ``append_minhash_index`` the batch so the NEXT micro-batch dedups
+    against it too. Deterministic because the micro-batch sequence is
+    pinned (250..374, then 375..) — each batch's pair set is the live
+    LSH pair set restricted to (history, batch), which is what the
+    oracle computes. This is the arrival-order-correct shape at 100 TB:
+    per-day cost is O(|batch|) encode + probe, the corpus-side state is
+    the bucketed index, and takedowns/vacuum apply to it unchanged
+    (`delete_from_minhash_index`). The foreachBatch sink appends pairs
+    idempotently per run (accumulator cleared at start; the streaming
+    checkpoint owns exactly-once across restarts in production)."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..plans.minhash_index import (
+        _clear_table,
+        append_minhash_index,
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    table = "minhash_lsh_index_sq"
+    sink = f"{table}__pairs"
+    build_minhash_index(
+        spark, d.filter(F.col("doc_id") < 250), table=table, family="md5"
+    )
+    _clear_table(spark, sink)
+    root = tempfile.mkdtemp(prefix="wg_stream_ingest_")
+    try:
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        for i, (lo, hi) in enumerate(((250, 375), (375, 1 << 40))):
+            stage = os.path.join(root, f"stage{i}")
+            (
+                d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+                .coalesce(1)
+                .write.parquet(stage)
+            )
+            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"batch{i}.parquet")
+            shutil.copyfile(part, dst)
+            os.utime(dst, (i + 1, i + 1))  # mtime = micro-batch order
+        stream = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def ingest(batch_df: DataFrame, batch_id: int) -> None:
+            # run EVERYTHING on the micro-batch's session clone: the
+            # outer session's InMemoryFileIndex for the index table is
+            # cached from the build, so reading via `spark` here would
+            # silently probe the PRE-append file set in every batch
+            # (measured: all cross-batch pairs missing) — the clone
+            # lists fresh, and writes land in the shared catalog either
+            # way.
+            ms = batch_df.sparkSession
+            pairs = probe_minhash_index(
+                ms, batch_df, table=table, self_probe=False
+            )
+            pairs.write.format("parquet").mode("append").saveAsTable(sink)
+            append_minhash_index(ms, batch_df, table=table)
+
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    # the sink was appended from session clones — drop any stale file
+    # listing this session may hold before the gated read
+    spark.catalog.refreshTable(sink)
+    return spark.table(sink).select("doc_a", "doc_b", "jac")
