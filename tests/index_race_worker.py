@@ -303,6 +303,7 @@ def vac_appender(root: str) -> None:
     from wod_ascii_to_parquet_spark_spark.plans.minhash_index import (
         append_minhash_index,
         build_minhash_index,
+        delete_from_minhash_index,
         probe_minhash_index,
         vacuum_minhash_index,
         verify_minhash_index,
@@ -327,25 +328,49 @@ def vac_appender(root: str) -> None:
         log["append_during_vacuum"] = "SUCCEEDED (fence failed)"
     except IndexMaintenanceConflict as e:
         log["append_during_vacuum"] = f"refused: {e}"
+    # r13 third mutator: a REAL takedown must refuse against the held
+    # vacuum too — a tombstone written mid-vacuum would be cleared
+    # without its rows being dropped (silent resurrection)
+    try:
+        delete_from_minhash_index(
+            spark, docs.filter(F.col("doc_id") == 0).select("doc_id"),
+            table=TABLE,
+        )
+        log["delete_during_vacuum"] = "SUCCEEDED (fence failed)"
+    except IndexMaintenanceConflict as e:
+        log["delete_during_vacuum"] = f"refused: {e}"
     with open(os.path.join(root, "appends_refused"), "w") as fh:
         fh.write("1")
     _wait_for(os.path.join(root, "vac_released"))
-    # now hold an append lock and let the OTHER process attempt a real
-    # vacuum — its refusal must come from the shared filesystem alone
+    # now hold BOTH mutator locks (the primitives every append/delete
+    # holds) and let the OTHER process attempt a real vacuum — its
+    # refusal must come from the shared filesystem alone
     with _maintenance_lock(spark, TABLE, "append"):
-        with open(os.path.join(root, "append_held"), "w") as fh:
-            fh.write("1")
-        _wait_for(os.path.join(root, "vacuum_refused_done"))
-    # serialized aftermath: the refused delta re-applies cleanly, vacuum
-    # compacts, and the result is indistinguishable from a fresh build
+        with _maintenance_lock(spark, TABLE, "delete"):
+            with open(os.path.join(root, "append_held"), "w") as fh:
+                fh.write("1")
+            _wait_for(os.path.join(root, "vacuum_refused_done"))
+    # serialized aftermath: the refused delta re-applies cleanly, the
+    # refused takedown lands, vacuum reclaims it physically, and the
+    # result is indistinguishable from a fresh build over the union
+    # minus the deleted doc
     append_minhash_index(spark, delta, table=TABLE)
+    delete_from_minhash_index(
+        spark, docs.filter(F.col("doc_id") == 0).select("doc_id"), table=TABLE
+    )
     vacuum_minhash_index(spark, table=TABLE)
     report = verify_minhash_index(spark, table=TABLE)
+    deleted_doc_rows = (
+        spark.table(TABLE).filter(F.col("doc_id") == 0).count()
+        + spark.table(f"{TABLE}__docs").filter(F.col("doc_id") == 0).count()
+    )
     healed = _pairs(
         probe_minhash_index(spark, docs, table=TABLE, self_probe=True)
     )
     build_minhash_index(
-        spark, docs.filter(F.col("doc_id") < 340), table="fresh_idx",
+        spark,
+        docs.filter((F.col("doc_id") < 340) & (F.col("doc_id") != 0)),
+        table="fresh_idx",
         family="md5",
     )
     fresh = _pairs(
@@ -356,6 +381,8 @@ def vac_appender(root: str) -> None:
             {
                 "log": log,
                 "consistent": report["consistent"],
+                "tombstones_reclaimed": report["tombstoned_doc_ids"] == 0
+                and deleted_doc_rows == 0,
                 "healed_equals_fresh": healed == fresh,
             },
             fh,

@@ -199,13 +199,21 @@ def test_vacuum_vs_append_cross_process_fence(tmp_path):
         result["log"]
     )
     assert "vacuum" in result["log"]["append_during_vacuum"]
-    # direction 2: real vacuum refused while the appender held an append
-    # lock — purely via the shared filesystem
+    # direction 1b (r13 third mutator): a real takedown refused against
+    # the same held vacuum — a tombstone written mid-vacuum would be
+    # cleared without its rows being dropped (silent resurrection)
+    assert result["log"]["delete_during_vacuum"].startswith("refused:"), (
+        result["log"]
+    )
+    # direction 2: real vacuum refused while the appender held its
+    # mutator locks (append + delete) — purely via the shared filesystem
     assert vlog["vacuum_during_append"].startswith("refused:"), vlog
-    assert "append" in vlog["vacuum_during_append"]
-    # aftermath: serialized re-append + vacuum converge to a consistent,
-    # fresh-build-identical index — the refusals lost no data
+    # aftermath: serialized re-append + takedown + vacuum converge to a
+    # consistent index, the tombstone physically reclaimed from both
+    # sides, probe-identical to a fresh build over (union minus the
+    # deleted doc) — the refusals lost no data and resurrected none
     assert result["consistent"] is True
+    assert result["tombstones_reclaimed"] is True
     assert result["healed_equals_fresh"] is True
 
 
