@@ -1001,3 +1001,62 @@ def test_cli_delete_index_tombstones_and_refusal_exit_code(spark, capsys):
     finally:
         for side in ("", "__codebooks", "__tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {t}{side}")
+
+
+def test_tombstone_mask_is_broadcast_anti_join_in_plan(spark):
+    """The takedown mask must stay a BROADCAST anti-join on the
+    candidate stream — a shuffled anti-join would re-exchange the 100 TB
+    codes side on every probe for a sidecar-sized delete set."""
+    from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+        delete_from_ann_index,
+    )
+
+    t = "test_ann_idx_plan_tomb"
+    try:
+        import re
+
+        def plan_of(df):
+            return df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+
+        build_ann_index(spark, SF_DIR, table=t, n_buckets=8, n_cells=16)
+        plan_unmasked = plan_of(
+            probe_ann_index(
+                spark, _queries(spark), table=t, nprobe=4, k=3,
+                exclude_self=True,
+            )
+        )
+        delete_from_ann_index(
+            spark,
+            load(spark, SF_DIR, "embeddings")
+            .filter(F.col("vec_id") % 11 == 0)
+            .select("vec_id"),
+            table=t,
+        )
+        plan = plan_of(
+            probe_ann_index(
+                spark, _queries(spark), table=t, nprobe=4, k=3,
+                exclude_self=True,
+            )
+        )
+        anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+        assert anti, plan[:4000]
+        assert any("BroadcastHashJoin" in ln for ln in anti), plan[:4000]
+        assert "LeftAnti" not in plan_unmasked
+        # the mask adds exactly ONE shuffle Exchange and it is on the
+        # TOMBSTONE side (the sidecar's distinct() for idempotent
+        # re-deletes — tombstone-sized); the codes side joins broadcast,
+        # so the 100 TB side is never re-exchanged by a takedown
+        n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+        n_ex_unmasked = len(re.findall(r"\(\d+\) Exchange", plan_unmasked))
+        assert n_ex == n_ex_unmasked + 1, (n_ex, n_ex_unmasked)
+        # attribution: the added exchange is the sidecar's distinct —
+        # it hash-partitions on vec_id and feeds the BroadcastExchange
+        # of the anti-join's build side (formatted plans put the
+        # partitioning on the node's Arguments line)
+        assert "hashpartitioning(vec_id" in plan, plan[:4000]
+        assert "hashpartitioning(vec_id" not in plan_unmasked
+    finally:
+        for side in ("", "__codebooks", "__tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{side}")
