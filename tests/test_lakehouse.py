@@ -946,3 +946,101 @@ def test_unknown_builder_option_match_is_narrow():
         _Py4JStyle(_JExc("java.io.IOException",
                          f"while applying {FS._CONDITIONAL_CREATE_OPT}"))
     )
+
+
+def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
+    """COW DELETE (r13): only files containing victims are rewritten —
+    untouched files carry into the new snapshot BY REFERENCE (same
+    physical paths), the pre-delete snapshot stays time-travelable, and
+    the row set is exactly the predicate complement."""
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b")]), mode="append")     # file A
+    t.write(_df(spark, [(10, "x"), (11, "y")]), mode="append")   # file B
+    t.write(_df(spark, [(20, "p"), (21, "q")]), mode="append")   # file C
+    before_files, _ = t.resolve_files(t.manifest())
+    rep = t.delete_where("k >= 10 AND k < 20")
+    assert rep["rows_deleted"] == 2
+    assert rep["files_rewritten"] >= 1
+    assert rep["files_untouched"] >= 1
+    after_files, _ = t.resolve_files(t.manifest())
+    # files A and C (no victims) carried by reference — identical paths
+    untouched_before = [
+        p for p in before_files if p in after_files
+    ]
+    assert len(untouched_before) == rep["files_untouched"]
+    assert {(r.k, r.v) for r in t.read().collect()} == {
+        (1, "a"), (2, "b"), (20, "p"), (21, "q")
+    }
+    # time travel to the pre-delete snapshot is intact
+    assert {r.k for r in t.read(version=rep["version"] - 1).collect()} == {
+        1, 2, 10, 11, 20, 21
+    }
+
+
+def test_delete_where_no_match_commits_nothing(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="append")
+    v = t.latest_version()
+    rep = t.delete_where("k > 100")
+    assert rep["rows_deleted"] == 0 and rep["version"] == v
+    assert t.latest_version() == v
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    """SQL three-valued logic: DELETE removes rows where the predicate
+    is TRUE — a NULL predicate must never delete (the conservative
+    direction for a destructive op)."""
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "zz")], "k bigint, v string"
+        ),
+        mode="append",
+    )
+    rep = t.delete_where("length(v) > 1")  # NULL for k=2
+    assert rep["rows_deleted"] == 1
+    assert {r.k for r in t.read().collect()} == {1, 2}
+
+
+def test_delete_where_conflicts_with_concurrent_commit(spark, tmp_path):
+    """The delete is pinned to the version it READ: a commit landing
+    between read and publish must conflict, never be silently
+    overwritten (same read-modify-write contract as merge)."""
+    from wod_ascii_to_parquet_spark_spark.sources import lakehouse as lh
+
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (10, "x")]), mode="append")
+    orig = lh.LogTable._commit
+
+    def racing_commit(self, files, mode, base, **kw):
+        # sneak a concurrent append in first, once
+        if kw.get("meta", {}).get("delete_where") and not getattr(
+            self, "_raced", False
+        ):
+            self._raced = True
+            t2 = LogTable(spark, self.dir)
+            t2.write(_df(spark, [(99, "zz")]), mode="append")
+        return orig(self, files, mode, base, **kw)
+
+    lh.LogTable._commit = racing_commit
+    try:
+        with pytest.raises(CommitConflict):
+            t.delete_where("k >= 10")
+    finally:
+        lh.LogTable._commit = orig
+    # the loser's snapshot never became visible; the append won
+    assert {r.k for r in t.read().collect()} == {1, 10, 99}
+
+
+def test_delete_where_then_vacuum_reclaims_replaced_files(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (10, "x")]), mode="append")
+    before_files, _ = t.resolve_files(t.manifest())
+    rep = t.delete_where("k >= 10")
+    assert rep["rows_deleted"] == 1
+    deleted = t.vacuum(keep_versions=1, min_age_seconds=0.0)
+    # the replaced (pre-delete) file is physically reclaimed
+    replaced = [p for p in before_files if p not in
+                t.resolve_files(t.manifest())[0]]
+    assert replaced and all(p in deleted for p in replaced)
+    assert {r.k for r in t.read().collect()} == {1}

@@ -400,3 +400,45 @@ def str_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "lakehouse_delete_where",
+    """
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id < 400 AND NOT (doc_id % 3 = 1)
+    """,
+    tags=("lakehouse",),
+)
+def lakehouse_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE on the manifest-log table
+    (``sources/lakehouse.LogTable.delete_where``) under the hash gate —
+    the table-side twin of the index tombstones: build the table in TWO
+    commits (so the snapshot spans multiple file sets), delete every
+    ``doc_id % 3 = 1`` row, and read the resulting snapshot. Only files
+    containing victims are rewritten — untouched files carry into the
+    new snapshot by reference, which is what bounds a takedown's cost
+    by the victim rows' file locality instead of the table size; the
+    by-reference and time-travel halves are pinned in
+    tests/test_lakehouse.py. Oracle: plain SQL over the same rows —
+    DELETE must be exactly a predicate-complement, never an
+    approximation."""
+    import os
+    import shutil
+
+    from ..sources.lakehouse import LogTable
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").replace(
+        "file:", ""
+    )
+    root = os.path.join(warehouse, "logtable_delete_q")
+    shutil.rmtree(root, ignore_errors=True)
+    t = LogTable(spark, root)
+    t.write(d.filter(F.col("doc_id") < 200), mode="overwrite")
+    t.write(
+        d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 400)),
+        mode="append",
+    )
+    t.delete_where("doc_id % 3 = 1")
+    return t.read()

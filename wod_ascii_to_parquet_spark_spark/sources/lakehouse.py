@@ -564,6 +564,123 @@ class LogTable:
         ).unionByName(updates, allowMissingColumns=True)
         return self.write(merged, mode="overwrite", expected_base=base)
 
+    def delete_where(self, predicate: str) -> dict:
+        """Copy-on-write DELETE (the GDPR/takedown op on the table side,
+        twin of the index tombstones in ``plans/*_index.py``): remove
+        every row matching ``predicate`` by rewriting ONLY the files
+        that contain a match — untouched files carry into the new
+        snapshot BY REFERENCE (no data movement), which is what makes a
+        small takedown affordable on a 100 TB table: cost scales with
+        the files the victim rows live in, not the table.
+
+        Mechanics: one filtered scan tags the files containing matches
+        (``input_file_name`` — Spark's file-level provenance, so the
+        touch test and the scan are the same job); matched files are
+        re-read with the predicate NEGATED and staged as fresh files;
+        the commit publishes (untouched ∪ rewritten) pinned to the
+        version the delete READ (``expected_base`` semantics — a
+        concurrent commit conflicts instead of being silently
+        overwritten). NULL-predicate rows are KEPT: SQL three-valued
+        logic — DELETE removes rows where the predicate IS TRUE, so an
+        unknown never deletes (the conservative direction for a
+        destructive op).
+
+        The pre-delete snapshot stays time-travelable until
+        :meth:`vacuum` (which is also what physically reclaims the
+        replaced files). Inherited segments are dissolved into the new
+        manifest's inline list: a segment is immutable and may name a
+        rewritten file, so it cannot be carried by reference across a
+        delete — the next append's spill re-forms segments. Returns
+        ``{version, rows_deleted, files_rewritten, files_untouched}``;
+        a no-match delete commits NOTHING and returns the current
+        version with zeros."""
+        from pyspark.sql import functions as F
+
+        base = self.latest_version()
+        if base is None:
+            raise ValueError("delete_where on an empty table (no snapshot)")
+        doc = self.manifest(base, heal=True)
+        files, stats = self.resolve_files(doc)
+        if not files:
+            return {
+                "version": base,
+                "rows_deleted": 0,
+                "files_rewritten": 0,
+                "files_untouched": 0,
+            }
+        scan = self.spark.read.parquet(*files).filter(predicate)
+        touch = (
+            scan.groupBy(F.input_file_name().alias("__f"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        # input_file_name returns URIs (file://...); manifests store the
+        # paths the staging writer listed — match on the path suffix
+        def _norm(uri: str) -> str:
+            return uri.split("://", 1)[-1] if "://" in uri else uri
+
+        by_suffix = {posixpath.basename(p): p for p in files}
+        matched: dict[str, int] = {}
+        for r in touch:
+            name = posixpath.basename(_norm(r["__f"]))
+            matched[by_suffix[name]] = r["__n"]
+        if not matched:
+            return {
+                "version": base,
+                "rows_deleted": 0,
+                "files_rewritten": 0,
+                "files_untouched": len(files),
+            }
+        untouched = [p for p in files if p not in matched]
+        kept = self.spark.read.parquet(*sorted(matched)).filter(
+            f"NOT coalesce(({predicate}), false)"
+        )
+        staging = posixpath.join(self.dir, _DATA_DIR, uuid.uuid4().hex)
+        kept.write.mode("error").parquet(staging)
+        new_files = [
+            p for p in self.fs.file_sizes(staging) if p.endswith(".parquet")
+        ]
+        new_stats = {p: stats[p] for p in untouched if p in stats}
+        for p in new_files:
+            s = _footer_minmax(p)
+            if s:
+                new_stats[p] = s
+        # same in-flight-vacuum guard as write(): never publish a
+        # manifest referencing files a concurrent vacuum reclaimed
+        staged_now = set(self.fs.file_sizes(staging))
+        gone = [p for p in new_files if p not in staged_now]
+        if gone:
+            self.fs.delete(staging)
+            raise StagingReclaimed(
+                f"{len(gone)} staged file(s) were reclaimed by a concurrent "
+                "vacuum before this delete could publish; retry"
+            )
+        try:
+            version = self._commit(
+                untouched + new_files,
+                "overwrite",
+                base,
+                meta={
+                    "delete_where": predicate,
+                    **(
+                        {"batch_id": doc["meta"]["batch_id"]}
+                        if doc.get("meta", {}).get("batch_id") is not None
+                        else {}
+                    ),
+                },
+                stats=new_stats,
+                schema=doc.get("schema", {}),
+            )
+        except CommitConflict:
+            self.fs.delete(staging)
+            raise
+        return {
+            "version": version,
+            "rows_deleted": int(sum(matched.values())),
+            "files_rewritten": len(matched),
+            "files_untouched": len(untouched),
+        }
+
     def optimize(self, target_files: int = 1) -> int:
         """OPTIMIZE (small-file compaction): rewrite the current snapshot
         into ``target_files`` files and commit the result as a new

@@ -4,6 +4,7 @@
     python -m wod_ascii_to_parquet_spark_spark.table_cli show     <dir> [--version N]
     python -m wod_ascii_to_parquet_spark_spark.table_cli optimize <dir> [--target-files N]
     python -m wod_ascii_to_parquet_spark_spark.table_cli vacuum   <dir> [--keep N] [--min-age-hours H]
+    python -m wod_ascii_to_parquet_spark_spark.table_cli delete-where <dir> --predicate 'k >= 10'
     python -m wod_ascii_to_parquet_spark_spark.table_cli vacuum-index <table> --kind {minhash,ann} [--dry-run]
     python -m wod_ascii_to_parquet_spark_spark.table_cli verify-index <table> --kind {minhash,ann} [--strict]
     python -m wod_ascii_to_parquet_spark_spark.table_cli delete-index <table> --kind {minhash,ann} --ids 1,2,3
@@ -58,6 +59,20 @@ def build_parser() -> argparse.ArgumentParser:
         type=float,
         default=1.0,
         help="never delete files younger than this (in-flight-writer guard)",
+    )
+
+    dw = sub.add_parser(
+        "delete-where",
+        help="copy-on-write DELETE on a LogTable: rewrite only the files "
+        "containing matching rows (untouched files carry by reference); "
+        "the pre-delete snapshot stays time-travelable until vacuum",
+    )
+    dw.add_argument("table_dir", help="LogTable directory")
+    dw.add_argument(
+        "--predicate",
+        required=True,
+        help="SQL predicate; rows where it is TRUE are deleted "
+        "(NULL keeps the row — three-valued logic)",
     )
 
     vidx = sub.add_parser(
@@ -128,7 +143,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     lck.add_argument("table", help="catalog table name of the index")
 
-    for s in (hist, show, opt, vac, vidx, vfy, didx, drf, lck):
+    for s in (hist, show, opt, vac, dw, vidx, vfy, didx, drf, lck):
         s.add_argument("--master", default=None)
     return p
 
@@ -342,6 +357,9 @@ def _dispatch(args, t: LogTable) -> int:
                 }
             )
         )
+    elif args.cmd == "delete-where":
+        rep = t.delete_where(args.predicate)
+        print(json.dumps({"table": t.dir, **rep}))
     elif args.cmd == "optimize":
         v = t.optimize(target_files=args.target_files)
         print(
