@@ -1060,3 +1060,40 @@ def test_tombstone_mask_is_broadcast_anti_join_in_plan(spark):
     finally:
         for side in ("", "__codebooks", "__tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {t}{side}")
+
+
+def test_join_tier_probe_index_side_exchange_free(spark):
+    """The large-batch tier (broadcast_queries=False): the cell join is
+    a sort-merge join whose BUCKETED index side enters with no Exchange
+    (the build shuffle paid once), and results equal the broadcast tier
+    row-for-row — tier choice is physical, never semantic."""
+    import re
+
+    t = "test_ann_idx_join_tier"
+    try:
+        build_ann_index(spark, SF_DIR, table=t, n_buckets=8, n_cells=16)
+        q = _queries(spark)
+        df = probe_ann_index(
+            spark, q, table=t, nprobe=4, k=3, exclude_self=True,
+            broadcast_queries=False,
+        )
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan, plan[:4000]
+        assert "Bucketed: true" in plan, plan[:4000]
+        # the index scan's subtree reaches the merge join without an
+        # Exchange: bucket pruning text appears and the scan's section
+        # shows SelectedBucketsCount
+        assert "SelectedBucketsCount" in plan, plan[:4000]
+        got = {tuple(r) for r in df.collect()}
+        want = {
+            tuple(r)
+            for r in probe_ann_index(
+                spark, q, table=t, nprobe=4, k=3, exclude_self=True,
+            ).collect()
+        }
+        assert got == want and got
+    finally:
+        for side in ("", "__codebooks"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{side}")

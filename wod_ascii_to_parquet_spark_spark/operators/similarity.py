@@ -1336,16 +1336,31 @@ def _adc_topk(
     qtabs: DataFrame,
     k: int,
     exclude_self: bool = True,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """ADC ranking block shared by the oracled one-shot query and the
-    persisted-index probe: candidates = index ⋈ broadcast probes on cell,
+    persisted-index probe: candidates = index ⋈ probes on cell,
     distance = the FIXED s=0..7 table-lookup sum (fp addition order is
     load-bearing for the DuckDB oracle — do not reorder), top-``k`` per
     query by (adc, vec_id). ``exclude_self`` drops index rows whose
     vec_id equals the qid — correct ONLY when the queries are corpus
     vectors (self-match removal); external query batches must pass False
     or a legitimate neighbor that happens to share the numbering is
-    silently lost."""
+    silently lost.
+
+    ``broadcast_queries`` picks the probe-side physical tier, the same
+    small-vs-large split as ``similarity_ann_ivf`` vs ``_ivf_join``:
+
+    - True (serving default): probes and distance tables broadcast —
+      right while Q·nprobe and Q·m·k·8B fit the broadcast budget; the
+      index side is never exchanged.
+    - False (the LARGE-batch tier — nightly re-embedding scoring, bulk
+      backfill): the cell join becomes a sort-merge join the BUCKETED
+      index side enters Exchange-free (bucketing discipline paid at
+      build), and the qtabs attach on qid shuffles the candidate
+      stream against the query tables instead of broadcasting a
+      table set that no longer fits. Results are identical by
+      construction — both tiers share this one ranking expression."""
     from pyspark.sql import Window as W
 
     # position == centroid id — _pq_codebook asserts contiguity; fixed
@@ -1357,12 +1372,17 @@ def _adc_topk(
             for s in range(_PQ_M)
         )
     )
-    cand = index_df.join(F.broadcast(probes), "cell")
+    if broadcast_queries:
+        cand = index_df.join(F.broadcast(probes), "cell")
+        qt = F.broadcast(qtabs)
+    else:
+        cand = index_df.hint("merge").join(probes, "cell")
+        qt = qtabs
     if exclude_self:
         cand = cand.filter(F.col("vec_id") != F.col("qid"))
     w = W.partitionBy("qid").orderBy(F.asc("__adc"), F.asc("vec_id"))
     return (
-        cand.join(F.broadcast(qtabs), "qid")
+        cand.join(qt, "qid")
         .select("qid", "vec_id", adc.alias("__adc"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
@@ -1949,6 +1969,34 @@ def similarity_ann_index_filtered_adc(spark: SparkSession, sf_dir: str) -> DataF
     return probe_ann_index(
         spark, q, table=table, nprobe=4, k=3, exclude_self=True,
         candidate_filter="label % 2 = 0",
+    )
+
+
+@register("similarity_ann_index_join_adc", _ivf_adc_sql(), tags=("similarity",))
+def similarity_ann_index_join_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LARGE-query-batch tier of the persisted index
+    (``probe_ann_index(broadcast_queries=False)``) under the hash gate:
+    the same 10-query batch served through the sort-merge cell join the
+    BUCKETED index side enters Exchange-free and a qid-shuffle qtabs
+    attach — the physical plan a nightly re-embedding scoring run needs
+    when Q·nprobe probe rows and Q·m·k distance tables no longer fit a
+    broadcast. Must equal ``similarity_ann_index_adc`` exactly (same
+    oracle SQL): tier choice is a physical decision, never a semantic
+    one — both tiers share ``_adc_topk``'s single ranking expression,
+    and this registration is what catches a drift between them. The
+    Exchange-free-index-side claim is plan-asserted in
+    tests/test_ann_index.py."""
+    from ..plans.ann_index import build_ann_index, probe_ann_index
+
+    table = "ann_ivfadc_index_jq"
+    build_ann_index(spark, sf_dir, table=table, n_buckets=8, n_cells=16)
+    q = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qemb"),
+    ).filter(F.col("qid") < 10)
+    return probe_ann_index(
+        spark, q, table=table, nprobe=4, k=3, exclude_self=True,
+        broadcast_queries=False,
     )
 
 

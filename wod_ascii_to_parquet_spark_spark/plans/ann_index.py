@@ -185,12 +185,23 @@ def probe_ann_index(
     k: int = 3,
     exclude_self: bool = False,
     candidate_filter: str | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """ADC top-``k`` per query against the persisted index: per-query
     distance tables against the stored PQ codebook (broadcast), probes via
     the stored IVF quantizer, candidates from the index table — the corpus
     embeddings are never read. ``queries`` must have columns
     ``(qid, qemb: array<double>)``.
+
+    ``broadcast_queries=False`` selects the LARGE-batch tier (nightly
+    re-embedding scoring, bulk backfill — query sets too big to
+    broadcast): the cell join runs as a sort-merge join the BUCKETED
+    index side enters Exchange-free (the build's bucketing discipline;
+    plan-asserted in tests), and the per-query distance tables attach
+    by a shuffle on qid instead of a broadcast. Identical results by
+    construction — both tiers share ``_adc_topk``'s one ranking
+    expression, and the registered ``similarity_ann_index_join_adc``
+    pins tier equality under the DuckDB oracle.
 
     ``exclude_self`` defaults to False: external query batches have their
     own qid numbering, and dropping index rows with ``vec_id == qid``
@@ -253,6 +264,7 @@ def probe_ann_index(
         qtabs,
         k=k,
         exclude_self=exclude_self,
+        broadcast_queries=broadcast_queries,
     )
 
 
