@@ -224,3 +224,28 @@ def test_cli_drift_index_prints_report(spark, capsys):
         assert doc["n_cells"] == 16 and doc["imbalance_factor"] >= 1.0
     finally:
         _drop(spark, t)
+
+
+def test_cli_requantize_index_runs_and_respects_fence(spark, capsys):
+    """The ops loop closes from a shell: drift-index (trigger) ->
+    requantize-index (action), with before/after drift evidence in the
+    output and exit 3 under a held mutator lock."""
+    import json as _json
+
+    from wod_ascii_to_parquet_spark_spark.table_cli import main
+
+    t = "test_ann_drift_cli_rq"
+    try:
+        build_ann_index(spark, SF_DIR, table=t, n_buckets=8, n_cells=16)
+        vec_path = f"{SF_DIR}/embeddings.parquet"
+        with _maintenance_lock(spark, t, "append"):
+            rc = main(["requantize-index", t, "--vectors", vec_path])
+            doc = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+            assert rc == 3 and "requantize refused" in doc["refused"]
+        rc = main(["requantize-index", t, "--vectors", vec_path])
+        doc = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0
+        assert doc["old_build_id"] != doc["new_build_id"]
+        assert doc["drift_after"]["rows"] == doc["drift_before"]["rows"]
+    finally:
+        _drop(spark, t)

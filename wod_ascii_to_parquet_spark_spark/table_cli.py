@@ -9,6 +9,7 @@
     python -m wod_ascii_to_parquet_spark_spark.table_cli verify-index <table> --kind {minhash,ann} [--strict]
     python -m wod_ascii_to_parquet_spark_spark.table_cli delete-index <table> --kind {minhash,ann} --ids 1,2,3
     python -m wod_ascii_to_parquet_spark_spark.table_cli drift-index <table>
+    python -m wod_ascii_to_parquet_spark_spark.table_cli requantize-index <table> --vectors <parquet> [--attr-cols ...]
     python -m wod_ascii_to_parquet_spark_spark.table_cli locks    <table>
 
 The maintenance surface a scheduled job or an operator at a terminal
@@ -135,6 +136,34 @@ def build_parser() -> argparse.ArgumentParser:
     )
     drf.add_argument("table", help="catalog table name of the ANN index")
 
+    rqz = sub.add_parser(
+        "requantize-index",
+        help="retrain a persisted ANN index's quantizer on the CURRENT "
+        "corpus (md5-spread seeds) and rebuild — the action drift-index "
+        "triggers; preserves deletions and attribute columns. Exit 3 "
+        "(retry later) if a mutator holds the maintenance fence.",
+    )
+    rqz.add_argument("table", help="catalog table name of the ANN index")
+    rqz.add_argument(
+        "--vectors",
+        required=True,
+        help="parquet path of the live corpus vectors",
+    )
+    rqz.add_argument("--id-col", default="vec_id")
+    rqz.add_argument("--emb-col", default="embedding")
+    rqz.add_argument(
+        "--n-cells",
+        type=int,
+        default=None,
+        help="override the ceil(sqrt(N)) cell-count rule",
+    )
+    rqz.add_argument(
+        "--attr-cols",
+        default=None,
+        help="comma-separated attribute columns to re-store alongside "
+        "the codes (required if the index stores attributes)",
+    )
+
     lck = sub.add_parser(
         "locks",
         help="list an index's maintenance-lock fence state (read-only): "
@@ -143,7 +172,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     lck.add_argument("table", help="catalog table name of the index")
 
-    for s in (hist, show, opt, vac, dw, vidx, vfy, didx, drf, lck):
+    for s in (hist, show, opt, vac, dw, vidx, vfy, didx, drf, rqz, lck):
         s.add_argument("--master", default=None)
     return p
 
@@ -166,6 +195,9 @@ def main(argv: list[str] | None = None) -> int:
         with cached_frames():
             print(json.dumps(quantizer_drift_report(spark, args.table)))
         return 0
+    if args.cmd == "requantize-index":
+        with cached_frames():
+            return _requantize_index(spark, args)
     if args.cmd == "locks":
         return _index_locks(spark, args)
     t = LogTable(spark, args.table_dir)
@@ -257,6 +289,43 @@ def _delete_index(spark, args) -> int:
             {"table": args.table, "kind": args.kind, "tombstoned": n}
         )
     )
+    return 0
+
+
+def _requantize_index(spark, args) -> int:
+    """Dispatch `requantize-index`: the maintenance action the
+    drift-index report triggers, runnable from a scheduler. Prints the
+    before/after drift reports so the run itself is the evidence the
+    retrain paid."""
+    from pyspark.sql import functions as F
+
+    from .plans.ann_index import (
+        IndexMaintenanceConflict,
+        requantize_ann_index,
+    )
+
+    vectors = spark.read.parquet(args.vectors).select(
+        F.col(args.id_col).alias("vec_id"),
+        F.col(args.emb_col).cast("array<double>").alias("emb"),
+    )
+    attributes = None
+    if args.attr_cols:
+        cols = [c.strip() for c in args.attr_cols.split(",") if c.strip()]
+        attributes = spark.read.parquet(args.vectors).select(
+            F.col(args.id_col).alias("vec_id"), *cols
+        )
+    try:
+        report = requantize_ann_index(
+            spark,
+            vectors,
+            table=args.table,
+            n_cells=args.n_cells,
+            attributes=attributes,
+        )
+    except IndexMaintenanceConflict as e:
+        print(json.dumps({"table": args.table, "refused": str(e)}))
+        return 3
+    print(json.dumps(report))
     return 0
 
 
