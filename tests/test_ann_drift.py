@@ -249,3 +249,55 @@ def test_cli_requantize_index_runs_and_respects_fence(spark, capsys):
         assert doc["drift_after"]["rows"] == doc["drift_before"]["rows"]
     finally:
         _drop(spark, t)
+
+
+def test_requantize_survives_deleted_low_vec_id(spark):
+    """Review r13 (total-loss path): vectors 0..15 seed the PQ codebook
+    under the raw low-id rule, and the inner rebuild DROPS the tables
+    before its plans evaluate — so a requantize after deleting a low id
+    used to fire the codebook contiguity assert mid-rebuild and destroy
+    the index. The codebook now seeds from the first 16 LIVE vectors
+    (remapped to contiguous ids), so the takedown-then-retrain sequence
+    reachable from the CLI must succeed and keep serving."""
+    t = "test_ann_drift_lowdel"
+    try:
+        build_ann_index(spark, SF_DIR, table=t, n_buckets=8, n_cells=16)
+        delete_from_ann_index(
+            spark,
+            _emb(spark).filter(F.col("vec_id") == 3).select("vec_id"),
+            table=t,
+        )
+        out = requantize_ann_index(spark, _emb(spark), table=t)
+        assert out["old_build_id"] != out["new_build_id"]
+        assert spark.table(t).filter(F.col("vec_id") == 3).count() == 0
+        q = _emb(spark).filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+        )
+        got = probe_ann_index(
+            spark, q, table=t, nprobe=8, k=3, exclude_self=True
+        ).collect()
+        assert len(got) == 15
+        assert 3 not in {r["vec_id"] for r in got}
+        assert verify_ann_index(spark, t)["consistent"]
+    finally:
+        _drop(spark, t)
+
+
+def test_drift_report_excludes_tombstone_mass(spark):
+    """Tombstoned rows are masked at every probe, so they are not
+    serving cost: the drift report must not count them toward cell
+    populations (a mass takedown would otherwise trigger an exclusive
+    requantize whose cheaper remedy is vacuum) — their mass is reported
+    separately."""
+    t = "test_ann_drift_tombmass"
+    try:
+        build_ann_index(spark, SF_DIR, table=t, n_buckets=8, n_cells=16)
+        before = quantizer_drift_report(spark, t)
+        assert before["tombstoned_vec_ids"] == 0
+        victims = _emb(spark).filter(F.col("vec_id") % 2 == 0).select("vec_id")
+        n = delete_from_ann_index(spark, victims, table=t)
+        after = quantizer_drift_report(spark, t)
+        assert after["tombstoned_vec_ids"] == n
+        assert after["rows"] == before["rows"] - n
+    finally:
+        _drop(spark, t)

@@ -1044,3 +1044,24 @@ def test_delete_where_then_vacuum_reclaims_replaced_files(spark, tmp_path):
                 t.resolve_files(t.manifest())[0]]
     assert replaced and all(p in deleted for p in replaced)
     assert {r.k for r in t.read().collect()} == {1}
+
+
+def test_delete_where_preserves_evolved_columns(spark, tmp_path):
+    """Review r13: the snapshot can span files with and without a
+    later-added column (additive evolution); the COW rewrite must merge
+    schemas so surviving rows keep the newer column instead of silently
+    NULLing it out of the rewritten files."""
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (10, "x")]), mode="append")
+    t.write(
+        spark.createDataFrame(
+            [(20, "p", 7.5), (30, "q", 8.5)], "k bigint, v string, w double"
+        ),
+        mode="append",
+    )
+    rep = t.delete_where("k = 20")
+    assert rep["rows_deleted"] == 1
+    rows = {(r.k, r.v, r.w) for r in t.read().collect()}
+    # k=30 survived the rewrite WITH its evolved column intact
+    assert (30, "q", 8.5) in rows
+    assert {r[0] for r in rows} == {1, 10, 30}

@@ -63,6 +63,7 @@ def build_ann_index(
     vectors: DataFrame | None = None,
     attributes: DataFrame | None = None,
     seeds: DataFrame | None = None,
+    pq_codebook_vectors: DataFrame | None = None,
 ) -> str:
     """One map-only corpus pass → ``(vec_id, cell, codes, build_id)``
     persisted as a parquet table bucketed+sorted by ``cell``, plus the two
@@ -120,6 +121,12 @@ def build_ann_index(
     e = vectors if vectors is not None else load(
         spark, sf_dir, "embeddings"
     ).select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    # ``pq_codebook_vectors`` (columns vec_id 0..k-1, emb) overrides the
+    # PQ medoid rule's low-vec_id dependency — the requantize path
+    # passes the first 16 LIVE vectors remapped to contiguous ids,
+    # because after deletions the corpus may lack a low id and
+    # _pq_codebook's contiguity assert would otherwise fire MID-REBUILD
+    # (after the drops above — a total-loss path, found in review).
     # ``seeds`` (columns cell, cemb) overrides the low-vec_id medoid
     # rules entirely — the requantize path passes a distribution-
     # representative sample of the CURRENT corpus here, because after
@@ -137,7 +144,9 @@ def build_ann_index(
                 F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
             )
     seed_arr = _seed_array(seeds)
-    cb = _pq_codebook(e)
+    cb = _pq_codebook(
+        e if pq_codebook_vectors is None else pq_codebook_vectors
+    )
     encoded = (
         _ivf_assign(e, seed_arr)
         .crossJoin(F.broadcast(cb))
@@ -645,9 +654,8 @@ def _maintenance_lock(spark: SparkSession, table: str, op: str):
     fs.mkdirs(d)
     host = _socket.gethostname()
 
-    def _holder_dead(path) -> bool:
-        """True only when the lock names a holder on THIS host whose pid
-        no longer exists; unreadable/foreign locks are presumed live."""
+    def _lock_info(path) -> dict:
+        """Best-effort payload read ({pid, host, op}); {} if unreadable."""
         try:
             stream = fs.open(path)
             try:
@@ -656,9 +664,16 @@ def _maintenance_lock(spark: SparkSession, table: str, op: str):
                 )
             finally:
                 stream.close()
-            info = _json.loads(raw.decode("utf-8"))
-            if info.get("host") != host:
-                return False
+            return _json.loads(raw.decode("utf-8"))
+        except Exception:
+            return {}
+
+    def _holder_dead(info: dict) -> bool:
+        """True only when the lock names a holder on THIS host whose pid
+        no longer exists; unreadable/foreign locks are presumed live."""
+        if info.get("host") != host:
+            return False
+        try:
             os.kill(int(info["pid"]), 0)
             return False  # alive (or EPERM -> alive)
         except ProcessLookupError:
@@ -676,15 +691,24 @@ def _maintenance_lock(spark: SparkSession, table: str, op: str):
             if not name.startswith(prefixes):
                 continue
             age = (now_ms - st.getModificationTime()) / 1000.0
-            if age > ttl or _holder_dead(st.getPath()):
+            info = _lock_info(st.getPath())
+            if age > ttl or _holder_dead(info):
                 fs.delete(st.getPath(), False)  # corpse cleanup
                 continue
-            out.append((name, round(age, 1)))
+            # the payload op distinguishes the two exclusive ops that
+            # share the single vacuum.lock file (vacuum vs requantize),
+            # so a refused operator investigates the right job class
+            out.append((name, round(age, 1), info.get("op", "unknown")))
         return out
 
     def refuse(found: list) -> None:
+        # name the ACTUAL holder ops from the lock payloads: vacuum and
+        # requantize share one lock file, and an operator refused by an
+        # hour-long requantize must not go hunting for a vacuum
+        ops = sorted({t[2] for t in found if len(t) > 2 and t[2] != "unknown"})
+        held = "/".join(ops) if ops else other
         raise IndexMaintenanceConflict(
-            f"{op} refused on index '{table}': concurrent {other} in "
+            f"{op} refused on index '{table}': concurrent {held} in "
             f"progress (locks {found} under {d}). An un-fenced "
             "append/vacuum overlap can silently drop the appended "
             "generation with the directory vacuum replaces. Retry after "
@@ -701,7 +725,9 @@ def _maintenance_lock(spark: SparkSession, table: str, op: str):
         else f"{op}.{_uuid.uuid4().hex}.lock"
     )
     own = jvm.org.apache.hadoop.fs.Path(d, own_name)
-    payload = _json.dumps({"pid": os.getpid(), "host": host}).encode("utf-8")
+    payload = _json.dumps(
+        {"pid": os.getpid(), "host": host, "op": op}
+    ).encode("utf-8")
     try:
         stream = fs.create(own, False)  # atomic create-no-overwrite
         stream.write(payload)
@@ -1049,6 +1075,16 @@ def probe_cost_report(
     are masked before scoring, so they are not a cost)."""
     books = spark.table(f"{table}__codebooks")
     current = _current_build_id(spark, table)
+    # same torn-pair fail-fast as probe_ann_index (review r13): pricing
+    # a torn index would silently report candidate_rows=0 for every
+    # query — an admission controller admitting all batches as free
+    first = spark.table(table).select("build_id").limit(1).first()
+    if first is not None and first["build_id"] != current:
+        raise RuntimeError(
+            f"ANN index '{table}' and its codebooks are from different "
+            f"builds ({first['build_id']} vs {current}); "
+            "re-run build_ann_index"
+        )
     codes = spark.table(table).filter(F.col("build_id") == current)
     tomb = _live_tombstones(spark, table)
     if tomb is not None:
@@ -1090,10 +1126,18 @@ def quantizer_drift_report(spark: SparkSession, table: str = INDEX_TABLE) -> dic
     books = spark.table(f"{table}__codebooks")
     n_cells = books.select(F.size("__seeds").alias("k")).first()["k"]
     current = _current_build_id(spark, table)
+    # tombstoned rows are masked at every probe, so they are not serving
+    # cost — counting them here (review r13) could fire an expensive
+    # exclusive requantize for skew whose documented cheaper remedy is
+    # vacuum; their mass is reported separately below
+    live = spark.table(table).filter(F.col("build_id") == current)
+    tomb = _live_tombstones(spark, table)
+    n_tomb = 0
+    if tomb is not None:
+        n_tomb = tomb.count()
+        live = live.join(F.broadcast(tomb), "vec_id", "left_anti")
     stats = (
-        spark.table(table)
-        .filter(F.col("build_id") == current)
-        .groupBy("cell")
+        live.groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(
             F.count(F.lit(1)).alias("used"),
@@ -1113,6 +1157,7 @@ def quantizer_drift_report(spark: SparkSession, table: str = INDEX_TABLE) -> dic
         "cells_used": used,
         "empty_cell_fraction": round(1.0 - used / n_cells, 6) if n_cells else 0.0,
         "rows": rows,
+        "tombstoned_vec_ids": n_tomb,
         "max_cell_rows": mx,
         "mean_cell_rows": round(rows / n_cells, 2) if n_cells else 0.0,
         "top_cell_share": round(mx / rows, 6) if rows else 0.0,
@@ -1201,13 +1246,36 @@ def requantize_ann_index(
                     "vec_id",
                     "left_anti",
                 )
-        k = n_cells if n_cells is not None else math.ceil(
-            math.sqrt(live.count())
-        )
+        from pyspark.sql import Window as W
+
+        from ..operators.similarity import _PQ_K
+
+        n_live = live.count()
+        if n_live < _PQ_K:
+            raise ValueError(
+                f"requantize_ann_index: only {n_live} live vectors — the "
+                f"PQ codebook needs at least {_PQ_K}; nothing was changed"
+            )
+        k = n_cells if n_cells is not None else math.ceil(math.sqrt(n_live))
         seeds = (
             live.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
             .limit(k)
             .select(F.col("vec_id").alias("cell"), F.col("emb").alias("cemb"))
+        )
+        # PQ codebook from the first 16 LIVE vectors remapped to the
+        # contiguous ids _pq_codebook asserts — the raw low-vec_id rule
+        # would fire its contiguity assert MID-REBUILD (after the inner
+        # build's drops) whenever a low id was deleted: a total-loss
+        # path reachable via delete-index then requantize-index.
+        pq_vecs = (
+            live.orderBy("vec_id")
+            .limit(_PQ_K)
+            .select(
+                (F.row_number().over(W.orderBy("vec_id")) - 1)
+                .cast("bigint")
+                .alias("vec_id"),
+                "emb",
+            )
         )
         n_buckets = _table_num_buckets(spark, table)
         new_build = build_ann_index(
@@ -1218,6 +1286,7 @@ def requantize_ann_index(
             vectors=live,
             attributes=attributes,
             seeds=seeds,
+            pq_codebook_vectors=pq_vecs,
         )
         return {
             "table": table,

@@ -608,22 +608,30 @@ class LogTable:
                 "files_rewritten": 0,
                 "files_untouched": 0,
             }
-        scan = self.spark.read.parquet(*files).filter(predicate)
+        # mergeSchema: the table supports ADDITIVE column evolution
+        # (write()'s append rule), so a snapshot can span files with and
+        # without a later-added column; without merging, schema
+        # inference picks an arbitrary file and the rewrite could stage
+        # surviving rows MINUS the newer columns (silent NULL-out) or
+        # the predicate could fail to resolve — same reason read() sets
+        # it (review r13)
+        scan = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*files)
+            .filter(predicate)
+        )
         touch = (
             scan.groupBy(F.input_file_name().alias("__f"))
             .agg(F.count(F.lit(1)).alias("__n"))
             .collect()
         )
-        # input_file_name returns URIs (file://...); manifests store the
-        # paths the staging writer listed — match on the path suffix
-        def _norm(uri: str) -> str:
-            return uri.split("://", 1)[-1] if "://" in uri else uri
-
+        # input_file_name returns URIs; manifests store the paths the
+        # staging writer listed — part filenames carry a per-write uuid,
+        # so the basename alone identifies the file
         by_suffix = {posixpath.basename(p): p for p in files}
         matched: dict[str, int] = {}
         for r in touch:
-            name = posixpath.basename(_norm(r["__f"]))
-            matched[by_suffix[name]] = r["__n"]
+            matched[by_suffix[posixpath.basename(r["__f"])]] = r["__n"]
         if not matched:
             return {
                 "version": base,
@@ -632,8 +640,10 @@ class LogTable:
                 "files_untouched": len(files),
             }
         untouched = [p for p in files if p not in matched]
-        kept = self.spark.read.parquet(*sorted(matched)).filter(
-            f"NOT coalesce(({predicate}), false)"
+        kept = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*sorted(matched))
+            .filter(f"NOT coalesce(({predicate}), false)")
         )
         staging = posixpath.join(self.dir, _DATA_DIR, uuid.uuid4().hex)
         kept.write.mode("error").parquet(staging)

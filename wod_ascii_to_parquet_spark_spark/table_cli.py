@@ -427,7 +427,16 @@ def _dispatch(args, t: LogTable) -> int:
             )
         )
     elif args.cmd == "delete-where":
-        rep = t.delete_where(args.predicate)
+        from .sources.lakehouse import CommitConflict, StagingReclaimed
+
+        try:
+            rep = t.delete_where(args.predicate)
+        except (CommitConflict, StagingReclaimed) as e:
+            # exit 3 = retry later, the same contract as every other
+            # maintenance verb: a takedown losing a commit race to a
+            # concurrent writer is operational weather, not failure
+            print(json.dumps({"table": t.dir, "refused": str(e)}))
+            return 3
         print(json.dumps({"table": t.dir, **rep}))
     elif args.cmd == "optimize":
         v = t.optimize(target_files=args.target_files)
