@@ -885,3 +885,190 @@ def curation_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fill_ppm"),
     )
+
+
+#: Gopher repetition battery n-gram sizes (Rae et al. 2021, Table A1):
+#: the TOP-n-gram character fraction for small n (one dominant bigram =
+#: boilerplate), the DUPLICATED-n-gram character fraction for large n
+#: (long repeated spans = template/machine-generated text).
+_GOPHER_TOP_NS = (2, 3, 4)
+_GOPHER_DUP_NS = (5, 6, 7, 8, 9, 10)
+
+
+def _gopher_sql() -> str:
+    """DuckDB mirror of the Gopher n-gram repetition battery. Per n, one
+    unnest of the document's n-grams; per (doc, n): the top gram by
+    (count DESC, gram ASC) and the duplicated-gram char mass
+    Σ (count−1)·len(gram). Assembled wide by conditional max, LEFT-joined
+    so every document keeps a row (short docs score 0)."""
+    per_n = []
+    for n in _GOPHER_TOP_NS + _GOPHER_DUP_NS:
+        gram = " || ' ' || ".join(
+            f"string_split(text, ' ')[i + {j}]" for j in range(n)
+        )
+        per_n.append(
+            f"SELECT doc_id, {n} AS n, unnest(list_transform("
+            f"range(1, len(string_split(text, ' ')) - {n - 1} + 1),"
+            f" i -> {gram})) AS gram FROM documents"
+        )
+    union = "\n        UNION ALL\n        ".join(per_n)
+    top_cols = ", ".join(
+        f"round(coalesce(max(CASE WHEN n = {n} THEN top_chars END)"
+        f" / chars, 0), 6) AS top{n}_char_frac"
+        for n in _GOPHER_TOP_NS
+    )
+    dup_cols = ", ".join(
+        f"round(coalesce(max(CASE WHEN n = {n} THEN dup_chars END)"
+        f" / chars, 0), 6) AS dup{n}_char_frac"
+        for n in _GOPHER_DUP_NS
+    )
+    return f"""
+    WITH g AS (
+        {union}
+    ),
+    counts AS (
+        SELECT doc_id, n, gram, count(*) AS c FROM g
+        GROUP BY doc_id, n, gram
+    ),
+    top1 AS (
+        SELECT doc_id, n, c * len(gram) AS top_chars FROM (
+            SELECT doc_id, n, gram, c, row_number() OVER (
+                PARTITION BY doc_id, n ORDER BY c DESC, gram ASC) AS rn
+            FROM counts
+        ) WHERE rn = 1
+    ),
+    dups AS (
+        SELECT doc_id, n,
+               sum((c - 1) * len(gram)) FILTER (WHERE c >= 2) AS dup_chars
+        FROM counts GROUP BY doc_id, n
+    ),
+    agg AS (
+        SELECT t.doc_id, t.n, t.top_chars, coalesce(d.dup_chars, 0) AS dup_chars
+        FROM top1 t JOIN dups d ON d.doc_id = t.doc_id AND d.n = t.n
+    )
+    SELECT doc_id, {top_cols}, {dup_cols}
+    FROM (
+        SELECT dd.doc_id, len(dd.text)::DOUBLE AS chars, a.n,
+               a.top_chars, a.dup_chars
+        FROM documents dd LEFT JOIN agg a ON a.doc_id = dd.doc_id
+    )
+    GROUP BY doc_id, chars
+    """
+
+
+@register("curation_gopher_repetition", _gopher_sql(), tags=("curation",))
+def curation_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition battery (Rae et al. 2021, Table A1) — the
+    production pretraining quality-filter set beyond the single
+    repeated-3-gram score: per document,
+
+    - ``top{2,3,4}_char_frac`` — characters covered by the MOST FREQUENT
+      n-gram (occurrences × n-gram length / doc length): one dominant
+      bigram/trigram is the boilerplate signature;
+    - ``dup{5..10}_char_frac`` — characters wasted on REPEATS of any
+      duplicated n-gram (Σ (count−1) × length / doc length): long
+      repeated spans are the template/machine-generated signature.
+      The (count−1) form counts only the redundant occurrences, so a
+      clean document scores exactly 0 and the metric is insensitive to
+      overlap double-counting ambiguities the position-marking variant
+      has.
+
+    Line/paragraph duplicate fractions (the battery's other half) are
+    omitted: this corpus is single-line by construction — they would be
+    degenerate constants, not signals.
+
+    Plan shape — the scalable formulation, NOT per-row O(L²) HOFs: one
+    pass explodes each document's n-grams for all 9 n values (a single
+    generator expression over the token array), then two hash
+    aggregations keyed by (doc_id, n, gram) and (doc_id, n) — per-doc
+    statistics never shuffle across documents, AQE coalesces the
+    post-agg partitions, and the wide 9-column row assembles with one
+    conditional-aggregation pivot. Top-gram tie-break is (count DESC,
+    gram ASC) on both engines. Every score is a ratio of integer counts
+    and lengths — fully DuckDB-oracled."""
+    from pyspark.sql import Window as W
+
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", "text", F.length("text").cast("double").alias("chars")
+    )
+    toks = F.split(F.col("text"), " ")
+
+    def grams(n: int):
+        idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        g = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+        # sequence(a, b) DESCENDS when a > b: guard short docs to an
+        # empty gram list instead of a phantom descending index range
+        return F.when(F.size(toks) >= n, g).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    def tagged(n: int):
+        # closure, NOT a defaulted lambda parameter: PySpark binds a
+        # TWO-parameter lambda as (element, index), so `lambda g, n=n`
+        # silently receives the array INDEX as n — every gram tagged by
+        # its position instead of its size (caught by the oracle)
+        return F.transform(
+            grams(n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
+        )
+
+    pairs = F.flatten(
+        F.array(*[tagged(n) for n in _GOPHER_TOP_NS + _GOPHER_DUP_NS])
+    )
+    ex = d.select(
+        "doc_id", "chars", F.explode(pairs).alias("p")
+    ).select("doc_id", "chars", F.col("p.n").alias("n"), F.col("p.gram").alias("gram"))
+    counts = ex.groupBy("doc_id", "chars", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = W.partitionBy("doc_id", "n").orderBy(F.desc("c"), F.asc("gram"))
+    top1 = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "n",
+            (F.col("c") * F.length("gram")).cast("double").alias("top_chars"),
+        )
+    )
+    dups = counts.groupBy("doc_id", "n").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("c") >= 2, (F.col("c") - 1) * F.length("gram")
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("double")
+        .alias("dup_chars")
+    )
+    agg = top1.join(dups, ["doc_id", "n"])
+    frac = lambda num: F.round(  # noqa: E731
+        F.coalesce(F.max(num) / F.first("chars"), F.lit(0.0)), 6
+    )
+    wide = (
+        d.select("doc_id", "chars")
+        .join(agg, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                frac(
+                    F.when(F.col("n") == n, F.col("top_chars"))
+                ).alias(f"top{n}_char_frac")
+                for n in _GOPHER_TOP_NS
+            ],
+            *[
+                frac(
+                    F.when(F.col("n") == n, F.col("dup_chars"))
+                ).alias(f"dup{n}_char_frac")
+                for n in _GOPHER_DUP_NS
+            ],
+        )
+    )
+    return wide
