@@ -135,6 +135,15 @@ def main() -> None:
     # only ever inflates a run, never deflates it, and this host's
     # available CPU swings ±70% between back-to-back identical runs).
     # `value` sums the steady-state minima.
+    # Probe the host's available CPU BEFORE the query loop as well as
+    # after (below): ambient co-tenant load on this host arrives and
+    # leaves WITHIN a single bench run (measured r13: load-avg 0.16 at
+    # start, 9.25 six minutes later — the end-of-run probe read 0.238,
+    # the fastest ever recorded, while queries mid-run were inflated
+    # ~25%). A single-instant probe cannot represent a fluctuating
+    # window; recording the WORSE of start/end probes makes the
+    # normalization conservative instead of optimistic.
+    probe_before, par_probe_before = _cpu_probe(), _cpu_probe_parallel()
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINERS:
@@ -206,7 +215,10 @@ def main() -> None:
     # weather). A genuine regression moves value_probe_normalized; a
     # loaded host or a new headliner cannot.
     prev, prev_probe, prev_par_probe = _previous_round()
-    probe_now, par_probe_now = _cpu_probe(), _cpu_probe_parallel()
+    probe_after, par_probe_after = _cpu_probe(), _cpu_probe_parallel()
+    # worse of (start, end): the load that inflated the queries
+    probe_now = max(probe_before, probe_after)
+    par_probe_now = max(par_probe_before, par_probe_after)
     common = {n: t for n, t in timings.items() if prev and n in prev}
     probe_ratio = 1.0
     if prev_probe and probe_now:
@@ -235,6 +247,12 @@ def main() -> None:
     detail = dict(
         out_doc,
         cold_runs=cold,
+        # start/end probe pairs behind the recorded max — the spread IS
+        # the ambient-volatility measurement for the run's window
+        cpu_probe_before_sec=probe_before,
+        cpu_probe_after_sec=probe_after,
+        cpu_probe_par_before_sec=par_probe_before,
+        cpu_probe_par_after_sec=par_probe_after,
         session_startup_sec=round(session_sec, 3),
         # Root cause of the r5→r6 "+11% on unchanged queries" drift:
         # re-measured at r6 HEAD on an idle host, the common-27 sum was
