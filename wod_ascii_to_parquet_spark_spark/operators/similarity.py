@@ -1475,7 +1475,9 @@ def similarity_ann_index_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_adc_refined_sql(refine_depth: int = 100, k: int = 3) -> str:
+def _ivf_adc_refined_sql(
+    refine_depth: int = 100, k: int = 3, cand_pred: str = ""
+) -> str:
     """DuckDB mirror of IVFADC + the FAISS refine stage: the `_ivf_adc_sql`
     CTE stack kept to the ADC top-``refine_depth`` per query, then an
     exact-cosine re-rank over the candidates' TRUE vectors keeps
@@ -1523,6 +1525,7 @@ def _ivf_adc_refined_sql(refine_depth: int = 100, k: int = 3) -> str:
                 SELECT p.qid, a.vec_id, {pivot} AS adc
                 FROM probes p
                 JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.qid
+                     {cand_pred}
                 JOIN picked pk ON pk.vec_id = a.vec_id
                 JOIN qd ON qd.qid = p.qid AND qd.s = pk.s AND qd.cent = pk.cent
                 GROUP BY p.qid, a.vec_id
@@ -1969,6 +1972,51 @@ def similarity_ann_index_filtered_adc(spark: SparkSession, sf_dir: str) -> DataF
     return probe_ann_index(
         spark, q, table=table, nprobe=4, k=3, exclude_self=True,
         candidate_filter="label % 2 = 0",
+    )
+
+
+@register(
+    "similarity_ann_index_filtered_refined",
+    _ivf_adc_refined_sql(
+        cand_pred=(
+            "AND a.vec_id IN "
+            "(SELECT vec_id FROM embeddings WHERE label % 2 = 0)"
+        )
+    ),
+    tags=("similarity",),
+)
+def similarity_ann_index_filtered_refined(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FILTERED + REFINED — the realistic serving combination: a
+    metadata constraint ("nearest ENGLISH docs") composed with the
+    recall-recovery stage the r12 ledger certified. Composition order
+    is load-bearing and is what this registration pins: the attribute
+    predicate applies to the candidate stream BEFORE the ADC top-R
+    shortlist forms (pre-filtering — the shortlist holds R ELIGIBLE
+    candidates, so the exact rerank sees a full budget of valid rows),
+    and the rerank then only re-scores eligible ids. The wrong order —
+    shortlist first, filter after — silently halves the effective R
+    under a 50 % predicate and loses recall exactly the way the
+    refine-depth ledger measured (R=30's 0.39); the oracle computes
+    the pre-filter order, so the wrong composition hash-fails."""
+    from ..plans.ann_index import build_ann_index, probe_ann_index_refined
+
+    table = "ann_ivfadc_index_frq"
+    emb = load(spark, sf_dir, "embeddings")
+    build_ann_index(
+        spark, sf_dir, table=table, n_buckets=8, n_cells=16,
+        attributes=emb.select("vec_id", "label"),
+    )
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    return probe_ann_index_refined(
+        spark, q, e, table=table, nprobe=4, k=3, refine_depth=100,
+        exclude_self=True, candidate_filter="label % 2 = 0",
     )
 
 
