@@ -253,6 +253,18 @@ def main() -> None:
         cpu_probe_after_sec=probe_after,
         cpu_probe_par_before_sec=par_probe_before,
         cpu_probe_par_after_sec=par_probe_after,
+        # Probe semantics changed at r13 (ADVICE r13): r12-and-earlier
+        # recorded a single END-of-run probe; r13+ records
+        # max(start, end). The one asymmetric boundary was r12→r13
+        # (conservative direction: r13's max could only make r13 look
+        # WORSE); from r14 on, prev and now share max-semantics, and
+        # cpu_probe_after_sec above is the end-only probe for anyone
+        # re-deriving a like-for-like ratio against pre-r13 rounds.
+        probe_semantics=(
+            "max(start,end) since r13; end-only before — use "
+            "cpu_probe_after_sec for cross-boundary comparisons vs "
+            "r12-and-earlier"
+        ),
         session_startup_sec=round(session_sec, 3),
         # Root cause of the r5→r6 "+11% on unchanged queries" drift:
         # re-measured at r6 HEAD on an idle host, the common-27 sum was

@@ -958,6 +958,51 @@ def test_attributed_append_requires_and_carries_attributes(spark):
                 spark.sql(f"DROP TABLE IF EXISTS {tbl}{side}")
 
 
+def test_duplicate_attribute_vec_ids_refused(spark):
+    """build/append must refuse an attributes frame with duplicate vec_ids
+    BEFORE the left join (ADVICE r13): a duplicate key multiplies index
+    code rows, the duplicated candidate displaces distinct vectors from
+    top-k, and differing attribute values defeat vacuum's full-row
+    dropDuplicates — so it must never reach the table."""
+    from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+        append_to_ann_index,
+    )
+
+    t = "test_ann_idx_dupattr"
+    try:
+        emb = load(spark, SF_DIR, "embeddings")
+        e = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        attrs = emb.select("vec_id", "label")
+        dup_attrs = attrs.unionByName(
+            attrs.filter(F.col("vec_id") < 5).withColumn(
+                "label", F.col("label") + 1
+            )
+        )
+        with pytest.raises(ValueError, match="duplicate vec_id"):
+            build_ann_index(
+                spark, SF_DIR, table=t, n_buckets=8, n_cells=16,
+                attributes=dup_attrs,
+            )
+        # clean build, then a duplicate-carrying append is refused too
+        build_ann_index(
+            spark, SF_DIR, table=t, n_buckets=8, n_cells=16,
+            vectors=e.filter(F.col("vec_id") < 250),
+            attributes=attrs.filter(F.col("vec_id") < 250),
+        )
+        delta = e.filter(F.col("vec_id") >= 250)
+        with pytest.raises(ValueError, match="duplicate vec_id"):
+            append_to_ann_index(
+                spark, delta, table=t,
+                attributes=dup_attrs.filter(F.col("vec_id") >= 250)
+                .unionByName(attrs.filter(F.col("vec_id") == 250)),
+            )
+    finally:
+        for side in ("", "__codebooks"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{side}")
+
+
 def test_cli_delete_index_tombstones_and_refusal_exit_code(spark, capsys):
     """r13 ops surface for takedowns: `delete-index` tombstones ids from
     a shell (a compliance runbook doesn't import plans/*), probes stop

@@ -977,6 +977,17 @@ def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
     }
 
 
+def test_delete_where_table_dir_with_space(spark, tmp_path):
+    """input_file_name returns PERCENT-ENCODED URIs; a table directory
+    containing a space must still map scanned files back to manifest
+    paths (ADVICE r13: raw basename lookup KeyError'd mid-delete)."""
+    t = LogTable(spark, str(tmp_path / "dir with space" / "t"))
+    t.write(_df(spark, [(1, "a"), (10, "x")]), mode="append")
+    rep = t.delete_where("k >= 10")
+    assert rep["rows_deleted"] == 1
+    assert {r.k for r in t.read().collect()} == {1}
+
+
 def test_delete_where_no_match_commits_nothing(spark, tmp_path):
     t = LogTable(spark, str(tmp_path / "t"))
     t.write(_df(spark, [(1, "a")]), mode="append")

@@ -54,6 +54,28 @@ from ..registry import load
 INDEX_TABLE = "ann_ivfadc_index"
 
 
+def _require_unique_vec_ids(attributes: DataFrame, where: str) -> None:
+    """Refuse an attributes frame with duplicate ``vec_id`` rows before the
+    left join onto the encoded codes stream (ADVICE r13): a duplicate key
+    MULTIPLIES index rows — the duplicated candidate then occupies several
+    top-k slots and displaces distinct vectors, and if the duplicates carry
+    different attribute values, vacuum's full-row ``dropDuplicates`` cannot
+    heal the table afterwards. One aggregation pass over the (small,
+    per-vector-metadata) attributes frame; runs in build, append, and —
+    via build — requantize."""
+    row = attributes.agg(
+        F.count("vec_id").alias("n"),
+        F.count_distinct("vec_id").alias("d"),
+    ).first()
+    if row["n"] != row["d"]:
+        raise ValueError(
+            f"{where}: attributes frame has {row['n'] - row['d']} duplicate "
+            "vec_id row(s) — each duplicate would multiply index code rows "
+            "and corrupt filtered top-k; dropDuplicates('vec_id') or fix "
+            "the upstream join that produced them"
+        )
+
+
 def build_ann_index(
     spark: SparkSession,
     sf_dir: str,
@@ -164,6 +186,7 @@ def build_ann_index(
                 f"build_ann_index(attributes=...) columns {sorted(bad)} "
                 "collide with index payload columns"
             )
+        _require_unique_vec_ids(attributes, "build_ann_index")
         encoded = encoded.join(attributes, "vec_id", "left")
     # Codebooks FIRST: a crash before the index write leaves the old
     # index + new codebooks — caught by the build_id check, same as the
@@ -471,6 +494,7 @@ def append_to_ann_index(
                 "candidate_filter"
             )
         if attributes is not None:
+            _require_unique_vec_ids(attributes, "append_to_ann_index")
             encoded = encoded.join(attributes, "vec_id", "left")
             encoded = encoded.select(
                 "vec_id", "cell", "codes", "build_id", *attr_cols
@@ -732,14 +756,26 @@ def _maintenance_lock(spark: SparkSession, table: str, op: str):
         stream = fs.create(own, False)  # atomic create-no-overwrite
         stream.write(payload)
         stream.close()
-    except Exception:
-        raise IndexMaintenanceConflict(
-            f"{op} refused on index '{table}': another exclusive "
-            f"maintenance op (vacuum/requantize) holds {own} — one "
-            "whole-table rewrite at a time; a crashed holder's lock is "
-            "ignored once its pid is gone (same host) or after "
-            "SPARK_GRAFT_INDEX_LOCK_TTL_SEC."
-        )
+    except Exception as e:
+        # Only exclusive ops share a fixed lock name ("vacuum.lock"), so
+        # only THEY can lose a create-no-overwrite race. Mutator lock
+        # names embed a fresh uuid — a create failure there is a
+        # filesystem error, not a concurrency conflict, and mapping it to
+        # the retry-later path would send the operator hunting for a
+        # vacuum that does not exist (ADVICE r13).
+        if op in _EXCLUSIVE:
+            raise IndexMaintenanceConflict(
+                f"{op} refused on index '{table}': another exclusive "
+                f"maintenance op (vacuum/requantize) holds {own} — one "
+                "whole-table rewrite at a time; a crashed holder's lock "
+                "is ignored once its pid is gone (same host) or after "
+                "SPARK_GRAFT_INDEX_LOCK_TTL_SEC."
+            )
+        raise RuntimeError(
+            f"{op} on index '{table}': failed to create its maintenance "
+            f"lock {own} (uuid-named — cannot be a lock collision); "
+            f"underlying filesystem error: {e}"
+        ) from e
     try:
         found = fresh_locks(others)
         if found:

@@ -625,13 +625,26 @@ class LogTable:
             .agg(F.count(F.lit(1)).alias("__n"))
             .collect()
         )
-        # input_file_name returns URIs; manifests store the paths the
-        # staging writer listed — part filenames carry a per-write uuid,
-        # so the basename alone identifies the file
+        # input_file_name returns PERCENT-ENCODED URIs ("a b" → "a%20b");
+        # manifests store the raw paths the staging writer listed — so
+        # unquote before the basename lookup or a table directory with
+        # spaces/escaped characters KeyErrors mid-delete (ADVICE r13).
+        # Part filenames carry a per-write uuid, so the basename alone
+        # identifies the file.
+        from urllib.parse import unquote
+
         by_suffix = {posixpath.basename(p): p for p in files}
         matched: dict[str, int] = {}
         for r in touch:
-            matched[by_suffix[posixpath.basename(r["__f"])]] = r["__n"]
+            fname = posixpath.basename(unquote(r["__f"]))
+            if fname not in by_suffix:
+                raise RuntimeError(
+                    f"delete_where: scanned file '{r['__f']}' (basename "
+                    f"'{fname}') is not in the snapshot's manifest — the "
+                    "table directory was modified outside the log "
+                    f"(manifest lists {len(files)} files)"
+                )
+            matched[by_suffix[fname]] = r["__n"]
         if not matched:
             return {
                 "version": base,
