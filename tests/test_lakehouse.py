@@ -977,6 +977,109 @@ def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
     }
 
 
+def test_update_where_rewrites_only_touched_files(spark, tmp_path):
+    """COW UPDATE (r14): only files containing matches are rewritten,
+    untouched files carry by reference, row COUNT is preserved, matched
+    rows get the SET expressions, and the pre-update snapshot stays
+    time-travelable."""
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b")]), mode="append")     # file A
+    t.write(_df(spark, [(10, "x"), (11, "y")]), mode="append")   # file B
+    before_files, _ = t.resolve_files(t.manifest())
+    rep = t.update_where("k >= 10", {"v": "upper(v)", "k": "k + 100"})
+    assert rep["rows_updated"] == 2
+    assert rep["files_rewritten"] >= 1
+    assert rep["files_untouched"] >= 1
+    after_files, _ = t.resolve_files(t.manifest())
+    # exactly the untouched files carried by reference (same paths)
+    assert (
+        len([p for p in before_files if p in after_files])
+        == rep["files_untouched"]
+    )
+    assert {(r.k, r.v) for r in t.read().collect()} == {
+        (1, "a"), (2, "b"), (110, "X"), (111, "Y")
+    }
+    assert {(r.k, r.v) for r in t.read(version=rep["version"] - 1).collect()} == {
+        (1, "a"), (2, "b"), (10, "x"), (11, "y")
+    }
+
+
+def test_update_where_simultaneous_assignment_swaps(spark, tmp_path):
+    """SQL UPDATE evaluates every SET expression against the PRE-update
+    row: SET k = length(v), v = cast(k as string) must not chain."""
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(7, "abc")]), mode="append")
+    t.update_where("k = 7", {"k": "length(v)", "v": "cast(k as string)"})
+    assert [(r.k, r.v) for r in t.read().collect()] == [(3, "7")]
+
+
+def test_update_where_null_predicate_rows_unchanged(spark, tmp_path):
+    """Three-valued logic: a NULL predicate never updates."""
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "zz")], "k bigint, v string"
+        ),
+        mode="append",
+    )
+    rep = t.update_where("length(v) > 1", {"k": "k + 10"})
+    assert rep["rows_updated"] == 1
+    assert {(r.k, r.v) for r in t.read().collect()} == {
+        (1, "a"), (2, None), (13, "zz")
+    }
+
+
+def test_update_where_refuses_unknown_set_column(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="append")
+    v = t.latest_version()
+    with pytest.raises(ValueError, match="do not exist"):
+        t.update_where("k = 1", {"nope": "1"})
+    assert t.latest_version() == v  # nothing committed
+
+
+def test_update_where_no_match_commits_nothing(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="append")
+    v = t.latest_version()
+    rep = t.update_where("k > 100", {"v": "upper(v)"})
+    assert rep["rows_updated"] == 0 and rep["version"] == v
+    assert t.latest_version() == v
+
+
+def test_update_where_conflicts_with_concurrent_commit(spark, tmp_path):
+    """update_where pins its commit to the snapshot it read: a commit
+    that lands in between must surface as CommitConflict, never a
+    silent lost update."""
+    from wod_ascii_to_parquet_spark_spark.sources.lakehouse import (
+        CommitConflict,
+    )
+
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (10, "x")]), mode="append")
+    orig_commit = t._commit
+
+    def racing_commit(files, mode, base, **kw):
+        if kw.get("meta", {}).get("update_where") and not getattr(
+            racing_commit, "raced", False
+        ):
+            racing_commit.raced = True
+            t2 = LogTable(spark, str(tmp_path / "t"))
+            t2.write(_df(spark, [(99, "z")]), mode="append")
+        return orig_commit(files, mode, base, **kw)
+
+    t._commit = racing_commit
+    try:
+        with pytest.raises(CommitConflict):
+            t.update_where("k >= 10", {"v": "upper(v)"})
+    finally:
+        t._commit = orig_commit
+    # the racing append won; its row is intact and nothing was updated
+    assert {(r.k, r.v) for r in t.read().collect()} == {
+        (1, "a"), (10, "x"), (99, "z")
+    }
+
+
 def test_delete_where_table_dir_with_space(spark, tmp_path):
     """input_file_name returns PERCENT-ENCODED URIs; a table directory
     containing a space must still map scanned files back to manifest

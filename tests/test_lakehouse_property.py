@@ -29,6 +29,8 @@ _OPS = st.lists(
         st.tuples(st.just("merge"), st.lists(st.integers(0, 9), min_size=1, max_size=3, unique=True)),
         st.tuples(st.just("optimize"), st.just([])),
         st.tuples(st.just("vacuum"), st.just([])),
+        st.tuples(st.just("delete"), st.lists(st.integers(0, 9), min_size=1, max_size=3, unique=True)),
+        st.tuples(st.just("update"), st.lists(st.integers(0, 9), min_size=1, max_size=3, unique=True)),
     ),
     min_size=2,
     max_size=6,
@@ -80,6 +82,26 @@ def test_logtable_matches_reference_model(spark, tmp_path_factory, ops):
             if t.latest_version() is not None:
                 t.optimize(target_files=1)
                 history.append(Counter(model))
+        elif op == "delete":
+            if t.latest_version() is not None:
+                ks = ", ".join(str(k) for k in keys)
+                t.delete_where(f"k IN ({ks})")
+                new = Counter(
+                    {r: c for r, c in model.items() if r[0] not in set(keys)}
+                )
+                if new != model:  # a no-match delete commits nothing
+                    model = new
+                    history.append(Counter(model))
+        elif op == "update":
+            if t.latest_version() is not None:
+                ks = ", ".join(str(k) for k in keys)
+                t.update_where(f"k IN ({ks})", {"v": "concat(v, '+')"})
+                new = Counter()
+                for (k, v), c in model.items():
+                    new[(k, v + "+") if k in set(keys) else (k, v)] += c
+                if new != model:  # a no-match update commits nothing
+                    model = new
+                    history.append(Counter(model))
         elif op == "vacuum":
             if t.latest_version() is not None:
                 t.vacuum(keep_versions=1, min_age_seconds=0)

@@ -442,3 +442,55 @@ def lakehouse_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.delete_where("doc_id % 3 = 1")
     return t.read()
+
+
+@register(
+    "lakehouse_update_where",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 1
+                THEN n_chars + length(lang) ELSE n_chars END AS n_chars,
+           CASE WHEN doc_id % 3 = 1
+                THEN upper(lang) || CAST(n_chars AS VARCHAR) ELSE lang
+                END AS lang
+    FROM documents WHERE doc_id < 400
+    """,
+    tags=("lakehouse",),
+)
+def lakehouse_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write ``UPDATE … SET`` on the manifest-log table
+    (``sources/lakehouse.LogTable.update_where``, VERDICT r13 #3) under
+    the hash gate: build the table in TWO commits, then assign BOTH
+    ``n_chars`` and ``lang`` on every ``doc_id % 3 = 1`` row — each SET
+    expression reads the OTHER column, so the oracle verifies SQL
+    UPDATE's simultaneous-assignment semantics (all expressions see the
+    pre-update row; a sequential withColumn chain would feed one
+    assignment's result into the next and fail the hash). Only files
+    containing matches are rewritten — same by-reference cost model as
+    ``lakehouse_delete_where``, pinned structurally in
+    tests/test_lakehouse.py."""
+    import os
+    import shutil
+
+    from ..sources.lakehouse import LogTable
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").replace(
+        "file:", ""
+    )
+    root = os.path.join(warehouse, "logtable_update_q")
+    shutil.rmtree(root, ignore_errors=True)
+    t = LogTable(spark, root)
+    t.write(d.filter(F.col("doc_id") < 200), mode="overwrite")
+    t.write(
+        d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 400)),
+        mode="append",
+    )
+    t.update_where(
+        "doc_id % 3 = 1",
+        {
+            "n_chars": "n_chars + length(lang)",
+            "lang": "concat(upper(lang), cast(n_chars as string))",
+        },
+    )
+    return t.read()

@@ -573,17 +573,18 @@ class LogTable:
         small takedown affordable on a 100 TB table: cost scales with
         the files the victim rows live in, not the table.
 
-        Mechanics: one filtered scan tags the files containing matches
-        (``input_file_name`` — Spark's file-level provenance, so the
-        touch test and the scan are the same job); matched files are
-        re-read with the predicate NEGATED and staged as fresh files;
-        the commit publishes (untouched ∪ rewritten) pinned to the
-        version the delete READ (``expected_base`` semantics — a
-        concurrent commit conflicts instead of being silently
-        overwritten). NULL-predicate rows are KEPT: SQL three-valued
-        logic — DELETE removes rows where the predicate IS TRUE, so an
-        unknown never deletes (the conservative direction for a
-        destructive op).
+        Mechanics (shared with :meth:`update_where` via
+        :meth:`_cow_rewrite`): one filtered scan tags the files
+        containing matches (``input_file_name`` — Spark's file-level
+        provenance, so the touch test and the scan are the same job);
+        matched files are re-read with the predicate NEGATED and staged
+        as fresh files; the commit publishes (untouched ∪ rewritten)
+        pinned to the version the delete READ (``expected_base``
+        semantics — a concurrent commit conflicts instead of being
+        silently overwritten). NULL-predicate rows are KEPT: SQL
+        three-valued logic — DELETE removes rows where the predicate IS
+        TRUE, so an unknown never deletes (the conservative direction
+        for a destructive op).
 
         The pre-delete snapshot stays time-travelable until
         :meth:`vacuum` (which is also what physically reclaims the
@@ -594,17 +595,90 @@ class LogTable:
         ``{version, rows_deleted, files_rewritten, files_untouched}``;
         a no-match delete commits NOTHING and returns the current
         version with zeros."""
+        rep = self._cow_rewrite(
+            predicate,
+            lambda df: df.filter(f"NOT coalesce(({predicate}), false)"),
+            {"delete_where": predicate},
+            "delete_where",
+        )
+        rep["rows_deleted"] = rep.pop("rows_matched")
+        return rep
+
+    def update_where(self, predicate: str, set_exprs: dict[str, str]) -> dict:
+        """Copy-on-write ``UPDATE … SET`` — the third side of the DML
+        triangle next to :meth:`merge` and :meth:`delete_where`
+        (VERDICT r13 #3): for every row matching ``predicate``, assign
+        each column in ``set_exprs`` (name → SQL expression); only the
+        files containing a match are rewritten, untouched files carry
+        by reference, exactly :meth:`delete_where`'s cost model.
+
+        SQL UPDATE assignment semantics: every SET expression is
+        evaluated against the PRE-update row, simultaneously — ``SET a
+        = b, b = a`` swaps (one projection computes all CASE arms from
+        the original columns; a sequential ``withColumn`` chain would
+        feed one assignment's result into the next). NULL-predicate
+        rows are NOT updated (three-valued logic, same conservative
+        direction as DELETE). SET columns must already exist — UPDATE
+        never adds columns (that is :meth:`write`'s additive-evolution
+        job); unknown names are refused up front. Returns
+        ``{version, rows_updated, files_rewritten, files_untouched}``;
+        a no-match update commits NOTHING."""
+        base = self.latest_version()
+        if base is None:
+            raise ValueError("update_where on an empty table (no snapshot)")
+        cols = self.read(version=base).columns
+        unknown = sorted(set(set_exprs) - set(cols))
+        if unknown:
+            raise ValueError(
+                f"update_where: SET columns {unknown} do not exist in the "
+                f"table (columns: {cols}); UPDATE never adds columns — "
+                "use write(mode='append') schema evolution for that"
+            )
+
+        from pyspark.sql import functions as F
+
+        def rewrite(df):
+            hit = f"coalesce(({predicate}), false)"
+            return df.select(
+                *[
+                    F.expr(
+                        f"CASE WHEN {hit} THEN ({set_exprs[c]}) "
+                        f"ELSE `{c}` END"
+                    ).alias(c)
+                    if c in set_exprs
+                    else F.col(f"`{c}`")
+                    for c in df.columns
+                ]
+            )
+
+        rep = self._cow_rewrite(
+            predicate,
+            rewrite,
+            {"update_where": predicate, "set_columns": sorted(set_exprs)},
+            "update_where",
+        )
+        rep["rows_updated"] = rep.pop("rows_matched")
+        return rep
+
+    def _cow_rewrite(self, predicate: str, rewrite, meta: dict, op: str) -> dict:
+        """Shared copy-on-write machinery for predicate-targeted DML
+        (:meth:`delete_where` / :meth:`update_where`): discover the
+        files containing predicate matches, hand ONLY those files' rows
+        to ``rewrite`` (DataFrame → DataFrame), stage the result, and
+        commit (untouched ∪ staged) pinned to the version the scan
+        read. Returns ``{version, rows_matched, files_rewritten,
+        files_untouched}``; zero matches commits nothing."""
         from pyspark.sql import functions as F
 
         base = self.latest_version()
         if base is None:
-            raise ValueError("delete_where on an empty table (no snapshot)")
+            raise ValueError(f"{op} on an empty table (no snapshot)")
         doc = self.manifest(base, heal=True)
         files, stats = self.resolve_files(doc)
         if not files:
             return {
                 "version": base,
-                "rows_deleted": 0,
+                "rows_matched": 0,
                 "files_rewritten": 0,
                 "files_untouched": 0,
             }
@@ -639,7 +713,7 @@ class LogTable:
             fname = posixpath.basename(unquote(r["__f"]))
             if fname not in by_suffix:
                 raise RuntimeError(
-                    f"delete_where: scanned file '{r['__f']}' (basename "
+                    f"{op}: scanned file '{r['__f']}' (basename "
                     f"'{fname}') is not in the snapshot's manifest — the "
                     "table directory was modified outside the log "
                     f"(manifest lists {len(files)} files)"
@@ -648,15 +722,14 @@ class LogTable:
         if not matched:
             return {
                 "version": base,
-                "rows_deleted": 0,
+                "rows_matched": 0,
                 "files_rewritten": 0,
                 "files_untouched": len(files),
             }
         untouched = [p for p in files if p not in matched]
-        kept = (
+        kept = rewrite(
             self.spark.read.option("mergeSchema", "true")
             .parquet(*sorted(matched))
-            .filter(f"NOT coalesce(({predicate}), false)")
         )
         staging = posixpath.join(self.dir, _DATA_DIR, uuid.uuid4().hex)
         kept.write.mode("error").parquet(staging)
@@ -676,7 +749,7 @@ class LogTable:
             self.fs.delete(staging)
             raise StagingReclaimed(
                 f"{len(gone)} staged file(s) were reclaimed by a concurrent "
-                "vacuum before this delete could publish; retry"
+                f"vacuum before this {op} could publish; retry"
             )
         try:
             version = self._commit(
@@ -684,7 +757,7 @@ class LogTable:
                 "overwrite",
                 base,
                 meta={
-                    "delete_where": predicate,
+                    **meta,
                     **(
                         {"batch_id": doc["meta"]["batch_id"]}
                         if doc.get("meta", {}).get("batch_id") is not None
@@ -699,7 +772,7 @@ class LogTable:
             raise
         return {
             "version": version,
-            "rows_deleted": int(sum(matched.values())),
+            "rows_matched": int(sum(matched.values())),
             "files_rewritten": len(matched),
             "files_untouched": len(untouched),
         }
