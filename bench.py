@@ -66,6 +66,7 @@ HEADLINERS = [
     "dedup_incremental_exact",     # cross-snapshot hash-index ingest (round 6 s2)
     "json_variant_extract",        # VARIANT parse-once + typed gets (round 6 s2)
     "multimodal_decode_arrow",     # mapInArrow blob kernel (round 6 s2)
+    "multimodal_decode_wav",       # REAL stdlib-wave decode via mapInPandas (round 14)
 ]
 
 

@@ -155,3 +155,61 @@ def test_decode_ppm_kernel_parses_header_variants():
         assert out.loc[i, "mean_r"] == 30.0
         assert out.loc[i, "mean_g"] == 40.0
         assert out.loc[i, "mean_b"] == 50.0
+
+
+def test_decode_wav_stereo_kernel_on_handwritten_file():
+    """decode_wav_stereo_batch must de-interleave a 16-bit stereo file
+    written by the stdlib wave WRITER and attribute per-channel energy
+    to the right channel (an interleave swap would cross the sums)."""
+    import io
+    import struct
+    import wave
+
+    import pandas as pd
+
+    from wod_ascii_to_parquet_spark_spark.operators.multimodal import (
+        decode_wav_stereo_batch,
+    )
+
+    frames = [(100, -3), (-200, 7), (0, 32767)]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(22050)
+        w.writeframes(
+            b"".join(struct.pack("<hh", left, right) for left, right in frames)
+        )
+    out = decode_wav_stereo_batch(
+        pd.DataFrame({"doc_id": [3], "blob": [buf.getvalue()]})
+    )
+    assert out.loc[0, "sample_rate"] == 22050
+    assert out.loc[0, "n_frames"] == 3
+    assert out.loc[0, "sum_sq_l"] == 100**2 + 200**2 + 0
+    assert out.loc[0, "sum_sq_r"] == 3**2 + 7**2 + 32767**2
+
+
+def test_decode_wav_kernel_handles_16bit_mono():
+    """The generic decode_wav_batch must also read 16-bit signed mono
+    (sum_sq over signed samples, rms normalized by samples)."""
+    import io
+    import struct
+    import wave
+
+    import pandas as pd
+
+    from wod_ascii_to_parquet_spark_spark.operators.multimodal import (
+        decode_wav_batch,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<4h", -1, 2, -300, 4))
+    out = decode_wav_batch(
+        pd.DataFrame({"doc_id": [5], "blob": [buf.getvalue()]})
+    )
+    assert out.loc[0, "n_frames"] == 4
+    assert out.loc[0, "sum_sq"] == 1 + 4 + 90000 + 16

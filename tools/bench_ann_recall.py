@@ -535,16 +535,143 @@ def measure_sf(spark, sf_name: str, sf_dir: str) -> dict:
     return result
 
 
+def measure_external_filtered(spark, sf_name: str, sf_dir: str) -> dict:
+    """EXTERNAL × FILTERED × REFINED recall (VERDICT r13 #4) — the
+    production serving shape `similarity_ann_index_external_filtered_
+    refined` registers: a held-out query batch (same seed-7 synthesis as
+    the external block) probed with ``candidate_filter="label % 2 = 0"``
+    through an index built WITH the label attribute. Ground truth is the
+    exact cosine top-K over the ELIGIBLE subset only — pre-filter
+    semantics: every query owes K eligible neighbors, and recall is
+    measured against what a filtered exact scan would return."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from wod_ascii_to_parquet_spark_spark.plans.ann_index import (
+        build_ann_index,
+        probe_ann_index,
+        probe_ann_index_refined,
+    )
+    from wod_ascii_to_parquet_spark_spark.registry import load
+
+    E = _collect_embeddings(spark, sf_dir)
+    n = len(E)
+    emb = load(spark, sf_dir, "embeddings")
+    labels = np.array(
+        [
+            r["label"]
+            for r in emb.select("vec_id", "label").orderBy("vec_id").collect()
+        ],
+        dtype=np.int64,
+    )
+    eligible = np.where(labels % 2 == 0)[0].astype(np.int64)
+    # identical held-out synthesis to the external block (seed 7) — the
+    # filtered and unfiltered external rows are comparable query-by-query
+    rng = np.random.default_rng(7)
+    base_ids = rng.choice(n, size=N_QUERIES, replace=False)
+    jitter = rng.standard_normal((N_QUERIES, E.shape[1]))
+    Qext = E[base_ids] + 0.3 * jitter * E[base_ids].std(axis=0)
+    Qext /= np.linalg.norm(Qext, axis=1, keepdims=True)
+    norms = np.linalg.norm(E, axis=1)
+    sims_f = (E[eligible] @ Qext.T) / norms[eligible, None]
+    exact_f = {
+        q: set(_topk_ids(sims_f[:, q], eligible, K))
+        for q in range(N_QUERIES)
+    }
+    e_frame = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    table = "recall_ann_idx_extf"
+    build_ann_index(
+        spark, sf_dir, table=table, n_buckets=8,
+        n_cells=int(np.ceil(np.sqrt(n))), vectors=e_frame,
+        attributes=emb.select("vec_id", "label"),
+    )
+    q_ext = spark.createDataFrame(
+        [(int(i), [float(x) for x in Qext[i]]) for i in range(N_QUERIES)],
+        StructType(
+            [
+                StructField("qid", LongType()),
+                StructField("qemb", ArrayType(DoubleType())),
+            ]
+        ),
+    )
+    rows = {}
+    # grid: the naive default, the unfiltered-certified point, and the
+    # selectivity-corrected points (budget ÷ eligible_fraction — a 50 %
+    # filter halves the eligible candidates each probed cell yields, so
+    # holding the unfiltered budget silently halves the effective probe)
+    for nprobe, r_depth in (
+        (4, REFINE_DEPTH), (16, 300), (32, 600), (32, 1000), (64, 600),
+        (64, 2000),
+    ):
+        got = defaultdict(list)
+        for r in probe_ann_index(
+            spark, q_ext, table=table, nprobe=nprobe, k=K,
+            exclude_self=False, candidate_filter="label % 2 = 0",
+        ).collect():
+            got[r["qid"]].append(r["vec_id"])
+        got_ref = defaultdict(list)
+        for r in probe_ann_index_refined(
+            spark, q_ext, e_frame, table=table, nprobe=nprobe, k=K,
+            refine_depth=r_depth, exclude_self=False,
+            candidate_filter="label % 2 = 0",
+        ).collect():
+            got_ref[r["qid"]].append(r["vec_id"])
+        key = f"nprobe_{nprobe}_R_{r_depth}"
+        ref_rows = _recall_rows(exact_f, dict(got_ref))
+        rows[key] = dict(
+            _recall_rows(exact_f, dict(got)),
+            refined_recall_at_10=ref_rows["recall_at_10"],
+            refined_min_query_recall=ref_rows["min_query_recall"],
+            refine_depth=r_depth,
+            eligible_fraction=round(len(eligible) / n, 4),
+            registered=(nprobe == 16 and r_depth == 300),
+        )
+        print(f"[{sf_name}] EXTERNAL×FILTERED {key}: {rows[key]}",
+              flush=True)
+    for side in ("", "__codebooks"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{side}")
+    return rows
+
+
 def main() -> None:
     from bench import CPUS
     from wod_ascii_to_parquet_spark_spark.session import get_spark
 
-    names = sys.argv[1:] or list(SF_DIRS)
+    args = sys.argv[1:]
+    # partial-run mode: measure ONLY the external×filtered arm and merge
+    # it into the existing ledger (the full sweep is hours at sf10)
+    only_extf = "external_filtered_only" in args
+    names = [a for a in args if a in SF_DIRS] or list(SF_DIRS)
     spark = get_spark(
         app_name="bench-ann-recall",
         master=f"local[{CPUS}]",
         shuffle_partitions=CPUS,
     )
+    if only_extf:
+        path = os.path.join(REPO, "SCALING.json")
+        with open(path) as fh:
+            rec = json.load(fh)
+        for name in names:
+            tiers = rec["ann_recall"].setdefault(name, {}).setdefault(
+                "tiers", {}
+            )
+            tiers["ann_index_probe_external_filtered"] = (
+                measure_external_filtered(spark, name, SF_DIRS[name])
+            )
+        with open(path, "w") as fh:
+            json.dump(rec, fh, indent=1)
+        print(f"merged ann_index_probe_external_filtered for {names}")
+        return
     out = {
         "k": K,
         "n_queries": N_QUERIES,
@@ -557,6 +684,9 @@ def main() -> None:
     }
     for name in names:
         out[name] = measure_sf(spark, name, SF_DIRS[name])
+        out[name]["tiers"]["ann_index_probe_external_filtered"] = (
+            measure_external_filtered(spark, name, SF_DIRS[name])
+        )
 
     path = os.path.join(REPO, "SCALING.json")
     try:

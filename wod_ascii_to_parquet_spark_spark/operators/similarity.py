@@ -1727,13 +1727,17 @@ def _external_refined_sql(
     nprobe: int = _EXT_NPROBE,
     refine_depth: int = _EXT_REFINE_DEPTH,
     k: int = _EXT_TOPK,
+    cand_pred: str = "",
 ) -> str:
     """DuckDB mirror of the EXTERNAL-query serving configuration: the
     held-out batch (``_external_queries_sql``) probed through the
     √N-cell IVFADC index (scalar-subquery seed rule, as
     ``_SQRT_N_SEEDS_SQL``) with per-query PQ distance tables computed
     from the SYNTHESIZED vectors, ADC top-``refine_depth`` with NO
-    self-exclusion, then the exact-cosine refine to top-``k``."""
+    self-exclusion, then the exact-cosine refine to top-``k``.
+    ``cand_pred``: extra SQL predicate on the candidate stream
+    (``a.vec_id``), applied BEFORE the ADC shortlist forms — the
+    pre-filter composition the filtered arms pin."""
     pivot = " + ".join(
         f"max(CASE WHEN qd.s = {s} THEN qd.dist END)" for s in range(_PQ_M)
     )
@@ -1790,6 +1794,7 @@ def _external_refined_sql(
                 SELECT p.qid, a.vec_id, {pivot} AS adc
                 FROM probes p
                 JOIN assign a ON a.cell = p.cell
+                     {cand_pred}
                 JOIN picked pk ON pk.vec_id = a.vec_id
                 JOIN qd2 qd ON qd.qid = p.qid AND qd.s = pk.s
                            AND qd.cent = pk.cent
@@ -1853,6 +1858,53 @@ def similarity_ann_index_external_refined(
     return probe_ann_index_refined(
         spark, q, e, table=table, nprobe=_EXT_NPROBE, k=_EXT_TOPK,
         refine_depth=_EXT_REFINE_DEPTH, exclude_self=False,
+    )
+
+
+@register(
+    "similarity_ann_index_external_filtered_refined",
+    _external_refined_sql(
+        cand_pred=(
+            "AND a.vec_id IN "
+            "(SELECT vec_id FROM embeddings WHERE label % 2 = 0)"
+        )
+    ),
+    tags=("similarity",),
+)
+def similarity_ann_index_external_filtered_refined(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FULL production serving shape (VERDICT r13 #4): a HELD-OUT
+    query batch — not corpus members — served through the filtered
+    refine path: "nearest neighbors of NEW queries among docs WHERE
+    label % 2 = 0". Composes the three certified pieces, each already
+    pinned pairwise: external numbering (no self-exclusion, certified
+    knobs nprobe 16 / R 300 — ``similarity_ann_index_external_refined``),
+    attribute PRE-filtering on the candidate stream before the ADC
+    shortlist forms (``similarity_ann_index_filtered_refined``'s
+    composition-order pin — the shortlist must hold R ELIGIBLE
+    candidates), and the exact-cosine rerank. The index stores the
+    label attribute alongside the codes at build, so the predicate
+    rides the 8-byte codes stream with no side join at probe time.
+    Recall at these knobs against the FILTERED exact ground truth is
+    pinned in SCALING.json ``ann_recall`` (tools/bench_ann_recall.py
+    ``external_filtered`` arm). Fully DuckDB-oracled end to end."""
+    from ..plans.ann_index import build_ann_index, probe_ann_index_refined
+
+    table = "ann_ivfadc_index_extf"
+    emb = load(spark, sf_dir, "embeddings")
+    build_ann_index(
+        spark, sf_dir, table=table, n_buckets=8,
+        attributes=emb.select("vec_id", "label"),
+    )
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = _external_queries(e)
+    return probe_ann_index_refined(
+        spark, q, e, table=table, nprobe=_EXT_NPROBE, k=_EXT_TOPK,
+        refine_depth=_EXT_REFINE_DEPTH, exclude_self=False,
+        candidate_filter="label % 2 = 0",
     )
 
 
