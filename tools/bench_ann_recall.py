@@ -586,6 +586,44 @@ def measure_external_filtered(spark, sf_name: str, sf_dir: str) -> dict:
         q: set(_topk_ids(sims_f[:, q], eligible, K))
         for q in range(N_QUERIES)
     }
+    # the filter is CORRELATED with geometry in the synthesized corpora
+    # (siblings inherit the base row's label), so the query population
+    # splits into two regimes: home-cluster-eligible (huge cosine
+    # margins — easy) and home-cluster-EXCLUDED (the true eligible
+    # neighbors are ~equidistant: measured sf1 median cos gap 10th→50th
+    # is 0.058, i.e. recall@10 is a tie-break lottery for ANY quantized
+    # method). Report per-regime recall + a cosine-quality ratio, not
+    # just the mean — the mean averages two different questions.
+    home_eligible = (labels[base_ids] % 2 == 0)
+    cos_by_global = {}  # qid -> {vec_id: cos}
+    for q in range(N_QUERIES):
+        cos_by_global[q] = dict(zip(eligible.tolist(), sims_f[:, q]))
+
+    def _split_metrics(approx: dict) -> dict:
+        per_q_recall = np.array(
+            [len(set(approx.get(q, [])) & exact_f[q]) / K
+             for q in range(N_QUERIES)]
+        )
+        # quality ratio: mean cosine of the RETURNED 10 over mean cosine
+        # of the TRUE top-10 — 1.0 means operationally-equivalent
+        # answers even when the id sets differ (the lottery regime)
+        ratios = []
+        for q in range(N_QUERIES):
+            true_mass = float(
+                np.mean([cos_by_global[q][v] for v in exact_f[q]])
+            )
+            got = approx.get(q, [])
+            got_mass = float(
+                np.mean([cos_by_global[q].get(v, 0.0) for v in got])
+            ) if got else 0.0
+            ratios.append(got_mass / true_mass if true_mass > 0 else 1.0)
+        ratios = np.array(ratios)
+        he, hi = home_eligible, ~home_eligible
+        return {
+            "recall_home_eligible": round(float(per_q_recall[he].mean()), 4),
+            "recall_home_ineligible": round(float(per_q_recall[hi].mean()), 4),
+            "cos_ratio_home_ineligible": round(float(ratios[hi].mean()), 4),
+        }
     e_frame = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -635,11 +673,72 @@ def measure_external_filtered(spark, sf_name: str, sf_dir: str) -> dict:
             refine_depth=r_depth,
             eligible_fraction=round(len(eligible) / n, 4),
             registered=(nprobe == 16 and r_depth == 300),
+            **{f"refined_{k2}": v for k2, v in
+               _split_metrics(dict(got_ref)).items()},
         )
         print(f"[{sf_name}] EXTERNAL×FILTERED {key}: {rows[key]}",
               flush=True)
     for side in ("", "__codebooks"):
         spark.sql(f"DROP TABLE IF EXISTS {table}{side}")
+
+    # ---- the STRATUM-INDEX alternative: when the filter is CORRELATED
+    # with geometry (the synthesized corpus: siblings inherit the base
+    # row's label, so ~half the queries have their whole home cluster
+    # excluded), no (nprobe, R) budget on the shared index is efficient —
+    # the probe targets the wrong region. Build an index over the
+    # ELIGIBLE slice only (its own quantizer + codebook trained on the
+    # stratum's geometry) and serve the same queries unfiltered.
+    from pyspark.sql import Window as W
+
+    elig_frame = e_frame.join(
+        emb.filter(F.expr("label % 2 = 0")).select("vec_id"), "vec_id"
+    )
+    k_cells = int(np.ceil(np.sqrt(len(eligible))))
+    strat_seeds = (
+        elig_frame.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k_cells)
+        .select(F.col("vec_id").alias("cell"), F.col("emb").alias("cemb"))
+    )
+    pq_vecs = (
+        elig_frame.orderBy("vec_id")
+        .limit(16)
+        .select(
+            (F.row_number().over(W.orderBy("vec_id")) - 1)
+            .cast("bigint")
+            .alias("vec_id"),
+            "emb",
+        )
+    )
+    strat_table = "recall_ann_idx_strat"
+    build_ann_index(
+        spark, sf_dir, table=strat_table, n_buckets=8, n_cells=k_cells,
+        vectors=elig_frame, seeds=strat_seeds, pq_codebook_vectors=pq_vecs,
+    )
+    for nprobe, r_depth in ((16, 300),):
+        got_ref = defaultdict(list)
+        for r in probe_ann_index_refined(
+            spark, q_ext, e_frame, table=strat_table, nprobe=nprobe, k=K,
+            refine_depth=r_depth, exclude_self=False,
+        ).collect():
+            got_ref[r["qid"]].append(r["vec_id"])
+        ref_rows = _recall_rows(exact_f, dict(got_ref))
+        rows[f"stratum_index_nprobe_{nprobe}_R_{r_depth}"] = dict(
+            refined_recall_at_10=ref_rows["recall_at_10"],
+            refined_min_query_recall=ref_rows["min_query_recall"],
+            refine_depth=r_depth,
+            n_cells=k_cells,
+            **{f"refined_{k2}": v for k2, v in
+               _split_metrics(dict(got_ref)).items()},
+            note="index built over the eligible slice only (own quantizer"
+            " + codebook); probe needs no candidate_filter",
+        )
+        print(
+            f"[{sf_name}] STRATUM index nprobe={nprobe} R={r_depth}: "
+            f"{rows[f'stratum_index_nprobe_{nprobe}_R_{r_depth}']}",
+            flush=True,
+        )
+    for side in ("", "__codebooks"):
+        spark.sql(f"DROP TABLE IF EXISTS {strat_table}{side}")
     return rows
 
 

@@ -5,6 +5,7 @@
     python -m wod_ascii_to_parquet_spark_spark.table_cli optimize <dir> [--target-files N]
     python -m wod_ascii_to_parquet_spark_spark.table_cli vacuum   <dir> [--keep N] [--min-age-hours H]
     python -m wod_ascii_to_parquet_spark_spark.table_cli delete-where <dir> --predicate 'k >= 10'
+    python -m wod_ascii_to_parquet_spark_spark.table_cli update-where <dir> --predicate 'k >= 10' --set 'v=upper(v)'
     python -m wod_ascii_to_parquet_spark_spark.table_cli vacuum-index <table> --kind {minhash,ann} [--dry-run]
     python -m wod_ascii_to_parquet_spark_spark.table_cli verify-index <table> --kind {minhash,ann} [--strict]
     python -m wod_ascii_to_parquet_spark_spark.table_cli delete-index <table> --kind {minhash,ann} --ids 1,2,3
@@ -74,6 +75,28 @@ def build_parser() -> argparse.ArgumentParser:
         required=True,
         help="SQL predicate; rows where it is TRUE are deleted "
         "(NULL keeps the row — three-valued logic)",
+    )
+
+    uw = sub.add_parser(
+        "update-where",
+        help="copy-on-write UPDATE … SET on a LogTable: rewrite only the "
+        "files containing matching rows; all SET expressions evaluate "
+        "against the pre-update row (simultaneous assignment)",
+    )
+    uw.add_argument("table_dir", help="LogTable directory")
+    uw.add_argument(
+        "--predicate",
+        required=True,
+        help="SQL predicate; rows where it is TRUE are updated "
+        "(NULL leaves the row unchanged — three-valued logic)",
+    )
+    uw.add_argument(
+        "--set",
+        required=True,
+        action="append",
+        metavar="COL=EXPR",
+        help="assignment 'column=sql_expression'; repeatable — all "
+        "assignments see the PRE-update row",
     )
 
     vidx = sub.add_parser(
@@ -172,7 +195,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     lck.add_argument("table", help="catalog table name of the index")
 
-    for s in (hist, show, opt, vac, dw, vidx, vfy, didx, drf, rqz, lck):
+    for s in (hist, show, opt, vac, dw, uw, vidx, vfy, didx, drf, rqz, lck):
         s.add_argument("--master", default=None)
     return p
 
@@ -435,6 +458,36 @@ def _dispatch(args, t: LogTable) -> int:
             # exit 3 = retry later, the same contract as every other
             # maintenance verb: a takedown losing a commit race to a
             # concurrent writer is operational weather, not failure
+            print(json.dumps({"table": t.dir, "refused": str(e)}))
+            return 3
+        print(json.dumps({"table": t.dir, **rep}))
+    elif args.cmd == "update-where":
+        from .sources.lakehouse import CommitConflict, StagingReclaimed
+
+        set_exprs: dict[str, str] = {}
+        for item in args.set:
+            col, sep, expr = item.partition("=")
+            if not sep or not col.strip() or not expr.strip():
+                print(
+                    json.dumps(
+                        {"table": t.dir, "error": f"bad --set {item!r}; "
+                         "expected COL=EXPR"}
+                    )
+                )
+                return 2
+            if col.strip() in set_exprs:
+                print(
+                    json.dumps(
+                        {"table": t.dir, "error": f"duplicate --set column "
+                         f"{col.strip()!r}"}
+                    )
+                )
+                return 2
+            set_exprs[col.strip()] = expr.strip()
+        try:
+            rep = t.update_where(args.predicate, set_exprs)
+        except (CommitConflict, StagingReclaimed) as e:
+            # exit 3 = retry later (same contract as delete-where)
             print(json.dumps({"table": t.dir, "refused": str(e)}))
             return 3
         print(json.dumps({"table": t.dir, **rep}))
