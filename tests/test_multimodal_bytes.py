@@ -213,3 +213,24 @@ def test_decode_wav_kernel_handles_16bit_mono():
     )
     assert out.loc[0, "n_frames"] == 4
     assert out.loc[0, "sum_sq"] == 1 + 4 + 90000 + 16
+
+
+def test_decode_queries_are_exchange_free(spark):
+    """The three decode queries must stay MAP-ONLY (zero Exchanges):
+    blob assembly is a projection, decode is mapInPandas, features are a
+    projection — at 100 TB of media a shuffle of blob bytes would be the
+    whole job cost, so the plan shape is load-bearing."""
+    for name in (
+        "multimodal_decode_wav",
+        "multimodal_decode_wav16",
+        "multimodal_decode_ppm",
+        "multimodal_decode_stub",
+    ):
+        plan = (
+            QUERIES[name]
+            .fn(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") == 0, f"{name} plan shuffles:\n{plan}"
