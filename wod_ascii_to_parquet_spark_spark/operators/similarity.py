@@ -1886,9 +1886,20 @@ def similarity_ann_index_external_filtered_refined(
     candidates), and the exact-cosine rerank. The index stores the
     label attribute alongside the codes at build, so the predicate
     rides the 8-byte codes stream with no side join at probe time.
-    Recall at these knobs against the FILTERED exact ground truth is
-    pinned in SCALING.json ``ann_recall`` (tools/bench_ann_recall.py
-    ``external_filtered`` arm). Fully DuckDB-oracled end to end."""
+
+    Recall at these knobs is measured PER REGIME in SCALING.json
+    ``ann_recall …ann_index_probe_external_filtered`` (SCALE.md
+    §Round 14): when the filter agrees with the query's geometry the
+    pre-filtered probe loses nothing (0.9865 sf1 / 0.9786 sf10 —
+    matches the unfiltered certification); when the filter EXCLUDES
+    the query's home cluster the true eligible neighbors are
+    near-equidistant (median 10th→50th cosine gap 0.058) and recall@10
+    is a tie-break lottery for any quantized method — though the
+    returned rows carry 0.93–0.99 of the true cosine mass. The
+    stratum-index alternative was measured and does NOT beat this
+    shared-index pre-filter; strict-identity correlated-filter traffic
+    should take the exact filtered scan instead. Fully DuckDB-oracled
+    end to end."""
     from ..plans.ann_index import build_ann_index, probe_ann_index_refined
 
     table = "ann_ivfadc_index_extf"
