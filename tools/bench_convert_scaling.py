@@ -23,8 +23,11 @@ import json
 import math
 import os
 import shutil
+import sys
 import tempfile
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from wod_ascii_to_parquet_spark_spark.session import get_spark
 
@@ -33,7 +36,10 @@ spark = get_spark(app_name="convscale", master="local[32]", shuffle_partitions=3
 from wod_ascii_to_parquet_spark_spark.plans.convert import FileTask, convert, convert_file
 
 SRC = "/root/reference/src/test/resources/wod/XBT/OBS/XBTO1967.gz"
-FACTORS = [1, 4, 16, 64]
+# x128 added r14 (VERDICT r13 #5): the third decade — 1.2M casts,
+# ~716 MB raw through ONE unsplittable gzip read task, the worst-case
+# single-file shape the REBALANCE writer must keep sub-linear.
+FACTORS = [1, 4, 16, 64, 128]
 
 
 def _layout_stats(out_root: str) -> dict:
@@ -97,6 +103,12 @@ t1, t16 = results["x1"]["sec"], results["x16"]["sec"]
 exponent = round(math.log(t16 / t1) / math.log(16), 3)
 t64 = results["x64"]["sec"]
 exponent_64 = round(math.log(t64 / t1) / math.log(64), 3)
+t128 = results["x128"]["sec"]
+exponent_128 = round(math.log(t128 / t1) / math.log(128), 3)
+# the marginal decade exponent is the forward-looking one: fixed
+# per-file costs are fully amortized by x16, so x16→x128 isolates the
+# variable (per-cast) slope the next 10× would follow
+exponent_x16_to_x128 = round(math.log(t128 / t16) / math.log(8), 3)
 
 # Multi-file: 8 distinct 1x files through the `convert` plan, pooled vs
 # serial — evidence the thread pool pipelines scheduling gaps.
@@ -155,6 +167,8 @@ doc["convert"] = {
     "factors": results,
     "exponent_x1_to_x16": exponent,
     "exponent_x1_to_x64": exponent_64,
+    "exponent_x1_to_x128": exponent_128,
+    "exponent_x16_to_x128": exponent_x16_to_x128,
     "multi_file_8x1_sec": multi,
     "multi_file_8x16_concurrent_4_sec": multi_8x16,
     "note": (
