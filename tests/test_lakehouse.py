@@ -1069,6 +1069,8 @@ def test_update_where_refuses_unknown_set_column(spark, tmp_path):
     v = t.latest_version()
     with pytest.raises(ValueError, match="do not exist"):
         t.update_where("k = 1", {"nope": "1"})
+    with pytest.raises(ValueError, match="at least one SET"):
+        t.update_where("k = 1", {})
     assert t.latest_version() == v  # nothing committed
 
 

@@ -623,6 +623,10 @@ class LogTable:
         job); unknown names are refused up front. Returns
         ``{version, rows_updated, files_rewritten, files_untouched}``;
         a no-match update commits NOTHING."""
+        if not set_exprs:
+            # SQL has no SET-less UPDATE; silently rewriting matched
+            # files identically would burn IO to commit a no-op version
+            raise ValueError("update_where requires at least one SET column")
         base = self.latest_version()
         if base is None:
             raise ValueError("update_where on an empty table (no snapshot)")
