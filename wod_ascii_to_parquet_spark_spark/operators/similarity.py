@@ -205,6 +205,81 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "similarity_knn_join_filtered",
+    """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        WHERE label % 2 = 0
+    ),
+    q AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qemb FROM embeddings
+        WHERE vec_id < 10
+    )
+    SELECT qid, vec_id, round(sim, 6) AS cos_sim
+    FROM (
+        SELECT q.qid, e.vec_id,
+               list_dot_product(e.emb, q.qemb)
+               / (sqrt(list_dot_product(e.emb, e.emb))
+                  * sqrt(list_dot_product(q.qemb, q.qemb))) AS sim,
+               row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY list_dot_product(e.emb, q.qemb)
+                            / (sqrt(list_dot_product(e.emb, e.emb))
+                               * sqrt(list_dot_product(q.qemb, q.qemb))) DESC,
+                            e.vec_id) AS rn
+        FROM e CROSS JOIN q
+        WHERE e.vec_id <> q.qid
+    ) WHERE rn <= 3
+    """,
+    tags=("similarity",),
+)
+def similarity_knn_join_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT filtered k-NN — the strict-recall serving answer SCALE.md
+    §Round 14 routes correlated-filter traffic to: when the metadata
+    predicate tracks the embedding geometry (excludes whole clusters),
+    the filtered ANN curve saturates below the identity-recall SLO at
+    any budget, and the right plan is the exact scan over the ELIGIBLE
+    stream. Same plan shape as ``similarity_knn_join`` with the filter
+    PUSHED INTO THE CORPUS SCAN (a parquet predicate on the label
+    column — `PushedFilters`, so the cross product is |eligible|·Q,
+    never |corpus|·Q), broadcast query batch, WindowGroupLimit top-k
+    before the one shuffle: O(|eligible|·Q) compute, O(k·Q) shuffle.
+    Admission-price it with ``probe_cost_report`` before choosing this
+    tier over the ANN index."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.filter(F.col("label") % 2 == 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    norm = F.expr(f"sqrt({_dot_sql('emb', 'emb')})")
+    q = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").cast("array<double>").alias("qemb"),
+        )
+        .select(
+            "qid", "qemb",
+            F.expr(f"sqrt({_dot_sql('qemb', 'qemb')})").alias("qnorm"),
+        )
+    )
+    e = e.select("vec_id", "emb", norm.alias("enorm"))
+    sim = F.expr(_dot_sql("emb", "qemb")) / (
+        F.col("enorm") * F.col("qnorm")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("qid").orderBy(F.desc("__raw"), F.asc("vec_id"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", sim.alias("__raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id", F.round(F.col("__raw"), 6).alias("cos_sim"))
+    )
+
+
 def _hyperplanes(nbits: int = _NBITS, dim: int = _DIM) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (fixed seed, engine-side
     constants — broadcast as literals into the plan)."""
@@ -2173,6 +2248,65 @@ def similarity_ann_index_probe_cost(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("embedding").cast("array<double>").alias("qemb"),
     ).filter(F.col("qid") < 10)
     return probe_cost_report(spark, q, table=table, nprobe=4)
+
+
+def _probe_cost_filtered_sql() -> str:
+    """DuckDB mirror of the FILTERED probe-cost report: the same
+    assign/probe CTEs with each candidate tagged eligible by the label
+    predicate — candidate_rows counts ELIGIBLE rows only and
+    eligible_fraction is the per-query selectivity over the probed
+    cells."""
+    base = _probe_cost_sql()
+    head, _, _ = base.rpartition("SELECT p.qid,")
+    return (
+        head
+        + """SELECT p.qid, CAST(count(DISTINCT p.cell) AS BIGINT) AS cells_probed,
+           CAST(count(a.vec_id) FILTER (WHERE l.label % 2 = 0) AS BIGINT)
+               AS candidate_rows,
+           round(count(a.vec_id) FILTER (WHERE l.label % 2 = 0) * 1.0
+                 / greatest(count(a.vec_id), 1), 6) AS eligible_fraction
+    FROM probes p
+    LEFT JOIN assign a ON a.cell = p.cell
+    LEFT JOIN embeddings l ON l.vec_id = a.vec_id
+    GROUP BY p.qid
+    """
+    )
+
+
+@register(
+    "similarity_ann_index_probe_cost_filtered",
+    _probe_cost_filtered_sql(),
+    tags=("similarity",),
+)
+def similarity_ann_index_probe_cost_filtered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FILTERED admission control (r14): price a filtered probe before
+    serving it — ``candidate_rows`` becomes the ELIGIBLE scored volume
+    and ``eligible_fraction`` reports each query's per-probe
+    selectivity, the two numbers the SCALE.md §Round 14 guidance needs
+    to (a) apply the budget ÷ selectivity knob correction and (b) route
+    strict-recall correlated-filter queries (selectivity collapsed in
+    exactly the probed cells — the home-cluster-excluded regime) to the
+    exact filtered scan (``similarity_knn_join_filtered``) instead of
+    burning an unbounded refine budget. Same column-pruned plan as the
+    unfiltered report: the predicate rides the attribute column of the
+    cell-population aggregate; codes are never read."""
+    from ..plans.ann_index import build_ann_index, probe_cost_report
+
+    table = "ann_ivfadc_index_pcf"
+    emb = load(spark, sf_dir, "embeddings")
+    build_ann_index(
+        spark, sf_dir, table=table, n_buckets=8, n_cells=16,
+        attributes=emb.select("vec_id", "label"),
+    )
+    q = emb.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qemb"),
+    ).filter(F.col("qid") < 10)
+    return probe_cost_report(
+        spark, q, table=table, nprobe=4, candidate_filter="label % 2 = 0"
+    )
 
 
 def _ivf_adc_residual_sql() -> str:

@@ -1094,6 +1094,7 @@ def probe_cost_report(
     queries: DataFrame,
     table: str = INDEX_TABLE,
     nprobe: int = 4,
+    candidate_filter: str | None = None,
 ) -> DataFrame:
     """PRICE a query batch before serving it: per query, how many cells
     the stored quantizer would probe and how many candidate rows those
@@ -1108,7 +1109,17 @@ def probe_cost_report(
     cell-population aggregate of the codes table — never touches the
     codes themselves, so pricing a batch costs one column-pruned
     groupBy regardless of corpus width. Tombstones are excluded (they
-    are masked before scoring, so they are not a cost)."""
+    are masked before scoring, so they are not a cost).
+
+    ``candidate_filter`` prices a FILTERED probe (r14): the same
+    attribute predicate ``probe_ann_index`` applies pre-top-k is
+    applied to the cell-population aggregate, so ``candidate_rows`` is
+    the ELIGIBLE scored volume and an extra ``eligible_fraction``
+    column reports each query's per-probe selectivity — the number the
+    SCALE.md §Round 14 budget correction (knobs ÷ selectivity) and the
+    exact-scan routing decision both need. Per-query, not global: a
+    correlated filter can leave one query's probed cells 90 % eligible
+    and another's 2 %."""
     books = spark.table(f"{table}__codebooks")
     current = _current_build_id(spark, table)
     # same torn-pair fail-fast as probe_ann_index (review r13): pricing
@@ -1125,16 +1136,40 @@ def probe_cost_report(
     tomb = _live_tombstones(spark, table)
     if tomb is not None:
         codes = codes.join(F.broadcast(tomb), "vec_id", "left_anti")
-    sizes = codes.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
+    agg = [F.count(F.lit(1)).alias("__n")]
+    if candidate_filter is not None:
+        hit = F.expr(f"coalesce(({candidate_filter}), false)")
+        agg.append(
+            F.sum(hit.cast("bigint")).alias("__n_eligible")
+        )
+    sizes = codes.groupBy("cell").agg(*agg)
     probes = _ivf_probes(
         queries.select("qid", "qemb"), books.select("__seeds"), nprobe=nprobe
     ).select("qid", "cell")
-    return (
-        probes.join(sizes, "cell", "left")
-        .groupBy("qid")
-        .agg(
+    joined = probes.join(sizes, "cell", "left")
+    if candidate_filter is None:
+        return joined.groupBy("qid").agg(
             F.count(F.lit(1)).alias("cells_probed"),
             F.sum(F.coalesce(F.col("__n"), F.lit(0))).alias("candidate_rows"),
+        )
+    return (
+        joined.groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("cells_probed"),
+            F.sum(F.coalesce(F.col("__n_eligible"), F.lit(0))).alias(
+                "candidate_rows"
+            ),
+            F.sum(F.coalesce(F.col("__n"), F.lit(0))).alias("__raw_rows"),
+        )
+        .select(
+            "qid",
+            "cells_probed",
+            "candidate_rows",
+            F.round(
+                F.col("candidate_rows")
+                / F.greatest(F.col("__raw_rows"), F.lit(1)),
+                6,
+            ).alias("eligible_fraction"),
         )
     )
 
