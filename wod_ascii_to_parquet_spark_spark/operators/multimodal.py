@@ -140,6 +140,42 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wav8_blobs(d: DataFrame) -> DataFrame:
+    """``(doc_id, blob)`` of complete spec-valid 8-bit mono WAV files,
+    assembled per document with Catalyst hex expressions: rate =
+    ``8000 + (n_chars % 8)·1000``, ``n = 20 + doc_id % 30`` frames,
+    sample ``i`` = ``(doc_id·31 + i·7) % 256``. Shared by
+    ``multimodal_decode_wav`` and ``multimodal_wav_windows`` so their
+    oracles pin the SAME container bytes."""
+    rate = (8000 + (F.col("n_chars") % 8) * 1000).cast("int")
+    n = (20 + F.col("doc_id") % 30).cast("bigint")
+    did = F.col("doc_id")
+    pcm_hex = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0).cast("bigint"), n - 1),
+            lambda i: F.lpad(F.hex((did * 31 + i * 7) % 256), 2, "0"),
+        ),
+    )
+    wav_hex = F.concat(
+        F.hex(F.lit("RIFF").cast("binary")),
+        _le_hex((n + 36).cast("int"), 4),      # RIFF chunk size
+        F.hex(F.lit("WAVE").cast("binary")),
+        F.hex(F.lit("fmt ").cast("binary")),
+        F.lit("10000000"),                      # fmt chunk size = 16 (LE)
+        F.lit("0100"),                          # PCM tag = 1 (LE u16)
+        F.lit("0100"),                          # channels = 1 (LE u16)
+        _le_hex(rate, 4),                       # sample rate
+        _le_hex(rate, 4),                       # byte rate (1ch × 1B)
+        F.lit("0100"),                          # block align = 1 (LE u16)
+        F.lit("0800"),                          # bits/sample = 8 (LE u16)
+        F.hex(F.lit("data").cast("binary")),
+        _le_hex(n.cast("int"), 4),              # data chunk size
+        pcm_hex,
+    )
+    return d.select("doc_id", F.unhex(wav_hex).alias("blob"))
+
+
 def decode_wav_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """REAL WAV decode, codec-free (stdlib ``wave`` — no PIL/ffmpeg
     needed): parses the RIFF container, fmt chunk, and PCM frames of
@@ -227,34 +263,7 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse breaks the hash. This is the production shape for 100 TB of
     audio: blobs stay in parquet binary columns, the decoder sees one
     Arrow batch at a time, features come back columnar."""
-    d = load(spark, sf_dir, "documents")
-    rate = (8000 + (F.col("n_chars") % 8) * 1000).cast("int")
-    n = (20 + F.col("doc_id") % 30).cast("bigint")
-    did = F.col("doc_id")
-    pcm_hex = F.concat_ws(
-        "",
-        F.transform(
-            F.sequence(F.lit(0).cast("bigint"), n - 1),
-            lambda i: F.lpad(F.hex((did * 31 + i * 7) % 256), 2, "0"),
-        ),
-    )
-    wav_hex = F.concat(
-        F.hex(F.lit("RIFF").cast("binary")),
-        _le_hex((n + 36).cast("int"), 4),      # RIFF chunk size
-        F.hex(F.lit("WAVE").cast("binary")),
-        F.hex(F.lit("fmt ").cast("binary")),
-        F.lit("10000000"),                      # fmt chunk size = 16 (LE)
-        F.lit("0100"),                          # PCM tag = 1 (LE u16)
-        F.lit("0100"),                          # channels = 1 (LE u16)
-        _le_hex(rate, 4),                       # sample rate
-        _le_hex(rate, 4),                       # byte rate (1ch × 1B)
-        F.lit("0100"),                          # block align = 1 (LE u16)
-        F.lit("0800"),                          # bits/sample = 8 (LE u16)
-        F.hex(F.lit("data").cast("binary")),
-        _le_hex(n.cast("int"), 4),              # data chunk size
-        pcm_hex,
-    )
-    blobbed = d.select("doc_id", F.unhex(wav_hex).alias("blob"))
+    blobbed = _wav8_blobs(load(spark, sf_dir, "documents"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -400,6 +409,101 @@ def multimodal_decode_wav16(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id bigint, sample_rate int, n_frames bigint, "
         "sum_sq_l bigint, sum_sq_r bigint, rms double",
+    )
+    return decoded.withColumn("rms", F.round("rms", 4))
+
+
+def decode_wav_windows_batch(batch: pd.DataFrame, win: int = 10) -> pd.DataFrame:
+    """Windowed audio energy — REAL decode with EXPANDING output: parse
+    each WAV (stdlib ``wave``), split the PCM into ``win``-frame
+    windows, and emit ONE ROW PER WINDOW with its exact-integer energy
+    — the VAD/silence-segmentation shape (a mapInPandas kernel may
+    return more rows than it receives; this is the canonical use).
+    Trailing partial windows are dropped (a VAD decision needs a full
+    window)."""
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    out: dict[str, list] = {
+        "doc_id": [], "window_idx": [], "start_frame": [],
+        "sum_sq": [], "rms": [],
+    }
+    for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+        with wave.open(io.BytesIO(bytes(blob))) as w:
+            if w.getsampwidth() != 1 or w.getnchannels() != 1:
+                raise ValueError(
+                    f"doc {doc_id}: expected mono 8-bit PCM for windowing"
+                )
+            n = w.getnframes()
+            pcm = np.frombuffer(w.readframes(n), dtype=np.uint8)
+        centered = pcm.astype(np.int64) - 128
+        n_win = n // win
+        if n_win == 0:
+            continue
+        ss = (
+            (centered[: n_win * win] ** 2).reshape(n_win, win).sum(axis=1)
+        )
+        for j in range(n_win):
+            out["doc_id"].append(doc_id)
+            out["window_idx"].append(j)
+            out["start_frame"].append(j * win)
+            out["sum_sq"].append(int(ss[j]))
+            out["rms"].append(math.sqrt(int(ss[j]) / win))
+    return pd.DataFrame(out)
+
+
+@register(
+    "multimodal_wav_windows",
+    """
+    WITH p AS (
+        SELECT doc_id,
+               CAST(20 + doc_id % 30 AS BIGINT) AS n_frames
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, n_frames,
+               unnest(range(0, n_frames // 10)) AS window_idx
+        FROM p
+    )
+    SELECT doc_id,
+           CAST(window_idx AS INT) AS window_idx,
+           CAST(window_idx * 10 AS BIGINT) AS start_frame,
+           CAST(list_sum(list_transform(range(10),
+                i -> ((doc_id * 31 + (window_idx * 10 + i) * 7) % 256 - 128)
+                     * ((doc_id * 31 + (window_idx * 10 + i) * 7) % 256 - 128)
+           )) AS BIGINT) AS sum_sq,
+           round(sqrt(CAST(list_sum(list_transform(range(10),
+                i -> ((doc_id * 31 + (window_idx * 10 + i) * 7) % 256 - 128)
+                     * ((doc_id * 31 + (window_idx * 10 + i) * 7) % 256 - 128)
+           )) AS BIGINT) * 1.0 / 10), 4) AS rms
+    FROM w
+    """,
+    tags=("multimodal",),
+)
+def multimodal_wav_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio energy over REAL decoded WAVs — the VAD /
+    silence-segmentation serving shape: the same Catalyst-assembled
+    8-bit mono files as ``multimodal_decode_wav``, decoded by stdlib
+    ``wave`` in an EXPANDING ``mapInPandas`` stage that emits one row
+    per 10-frame window with its exact-integer PCM energy
+    (:func:`decode_wav_windows_batch`). The oracle recomputes every
+    window's energy arithmetically from the sample generator, so a
+    window-boundary off-by-one (the classic VAD bug) hash-fails.
+    Plan stays map-only: blob assembly → kernel → projection, zero
+    Exchanges."""
+    blobbed = _wav8_blobs(load(spark, sf_dir, "documents"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield decode_wav_windows_batch(batch)
+
+    decoded = blobbed.mapInPandas(
+        run,
+        "doc_id bigint, window_idx int, start_frame bigint, "
+        "sum_sq bigint, rms double",
     )
     return decoded.withColumn("rms", F.round("rms", 4))
 
@@ -709,6 +813,65 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("frame").cast("int").alias("frame_idx"),
         (F.col("frame") * 100).cast("bigint").alias("byte_offset"),
+    )
+
+
+@register(
+    "multimodal_frame_features",
+    """
+    SELECT doc_id,
+           CAST(frame AS INT) AS frame_idx,
+           CAST(frame * 100 AS BIGINT) AS byte_offset,
+           CAST(length(win) AS INT) AS win_len,
+           CAST(length(win) - length(replace(win, ' ', '')) AS INT)
+               AS n_spaces,
+           ascii(substring(win, 1, 1)) AS first_byte
+    FROM (
+        SELECT doc_id, frame,
+               substring(text, CAST(frame * 100 + 1 AS INT), 100) AS win
+        FROM (
+            SELECT doc_id, text,
+                   unnest(range(0, CAST(floor(n_chars / 100) AS BIGINT)))
+                       AS frame
+            FROM documents
+            WHERE n_chars >= 100
+        )
+    )
+    """,
+    tags=("multimodal",),
+)
+def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling COMPOSED with per-frame featurization — the video
+    curation shape one step past ``multimodal_frame_sample``: explode a
+    frame index per 100-byte window, slice that window out of the blob,
+    and reduce per-frame features (window length, space count as the
+    stand-in for a content histogram bin, leading byte as the
+    magic-number sniff). Everything is Catalyst expressions — the
+    explode(sequence) row generation, the substring slice, and the
+    feature arithmetic all stay inside whole-stage codegen, zero
+    Exchanges and zero Python; a per-frame pixel decode would slot in
+    as the ``mapInPandas`` stage of ``multimodal_decode_*`` AFTER this
+    pruning, so only sampled windows ever reach a kernel. ASCII corpus:
+    char windows == byte windows, which is what lets DuckDB rebuild the
+    identical features independently."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") >= 100)
+    frames = F.explode(
+        F.sequence(F.lit(0), (F.floor(F.col("n_chars") / 100) - 1).cast("int"))
+    )
+    framed = d.select("doc_id", "text", frames.alias("frame"))
+    win = F.expr("substring(text, cast(frame * 100 + 1 as int), 100)")
+    framed = framed.select(
+        "doc_id", F.col("frame"), win.alias("win")
+    )
+    return framed.select(
+        "doc_id",
+        F.col("frame").cast("int").alias("frame_idx"),
+        (F.col("frame") * 100).cast("bigint").alias("byte_offset"),
+        F.length("win").cast("int").alias("win_len"),
+        (
+            F.length("win") - F.length(F.replace(F.col("win"), F.lit(" ")))
+        ).cast("int").alias("n_spaces"),
+        F.ascii(F.substring("win", 1, 1)).alias("first_byte"),
     )
 
 
