@@ -586,3 +586,96 @@ def stream_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # listing this session may hold before the gated read
     spark.catalog.refreshTable(sink)
     return spark.table(sink).select("doc_a", "doc_b", "jac")
+
+
+@register(
+    "stream_decode_wav_live",
+    """
+    WITH p AS (
+        SELECT doc_id,
+               CAST(8000 + (n_chars % 8) * 1000 AS INT) AS sample_rate,
+               CAST(20 + doc_id % 30 AS BIGINT) AS n_frames
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, sample_rate, n_frames,
+               CAST(list_sum(list_transform(range(n_frames),
+                    i -> ((doc_id * 31 + i * 7) % 256 - 128)
+                         * ((doc_id * 31 + i * 7) % 256 - 128)
+               )) AS BIGINT) AS sum_sq
+        FROM p
+    )
+    SELECT doc_id, sample_rate, n_frames,
+           n_frames * 1000 // sample_rate AS duration_ms,
+           sum_sq,
+           round(sqrt(sum_sq * 1.0 / n_frames), 4) AS rms
+    FROM s
+    """,
+    tags=("streaming", "multimodal"),
+)
+def stream_decode_wav_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal DECODE STAGE under ``readStream`` — the crawl
+    pipeline's media path, where blobs arrive continuously and the same
+    Arrow-batched kernel must run per micro-batch: stage the documents
+    as TWO files (``maxFilesPerTrigger=1`` → two triggers), assemble
+    the WAV blobs with the shared Catalyst expressions
+    (``_wav8_blobs``), decode with the stdlib-``wave`` kernel inside
+    ``mapInPandas`` ON THE STREAMING FRAME, append-mode memory sink.
+    Stateless map ⇒ the replay result is trigger-split-invariant and
+    equals the batch arm exactly, which is why this live-stream run can
+    carry ``multimodal_decode_wav``'s full DuckDB oracle. What it pins:
+    the decode plumbing (binary columns, Arrow batching, kernel
+    signature) composes with Structured Streaming unchanged — no
+    batch-only assumption hides in the kernel path."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.multimodal import _wav8_blobs, decode_wav_batch
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    mid = d.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    root = tempfile.mkdtemp(prefix="wg_stream_decode_")
+    name = "stream_decode_wav_sink"
+    try:
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        for i, part in enumerate(
+            (d.filter(F.col("doc_id") <= mid), d.filter(F.col("doc_id") > mid))
+        ):
+            stage = os.path.join(root, f"stage{i}")
+            part.coalesce(1).write.parquet(stage)
+            p = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"batch{i}.parquet")
+            shutil.copyfile(p, dst)
+            os.utime(dst, (i + 1, i + 1))
+        stream = (
+            spark.readStream.schema("doc_id bigint, n_chars bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        blobbed = _wav8_blobs(stream)
+
+        def run(batches):
+            for batch in batches:
+                yield decode_wav_batch(batch)
+
+        decoded = blobbed.mapInPandas(
+            run,
+            "doc_id bigint, sample_rate int, n_frames bigint, "
+            "duration_ms bigint, sum_sq bigint, rms double",
+        ).withColumn("rms", F.round("rms", 4))
+        q = (
+            decoded.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
