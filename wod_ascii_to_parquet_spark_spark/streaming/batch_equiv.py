@@ -679,3 +679,155 @@ def stream_decode_wav_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(name)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _stream_ann_ingest_sql() -> str:
+    """DuckDB mirror of the streaming ANN ingest: every batch vector
+    (vec_id ≥ 250) probes the INDEX AS OF ITS ARRIVAL — a per-query
+    history cutoff (250 for the first micro-batch, 375 for the second)
+    carried through the probe CTE and applied to the candidate stream,
+    exactly where the live run's append-between-batches draws the line.
+    Same 16-medoid quantizer/codebook CTEs and fixed-order ADC pivot as
+    ``_ivf_adc_sql``; no self-exclusion (batch and history are
+    disjoint by construction)."""
+    from ..operators.similarity import (
+        _IVF_SCALED,
+        _PQ_BASE_SQL,
+        _PQ_M,
+        _pq_dist_union_sql,
+    )
+
+    scaled_a = _IVF_SCALED.format(a="e.emb", b="x.cemb")
+    scaled_q = _IVF_SCALED.format(a="q.emb", b="x.cemb")
+    pivot = " + ".join(
+        f"max(CASE WHEN qd.s = {s} THEN qd.dist END)" for s in range(_PQ_M)
+    )
+    return (
+        _PQ_BASE_SQL.format(dist_union=_pq_dist_union_sql())
+        + f"""
+    , assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, x.cent AS cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {scaled_a} DESC, x.cent
+                   ) AS rn
+            FROM e CROSS JOIN seeds x
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT qid, cell, cutoff FROM (
+            SELECT q.vec_id AS qid, x.cent AS cell,
+                   CASE WHEN q.vec_id < 375 THEN 250 ELSE 375 END AS cutoff,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {scaled_q} DESC, x.cent
+                   ) AS rn
+            FROM e q CROSS JOIN seeds x
+            WHERE q.vec_id >= 250
+        ) WHERE rn <= 4
+    ),
+    qd AS (SELECT vec_id AS qid, s, cent, dist FROM d WHERE vec_id >= 250)
+    SELECT qid, vec_id, round(adc, 6) AS adc_dist FROM (
+        SELECT qid, vec_id, adc,
+               row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+        FROM (
+            SELECT p.qid, a.vec_id, {pivot} AS adc
+            FROM probes p
+            JOIN assign a ON a.cell = p.cell AND a.vec_id < p.cutoff
+            JOIN picked pk ON pk.vec_id = a.vec_id
+            JOIN qd ON qd.qid = p.qid AND qd.s = pk.s AND qd.cent = pk.cent
+            GROUP BY p.qid, a.vec_id
+        )
+    ) WHERE rn <= 3
+    """
+    )
+
+
+@register(
+    "stream_ann_ingest", _stream_ann_ingest_sql(), tags=("streaming", "similarity")
+)
+def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN ingest against the persisted IVFADC index — the
+    embedding-side twin of ``stream_minhash_ingest``, run as a REAL
+    Structured Streaming query under the hash gate: build the index
+    over the initial corpus slice (vec_id < 250; 16-cell quantizer
+    frozen from seeds inside the slice), then ``readStream`` staged
+    batches (250..374, then 375..) with ``foreachBatch``: probe each
+    micro-batch's vectors against the INDEX AS OF ARRIVAL (ADC top-3,
+    no self-exclusion — batch and history are disjoint), record the
+    neighbors, ``append_to_ann_index`` the batch so the next
+    micro-batch searches it too. The oracle computes each query's
+    candidates below its arrival cutoff — an append that leaked early
+    (a batch seeing itself) or landed late (missing history) breaks
+    the hash. This is the continuous-embedding-pipeline shape at
+    100 TB: per-day cost is O(|batch|) encode + an Exchange-free
+    bucketed probe; corpus state is the stored codes."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..plans.ann_index import (
+        append_to_ann_index,
+        build_ann_index,
+        probe_ann_index,
+    )
+    from ..plans.minhash_index import _clear_table
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    table = "ann_ivfadc_index_sq"
+    sink = f"{table}__pairs"
+    build_ann_index(
+        spark, sf_dir, table=table, n_buckets=8, n_cells=16,
+        vectors=e.filter(F.col("vec_id") < 250),
+    )
+    _clear_table(spark, sink)
+    root = tempfile.mkdtemp(prefix="wg_stream_ann_ingest_")
+    try:
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        for i, (lo, hi) in enumerate(((250, 375), (375, 1 << 40))):
+            stage = os.path.join(root, f"stage{i}")
+            (
+                e.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+                .coalesce(1)
+                .write.parquet(stage)
+            )
+            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"batch{i}.parquet")
+            shutil.copyfile(part, dst)
+            os.utime(dst, (i + 1, i + 1))  # mtime = micro-batch order
+        stream = (
+            spark.readStream.schema("vec_id bigint, emb array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def ingest(batch_df: DataFrame, batch_id: int) -> None:
+            # micro-batch session clone, same reason as the minhash arm:
+            # the outer session's file listing of the index table is
+            # stale after the previous batch's append
+            ms = batch_df.sparkSession
+            q = batch_df.select(
+                F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+            )
+            hits = probe_ann_index(
+                ms, q, table=table, nprobe=4, k=3, exclude_self=False
+            )
+            hits.write.format("parquet").mode("append").saveAsTable(sink)
+            append_to_ann_index(ms, batch_df, table=table)
+
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    spark.catalog.refreshTable(sink)
+    return spark.table(sink).select("qid", "vec_id", "adc_dist")
