@@ -35,9 +35,10 @@ def test_oracles_reference_known_tables_only():
             ctes = {
                 c.lower()
                 for c in re.findall(
-                    # WITH [RECURSIVE] name[(col, ...)] AS (   |   , name ... AS (
+                    # WITH [RECURSIVE] name[(col, ...)] AS [MATERIALIZED] (
+                    #   |   , name ... AS [MATERIALIZED] (
                     r"(?:WITH(?:\s+RECURSIVE)?|,)\s*([a-zA-Z_][a-zA-Z0-9_]*)"
-                    r"\s*(?:\([^)]*\))?\s+AS\s*\(",
+                    r"\s*(?:\([^)]*\))?\s+AS\s*(?:MATERIALIZED\s*)?\(",
                     q.oracle,
                     re.I,
                 )

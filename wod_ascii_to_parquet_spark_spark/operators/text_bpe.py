@@ -1,0 +1,243 @@
+"""Byte-pair encoding (BPE) tokenizer — TRAINED distributed and fully
+DuckDB-oracled.
+
+The brief's "token counting (whitespace + a BPE-ish regex)" ships in
+``text.py``; this module goes the real distance: the actual BPE training
+loop (Sennrich et al. 2016 — the algorithm behind GPT-2/RoBERTa vocabs)
+as a Spark program, plus the encoder that applies the learned merges.
+
+Algorithm and its distributed shape:
+
+- **Word-level pre-tokenization with frequency folding** — the classic
+  BPE efficiency trick: pair statistics over the corpus equal pair
+  statistics over UNIQUE words weighted by frequency, so the training
+  state is ``(word, freq)`` — dedup once, then every merge round runs
+  on |vocab| rows, not |corpus| rows. At 100 TB this is THE difference:
+  unique-word vocab grows ~O(corpus^0.7) (Heaps' law), so rounds get
+  cheaper relative to the corpus as data grows.
+- **A merge round** = pair-count (explode adjacent token pairs, one
+  hash aggregation) → global argmax with a deterministic tie-break
+  (count DESC, then pair string ASC) → merge via a boundary-safe
+  string replace on the space-joined token string. ``replace`` is
+  greedy left-to-right non-overlapping in BOTH engines (verified:
+  ``' l l l ' → ' ll l '``), which is exactly Sennrich's re.sub
+  semantics — so the whole loop is cross-engine bit-identical and the
+  oracle can replay training as one CTE chain.
+- **The loop is unrolled** (``_N_MERGES`` rounds, the ``graph_pagerank``
+  pattern): each round's argmax is ONE driver-side row (the merge
+  decision — bounded metadata, like the ⌈√N⌉ codebook collect), and the
+  merged pair is embedded as a literal in the next round's plan. No
+  per-row driver work.
+
+``text_bpe_train`` returns the learned merge table (rank, pair, count);
+``text_bpe_encode`` applies the merges and returns per-document BPE
+token counts — the sequence-length estimator every packing/pricing step
+downstream consumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import load, register
+
+#: merge rounds in the registered queries — enough to exercise multi-char
+#: merges merging with each other (rank-4/5 pairs routinely contain a
+#: rank-1/2 token), small enough that the unrolled oracle CTE chain stays
+#: readable.
+_N_MERGES = 5
+
+
+def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(s, freq)``: unique whitespace words as space-joined char
+    strings padded with one leading/trailing space (the boundary-safe
+    replace representation), weighted by corpus frequency."""
+    d = load(spark, sf_dir, "documents").select("text")
+    words = d.select(
+        F.explode(F.split("text", "\\s+")).alias("w")
+    ).filter(F.length("w") > 0)
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    spaced = F.concat(
+        F.lit(" "), F.array_join(F.split(F.col("w"), ""), " "), F.lit(" ")
+    )
+    return wf.select(spaced.alias("s"), "freq")
+
+
+def _pair_counts(wf: DataFrame) -> DataFrame:
+    """Adjacent-token pair counts over the padded strings, frequency
+    weighted — one explode + one hash aggregation."""
+    toks = F.split(F.trim(F.col("s")), " ")
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("a"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("b"),
+    )
+    return (
+        wf.select("freq", F.explode(pairs).alias("p"))
+        .select("freq", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def _train(spark: SparkSession, sf_dir: str) -> tuple[list[tuple], DataFrame]:
+    """Run ``_N_MERGES`` unrolled merge rounds; returns (merge rows,
+    final word-state frame). Each round's argmax is one bounded driver
+    row; the merge literal feeds the next round's replace."""
+    wf = _word_freqs(spark, sf_dir)
+    merges: list[tuple] = []
+    for rank in range(1, _N_MERGES + 1):
+        top = (
+            _pair_counts(wf)
+            .orderBy(
+                F.desc("cnt"),
+                F.asc(F.concat(F.col("a"), F.lit(" "), F.col("b"))),
+            )
+            .first()
+        )
+        a, b, cnt = top["a"], top["b"], int(top["cnt"])
+        merges.append((rank, a, b, a + b, cnt))
+        wf = wf.select(
+            F.expr(
+                "replace(s, ' ' || {a} || ' ' || {b} || ' ', "
+                "' ' || {a} || {b} || ' ')".format(
+                    a=_sql_str(a), b=_sql_str(b)
+                )
+            ).alias("s"),
+            "freq",
+        )
+        # checkpoint the round: the state is |vocab| rows and the next
+        # round's argmax re-executes the whole lineage otherwise
+        wf = wf.localCheckpoint(eager=False)
+    return merges, wf
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _bpe_train_sql(n: int = _N_MERGES) -> str:
+    """The training replay as ONE CTE chain: w0 (padded unique words) →
+    [pair counts → argmax mk → replace wk] × n → merge table. Scalar
+    subqueries against each ``mk`` parametrize the replace — the SQL
+    mirror of the driver-side merge literal."""
+    sql = """
+    WITH w0 AS MATERIALIZED (
+        SELECT ' ' || array_to_string(list_transform(range(length(w)),
+                   i -> substring(w, CAST(i + 1 AS INT), 1)), ' ') || ' '
+               AS s,
+               freq
+        FROM (
+            SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+                SELECT unnest(string_split_regex(text, '\\s+')) AS w
+                FROM documents
+            ) WHERE length(w) > 0 GROUP BY w
+        )
+    )"""
+    for r in range(1, n + 1):
+        prev = f"w{r - 1}"
+        sql += f""",
+    p{r} AS MATERIALIZED (
+        SELECT t[CAST(i + 1 AS INT)] AS a, t[CAST(i + 2 AS INT)] AS b,
+               freq
+        FROM (
+            SELECT string_split(trim(s), ' ') AS t, freq FROM {prev}
+        ), unnest(range(len(t) - 1)) AS u(i)
+    ),
+    m{r} AS MATERIALIZED (
+        SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM p{r} GROUP BY a, b
+        ORDER BY cnt DESC, a || ' ' || b ASC LIMIT 1
+    ),
+    w{r} AS MATERIALIZED (
+        SELECT replace(s,
+                   ' ' || (SELECT a FROM m{r}) || ' '
+                       || (SELECT b FROM m{r}) || ' ',
+                   ' ' || (SELECT a FROM m{r})
+                       || (SELECT b FROM m{r}) || ' ') AS s,
+               freq
+        FROM {prev}
+    )"""
+    parts = [
+        f"SELECT {r} AS rank, a AS pair_a, b AS pair_b, a || b AS merged,"
+        f" cnt FROM m{r}"
+        for r in range(1, n + 1)
+    ]
+    return sql + "\n    " + "\n    UNION ALL ".join(parts)
+
+
+@register("text_bpe_train", _bpe_train_sql(), tags=("text",))
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE tokenizer training (Sennrich et al. 2016), distributed:
+    5 unrolled merge rounds over the frequency-folded unique-word vocab
+    — each round one pair-count aggregation, one bounded argmax row,
+    one boundary-safe replace (see module docstring for the semantics
+    proof that makes it cross-engine exact). Returns the learned merge
+    table ``(rank, pair_a, pair_b, merged, cnt)``; the DuckDB oracle
+    REPLAYS THE ENTIRE TRAINING LOOP as a CTE chain, so a wrong
+    tie-break, a leaked overlap, or a miscounted pair in any round
+    hash-fails. The merge decisions are the only driver-side rows
+    (5 rows — the pagerank unroll pattern, not a data collect)."""
+    merges, _ = _train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "rank int, pair_a string, pair_b string, merged string, cnt bigint"
+    )
+
+
+def _bpe_encode_sql(n: int = _N_MERGES) -> str:
+    """Encode replay: the training chain to ``w{n}``, then re-tokenize
+    every document's words against the final vocab state and count BPE
+    tokens per document."""
+    train = _bpe_train_sql(n)
+    head = train[: train.rindex("SELECT 1 AS rank")].rstrip()
+    return (
+        head
+        + f""",
+    doc_words AS MATERIALIZED (
+        SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+            FROM documents
+        ) WHERE length(w) > 0
+    ),
+    vocab AS MATERIALIZED (
+        -- a word's merged tokens concatenate back to the word itself
+        -- (every merge glues two neighboring tokens), so the key for
+        -- the lookup below is the token concatenation
+        SELECT trim(s) AS toks,
+               array_to_string(string_split(trim(s), ' '), '') AS w
+        FROM w{n}
+    )
+    SELECT d.doc_id,
+           CAST(sum(len(string_split(v.toks, ' '))) AS BIGINT)
+               AS n_bpe_tokens
+    FROM doc_words d JOIN vocab v ON v.w = d.w
+    GROUP BY d.doc_id
+    """
+    )
+
+
+@register("text_bpe_encode", _bpe_encode_sql(), tags=("text",))
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE with the trained merges: per document, the token count
+    after applying the 5 learned merges — the sequence-length estimator
+    context-window packing and training-cost pricing consume (chars
+    overestimate, words underestimate; BPE counts are what the model
+    actually sees). Encoding rides the TRAINING STATE: the final vocab
+    frame already holds each unique word's merged tokenization, so
+    encode is an explode + broadcast-sized equi-join + count — no
+    per-document merge replay. The oracle replays training AND encode,
+    so a drifted merge table corrupts every count and hash-fails."""
+    _, wf = _train(spark, sf_dir)
+    vocab = wf.select(
+        F.trim(F.col("s")).alias("toks"),
+        F.array_join(F.split(F.trim(F.col("s")), " "), "").alias("w"),
+    ).select("w", (F.size(F.split(F.col("toks"), " "))).alias("n_toks"))
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", "\\s+")).alias("w")
+    ).filter(F.length("w") > 0)
+    return (
+        words.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_toks").cast("bigint").alias("n_bpe_tokens"))
+    )

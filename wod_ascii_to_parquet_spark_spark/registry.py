@@ -312,6 +312,7 @@ def load_all_operators() -> dict[str, QueryDef]:
         spark4_surface,
         sql_surface,
         text,
+        text_bpe,
         tpch_like,
         tpch_like2,
         windows,
