@@ -67,6 +67,7 @@ HEADLINERS = [
     "json_variant_extract",        # VARIANT parse-once + typed gets (round 6 s2)
     "multimodal_decode_arrow",     # mapInArrow blob kernel (round 6 s2)
     "multimodal_decode_wav",       # REAL stdlib-wave decode via mapInPandas (round 14)
+    "text_bpe_train",              # distributed Sennrich BPE merge loop (round 14)
 ]
 
 
