@@ -1063,6 +1063,33 @@ def test_update_where_null_predicate_rows_unchanged(spark, tmp_path):
     }
 
 
+def test_update_where_set_on_evolved_column_pre_evolution_file(
+    spark, tmp_path
+):
+    """ADVICE r14 regression: SET on a column added by additive schema
+    evolution must land even when EVERY matched file predates the
+    column. File A (k, v) is written before column ``w`` exists; the
+    update's predicate matches only file-A rows, so the rewritten
+    subset has no ``w`` — the old df.columns-driven projection silently
+    dropped the assignment while still reporting rows_updated."""
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b")]), mode="append")  # pre-w
+    t.write(
+        spark.createDataFrame(
+            [(10, "x", "W10")], "k bigint, v string, w string"
+        ),
+        mode="append",
+    )  # adds column w
+    rep = t.update_where("k = 1", {"w": "'SET-W'", "v": "upper(v)"})
+    assert rep["rows_updated"] == 1
+    got = {(r.k, r.v, r.w) for r in t.read().collect()}
+    assert got == {
+        (1, "A", "SET-W"),   # evolved column materialized AND set
+        (2, "b", None),      # unmatched row in same file: w stays NULL
+        (10, "x", "W10"),    # untouched post-evolution file unchanged
+    }
+
+
 def test_update_where_refuses_unknown_set_column(spark, tmp_path):
     t = LogTable(spark, str(tmp_path / "t"))
     t.write(_df(spark, [(1, "a")]), mode="append")

@@ -98,6 +98,42 @@ def test_encode_counts_match_reference_replay(spark, tmp_path):
     assert got == want
 
 
+def test_back_to_back_pair_merges_both(spark, tmp_path):
+    """ADVICE r14 regression: a pair repeating back-to-back within one
+    word ('papa' = p,a,p,a) must merge BOTH occurrences in the round
+    that picks (p,a) — the single-space replace representation consumed
+    the shared boundary space and merged only the first ('pa p a').
+    The corpus is built so (p,a) wins round 1 by a wide margin, and the
+    train AND encode paths are both checked against the pure-Python
+    Sennrich reference (whose while-loop merges both by construction)."""
+    docs = [
+        "papa papa papa pan pat pad",
+        "papa pap apa pan mama dada",
+        "mama dada lull still hill",
+    ]
+    sf = _stage_docs(spark, tmp_path, docs)
+    got = [
+        (r.rank, r.pair_a, r.pair_b, r.merged, r.cnt)
+        for r in text_bpe_train(spark, sf).orderBy("rank").collect()
+    ]
+    want, vocab = _reference_bpe(docs, _N_MERGES)
+    assert got == want
+    assert want[0][1:3] == ("p", "a")  # the corpus pins (p,a) to round 1
+    # 'papa' must tokenize as (pa, pa) after round 1's merge — i.e. 4
+    # chars became 2 tokens somewhere in the learned vocab state
+    papa = next(t for t in vocab if "".join(t) == "papa")
+    assert len(papa) < 4, f"'papa' stayed unmerged past round 1: {papa}"
+    tok_count = {"".join(t): len(t) for t in vocab}
+    want_counts = {
+        i: sum(tok_count[w] for w in t.split()) for i, t in enumerate(docs)
+    }
+    got_counts = {
+        r.doc_id: r.n_bpe_tokens
+        for r in text_bpe_encode(spark, sf).collect()
+    }
+    assert got_counts == want_counts
+
+
 def test_merges_compose_on_real_corpus(spark):
     """On the real sf0.001 corpus the learned merge table must be
     internally consistent: counts non-increasing with rank is NOT

@@ -18,11 +18,19 @@ Algorithm and its distributed shape:
 - **A merge round** = pair-count (explode adjacent token pairs, one
   hash aggregation) → global argmax with a deterministic tie-break
   (count DESC, then pair string ASC) → merge via a boundary-safe
-  string replace on the space-joined token string. ``replace`` is
-  greedy left-to-right non-overlapping in BOTH engines (verified:
-  ``' l l l ' → ' ll l '``), which is exactly Sennrich's re.sub
-  semantics — so the whole loop is cross-engine bit-identical and the
-  oracle can replay training as one CTE chain.
+  string replace. Tokens are DOUBLE-SPACE separated (each token owns
+  its leading AND trailing space: ``' p  a  p  a '``), so the merge
+  pattern ``' a  b '`` never shares a boundary character with the next
+  occurrence — one greedy left-to-right non-overlapping ``replace``
+  pass (the semantics of ``replace`` in BOTH engines) then merges
+  back-to-back repeats too (``' p  a  p  a ' → ' pa  pa '``), exactly
+  Sennrich's per-word while-loop. A single-space representation gets
+  this wrong: the pattern ``' a b '`` consumes the shared boundary
+  space, so ``'p a p a' → 'pa p a'`` (ADVICE r14). The overlapping
+  a==b case keeps the reference behavior (``' l  l  l ' → ' ll  l '``
+  — first pair wins, same as the while-loop). The whole loop is
+  cross-engine bit-identical and the oracle replays training as one
+  CTE chain.
 - **The loop is unrolled** (``_N_MERGES`` rounds, the ``graph_pagerank``
   pattern): each round's argmax is ONE driver-side row (the merge
   decision — bounded metadata, like the ⌈√N⌉ codebook collect), and the
@@ -49,17 +57,25 @@ from ..registry import load, register
 _N_MERGES = 5
 
 
-def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``(s, freq)``: unique whitespace words as space-joined char
-    strings padded with one leading/trailing space (the boundary-safe
-    replace representation), weighted by corpus frequency."""
-    d = load(spark, sf_dir, "documents").select("text")
+def _word_freqs(
+    spark: SparkSession, sf_dir: str, where: str | None = None
+) -> DataFrame:
+    """``(s, freq)``: unique whitespace words as DOUBLE-space-joined
+    char strings padded with one leading/trailing space (every token
+    owns its boundary spaces — the representation that makes a single
+    greedy replace pass boundary-safe, see module docstring), weighted
+    by corpus frequency. ``where`` restricts the corpus (the train
+    slice for the held-out-encode serving shape)."""
+    d = load(spark, sf_dir, "documents")
+    if where:
+        d = d.filter(where)
+    d = d.select("text")
     words = d.select(
         F.explode(F.split("text", "\\s+")).alias("w")
     ).filter(F.length("w") > 0)
     wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
     spaced = F.concat(
-        F.lit(" "), F.array_join(F.split(F.col("w"), ""), " "), F.lit(" ")
+        F.lit(" "), F.array_join(F.split(F.col("w"), ""), "  "), F.lit(" ")
     )
     return wf.select(spaced.alias("s"), "freq")
 
@@ -67,7 +83,7 @@ def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pair_counts(wf: DataFrame) -> DataFrame:
     """Adjacent-token pair counts over the padded strings, frequency
     weighted — one explode + one hash aggregation."""
-    toks = F.split(F.trim(F.col("s")), " ")
+    toks = F.split(F.trim(F.col("s")), "  ")
     pairs = F.arrays_zip(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("a"),
         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("b"),
@@ -80,13 +96,18 @@ def _pair_counts(wf: DataFrame) -> DataFrame:
     )
 
 
-def _train(spark: SparkSession, sf_dir: str) -> tuple[list[tuple], DataFrame]:
-    """Run ``_N_MERGES`` unrolled merge rounds; returns (merge rows,
+def _train(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = _N_MERGES,
+    where: str | None = None,
+) -> tuple[list[tuple], DataFrame]:
+    """Run ``n_merges`` unrolled merge rounds; returns (merge rows,
     final word-state frame). Each round's argmax is one bounded driver
     row; the merge literal feeds the next round's replace."""
-    wf = _word_freqs(spark, sf_dir)
+    wf = _word_freqs(spark, sf_dir, where=where)
     merges: list[tuple] = []
-    for rank in range(1, _N_MERGES + 1):
+    for rank in range(1, n_merges + 1):
         top = (
             _pair_counts(wf)
             .orderBy(
@@ -99,7 +120,7 @@ def _train(spark: SparkSession, sf_dir: str) -> tuple[list[tuple], DataFrame]:
         merges.append((rank, a, b, a + b, cnt))
         wf = wf.select(
             F.expr(
-                "replace(s, ' ' || {a} || ' ' || {b} || ' ', "
+                "replace(s, ' ' || {a} || '  ' || {b} || ' ', "
                 "' ' || {a} || {b} || ' ')".format(
                     a=_sql_str(a), b=_sql_str(b)
                 )
@@ -116,21 +137,23 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
-def _bpe_train_sql(n: int = _N_MERGES) -> str:
+def _bpe_train_sql(n: int = _N_MERGES, where: str = "") -> str:
     """The training replay as ONE CTE chain: w0 (padded unique words) →
     [pair counts → argmax mk → replace wk] × n → merge table. Scalar
     subqueries against each ``mk`` parametrize the replace — the SQL
-    mirror of the driver-side merge literal."""
-    sql = """
+    mirror of the driver-side merge literal. ``where`` (a bare SQL
+    predicate) restricts the training corpus."""
+    cond = f"WHERE {where}" if where else ""
+    sql = f"""
     WITH w0 AS MATERIALIZED (
         SELECT ' ' || array_to_string(list_transform(range(length(w)),
-                   i -> substring(w, CAST(i + 1 AS INT), 1)), ' ') || ' '
+                   i -> substring(w, CAST(i + 1 AS INT), 1)), '  ') || ' '
                AS s,
                freq
         FROM (
             SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
                 SELECT unnest(string_split_regex(text, '\\s+')) AS w
-                FROM documents
+                FROM documents {cond}
             ) WHERE length(w) > 0 GROUP BY w
         )
     )"""
@@ -141,7 +164,7 @@ def _bpe_train_sql(n: int = _N_MERGES) -> str:
         SELECT t[CAST(i + 1 AS INT)] AS a, t[CAST(i + 2 AS INT)] AS b,
                freq
         FROM (
-            SELECT string_split(trim(s), ' ') AS t, freq FROM {prev}
+            SELECT string_split(trim(s), '  ') AS t, freq FROM {prev}
         ), unnest(range(len(t) - 1)) AS u(i)
     ),
     m{r} AS MATERIALIZED (
@@ -151,7 +174,7 @@ def _bpe_train_sql(n: int = _N_MERGES) -> str:
     ),
     w{r} AS MATERIALIZED (
         SELECT replace(s,
-                   ' ' || (SELECT a FROM m{r}) || ' '
+                   ' ' || (SELECT a FROM m{r}) || '  '
                        || (SELECT b FROM m{r}) || ' ',
                    ' ' || (SELECT a FROM m{r})
                        || (SELECT b FROM m{r}) || ' ') AS s,
@@ -204,11 +227,11 @@ def _bpe_encode_sql(n: int = _N_MERGES) -> str:
         -- (every merge glues two neighboring tokens), so the key for
         -- the lookup below is the token concatenation
         SELECT trim(s) AS toks,
-               array_to_string(string_split(trim(s), ' '), '') AS w
+               array_to_string(string_split(trim(s), '  '), '') AS w
         FROM w{n}
     )
     SELECT d.doc_id,
-           CAST(sum(len(string_split(v.toks, ' '))) AS BIGINT)
+           CAST(sum(len(string_split(v.toks, '  '))) AS BIGINT)
                AS n_bpe_tokens
     FROM doc_words d JOIN vocab v ON v.w = d.w
     GROUP BY d.doc_id
@@ -230,8 +253,8 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, wf = _train(spark, sf_dir)
     vocab = wf.select(
         F.trim(F.col("s")).alias("toks"),
-        F.array_join(F.split(F.trim(F.col("s")), " "), "").alias("w"),
-    ).select("w", (F.size(F.split(F.col("toks"), " "))).alias("n_toks"))
+        F.array_join(F.split(F.trim(F.col("s")), "  "), "").alias("w"),
+    ).select("w", (F.size(F.split(F.col("toks"), "  "))).alias("n_toks"))
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     words = d.select(
         "doc_id", F.explode(F.split("text", "\\s+")).alias("w")

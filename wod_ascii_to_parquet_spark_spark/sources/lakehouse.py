@@ -630,7 +630,8 @@ class LogTable:
         base = self.latest_version()
         if base is None:
             raise ValueError("update_where on an empty table (no snapshot)")
-        cols = self.read(version=base).columns
+        schema = self.read(version=base).schema
+        cols = schema.names
         unknown = sorted(set(set_exprs) - set(cols))
         if unknown:
             raise ValueError(
@@ -642,6 +643,20 @@ class LogTable:
         from pyspark.sql import functions as F
 
         def rewrite(df):
+            # Under additive schema evolution the matched-file SUBSET can
+            # predate a column's addition entirely; the SET validation
+            # above ran against the full merged table schema, so a SET on
+            # such a column would otherwise be silently dropped by a
+            # df.columns-driven projection (ADVICE r14). Materialize every
+            # table column missing from the subset as a typed NULL first
+            # — exactly what read(mergeSchema) yields for those rows — so
+            # the CASE projection always sees the full snapshot schema,
+            # and project in base-schema order for deterministic staging.
+            for f_ in schema.fields:
+                if f_.name not in df.columns:
+                    df = df.withColumn(
+                        f_.name, F.lit(None).cast(f_.dataType)
+                    )
             hit = f"coalesce(({predicate}), false)"
             return df.select(
                 *[
@@ -651,7 +666,7 @@ class LogTable:
                     ).alias(c)
                     if c in set_exprs
                     else F.col(f"`{c}`")
-                    for c in df.columns
+                    for c in cols
                 ]
             )
 
@@ -660,21 +675,29 @@ class LogTable:
             rewrite,
             {"update_where": predicate, "set_columns": sorted(set_exprs)},
             "update_where",
+            base=base,
         )
         rep["rows_updated"] = rep.pop("rows_matched")
         return rep
 
-    def _cow_rewrite(self, predicate: str, rewrite, meta: dict, op: str) -> dict:
+    def _cow_rewrite(
+        self, predicate: str, rewrite, meta: dict, op: str, base=None
+    ) -> dict:
         """Shared copy-on-write machinery for predicate-targeted DML
         (:meth:`delete_where` / :meth:`update_where`): discover the
         files containing predicate matches, hand ONLY those files' rows
         to ``rewrite`` (DataFrame → DataFrame), stage the result, and
         commit (untouched ∪ staged) pinned to the version the scan
-        read. Returns ``{version, rows_matched, files_rewritten,
-        files_untouched}``; zero matches commits nothing."""
+        read. Callers that validated against a snapshot pass it as
+        ``base`` so validation and the commit pin use the SAME version
+        (ADVICE r14: a commit landing between two independent
+        ``latest_version()`` fetches made them diverge). Returns
+        ``{version, rows_matched, files_rewritten, files_untouched}``;
+        zero matches commits nothing."""
         from pyspark.sql import functions as F
 
-        base = self.latest_version()
+        if base is None:
+            base = self.latest_version()
         if base is None:
             raise ValueError(f"{op} on an empty table (no snapshot)")
         doc = self.manifest(base, heal=True)
