@@ -68,6 +68,8 @@ HEADLINERS = [
     "multimodal_decode_arrow",     # mapInArrow blob kernel (round 6 s2)
     "multimodal_decode_wav",       # REAL stdlib-wave decode via mapInPandas (round 14)
     "text_bpe_train",              # distributed Sennrich BPE merge loop (round 14)
+    "text_bpe_train_batched",      # top-K-disjoint batched merge rounds (round 15)
+    "text_bpe_encode_external",    # frozen-tokenizer held-out encode (round 15)
 ]
 
 

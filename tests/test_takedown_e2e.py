@@ -113,3 +113,64 @@ def test_takedown_applies_across_all_surfaces(spark, tmp_path):
         for tbl in (MH_TABLE, ANN_TABLE):
             for side in ("", "__codebooks", "__tombstones", "__pairs"):
                 spark.sql(f"DROP TABLE IF EXISTS {tbl}{side}")
+
+
+def test_redaction_update_where_unrecoverable_after_vacuum(spark, tmp_path):
+    """GDPR RECTIFICATION — the update_where twin of erasure (VERDICT
+    r14 #5): redact a victim's text via copy-on-write UPDATE, vacuum,
+    and pin that (a) the row SURVIVES with the sentinel, (b) the
+    pre-redaction bytes are PHYSICALLY gone from every data file under
+    the table directory, and (c) time-travel to the pre-redaction
+    snapshot can no longer serve the secret. The physical check is
+    self-validating: before vacuum the secret bytes must be FINDABLE in
+    some parquet file (so compression/encoding cannot green-wash the
+    after-vacuum assertion)."""
+    import pathlib
+
+    t = LogTable(spark, str(tmp_path / "docs"))
+    secret = "XXSECRET-PII-PAYLOADXX"
+    t.write(
+        spark.createDataFrame(
+            [
+                (1, "an ordinary document"),
+                (2, f"holds {secret} verbatim"),
+                (3, "another ordinary document"),
+            ],
+            "doc_id bigint, text string",
+        ),
+        mode="overwrite",
+    )
+    v0 = t.latest_version()
+    rep = t.update_where(
+        f"text LIKE '%{secret}%'", {"text": "'[REDACTED]'"}
+    )
+    assert rep["rows_updated"] == 1
+
+    def files():
+        return list(pathlib.Path(str(tmp_path / "docs")).rglob("*.parquet"))
+
+    # the secret is findable on disk pre-vacuum (replaced file still
+    # present for time travel) — validates the byte-scan itself
+    assert any(secret.encode() in p.read_bytes() for p in files())
+    assert any(
+        secret in r.text for r in t.read(version=v0).collect()
+    )
+    # rectified current state: row count preserved, value replaced
+    got = {(r.doc_id, r.text) for r in t.read().collect()}
+    assert (2, "[REDACTED]") in got and len(got) == 3
+
+    t.vacuum(keep_versions=1, min_age_seconds=0)
+
+    # row still present post-vacuum, and the bytes are gone EVERYWHERE
+    got = {(r.doc_id, r.text) for r in t.read().collect()}
+    assert (2, "[REDACTED]") in got and len(got) == 3
+    assert files(), "vacuum must not reclaim the live files"
+    for p in files():
+        assert secret.encode() not in p.read_bytes(), p
+    # pre-redaction snapshot: refused or secret-free — unrecoverable
+    # through the table's own read path either way
+    try:
+        old = [r.text for r in t.read(version=v0).collect()]
+    except Exception:
+        old = []
+    assert not any(secret in x for x in old)

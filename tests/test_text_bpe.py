@@ -12,6 +12,9 @@ import pandas as pd
 
 from wod_ascii_to_parquet_spark_spark.operators.text_bpe import (
     _N_MERGES,
+    _greedy_disjoint,
+    _train,
+    _train_batched,
     text_bpe_encode,
     text_bpe_train,
 )
@@ -132,6 +135,113 @@ def test_back_to_back_pair_merges_both(spark, tmp_path):
         for r in text_bpe_encode(spark, sf).collect()
     }
     assert got_counts == want_counts
+
+
+def test_greedy_disjoint_filter():
+    """Greedy top-K non-interacting selection: accept in rank order iff
+    the pair shares no token with a higher-ranked accepted pair."""
+    cands = [
+        {"a": "a", "b": "b", "cnt": 90},  # accept (slot 1)
+        {"a": "b", "b": "c", "cnt": 80},  # reject: shares b with slot 1
+        {"a": "c", "b": "a", "cnt": 70},  # reject: shares a with slot 1
+        {"a": "c", "b": "d", "cnt": 60},  # accept (slot 2)
+        {"a": "e", "b": "d", "cnt": 50},  # reject: shares d with slot 2
+        {"a": "e", "b": "f", "cnt": 40},  # accept (slot 3)
+        {"a": "g", "b": "h", "cnt": 30},  # beyond k
+    ]
+    got = _greedy_disjoint(cands, 3)
+    assert got == [("a", "b", 90), ("c", "d", 60), ("e", "f", 40)]
+    assert _greedy_disjoint(cands, 5) == [
+        ("a", "b", 90), ("c", "d", 60), ("e", "f", 40), ("g", "h", 30)
+    ]
+    assert _greedy_disjoint([], 3) == []
+
+
+def test_batched_equals_sequential_on_disjoint_corpus(spark, tmp_path):
+    """On a corpus whose top pairs are pairwise token-disjoint and whose
+    merges create no competitive new pairs (two-char words over disjoint
+    alphabets, strictly decreasing frequencies), the batched trainer's
+    flattened merge sequence must equal the sequential trainer's — the
+    property that makes the batch a pure job-count optimization there."""
+    words = ["ab", "cd", "ef", "gh", "ij", "kl", "mn", "op", "qr"]
+    docs = [
+        " ".join(w for w, k in zip(words, range(len(words), 0, -1))
+                 for _ in range(10 * k))
+    ]
+    sf = _stage_docs(spark, tmp_path, docs)
+    seq, _ = _train(spark, sf, n_merges=9)
+    bat, _ = _train_batched(spark, sf, rounds=3, k=3, pool=8)
+    flat = [(i + 1, a, b, m, c)
+            for i, (_, _, a, b, m, c) in enumerate(bat)]
+    assert flat == seq
+    # and the batch really did 3 merges per round
+    assert [r for r, *_ in bat] == [1, 1, 1, 2, 2, 2, 3, 3, 3]
+
+
+def test_external_encode_keeps_unseen_words(spark, tmp_path):
+    """The serving-shape pin (VERDICT r14 #3): a word absent from the
+    training slice must still tokenize — char-level plus whatever
+    frozen merges apply — not silently drop. doc_id 3 is the held-out
+    slice (doc_id % 4 = 3); 'lowqz' never occurs in docs 0-2 but
+    contains the trained merges' letters."""
+    from wod_ascii_to_parquet_spark_spark.operators.text_bpe import (
+        text_bpe_encode_external,
+    )
+
+    docs = [
+        "low low low lower lower lowest newest newer new",
+        "low lower lowest new newer newest wide wider widest",
+        "wide wide wider widest low new lowest newest",
+        "low lowqz zzz new",  # held out: lowqz and zzz are unseen
+    ]
+    sf = _stage_docs(spark, tmp_path, docs)
+    got = {r.doc_id: r.n_bpe_tokens
+           for r in text_bpe_encode_external(spark, sf).collect()}
+    assert list(got) == [3]  # exactly the held-out doc
+    # replay: train on docs 0-2 with the Python reference, apply the
+    # merge rules to the held-out words by hand
+    merges, _ = _reference_bpe(docs[:3], _N_MERGES)
+    def apply(word):
+        toks = list(word)
+        for _, a, b, _, _ in merges:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(toks[i]); i += 1
+            toks = out
+        return toks
+    want = sum(len(apply(w)) for w in docs[3].split())
+    assert got[3] == want
+    # the unseen words contributed: zzz must be 3 char tokens (no z
+    # merges trainable from this corpus)
+    assert len(apply("zzz")) == 3
+
+
+def test_tokenizer_artifact_roundtrip_and_torn_build(spark, tmp_path):
+    from wod_ascii_to_parquet_spark_spark.plans.bpe_tokenizer import (
+        build_bpe_tokenizer,
+        load_bpe_merges,
+    )
+
+    docs = ["low lower lowest new newer newest", "wide wider widest low"]
+    sf = _stage_docs(spark, tmp_path, docs)
+    build_bpe_tokenizer(spark, sf, table="bpe_tok_t1", n_merges=3)
+    merges = load_bpe_merges(spark, "bpe_tok_t1")
+    want, _ = _reference_bpe(docs, 3)
+    assert merges == [(a, b) for _, a, b, _, _ in want]
+    # torn build: meta claims a build no merge row carries
+    import pytest as _pytest
+
+    spark.createDataFrame(
+        [("deadbeef", 99, "")],
+        "build_id string, n_merges int, train_where string",
+    ).write.format("parquet").mode("overwrite").saveAsTable(
+        "bpe_tok_t1__meta"
+    )
+    with _pytest.raises(ValueError, match="torn"):
+        load_bpe_merges(spark, "bpe_tok_t1")
 
 
 def test_merges_compose_on_real_corpus(spark):

@@ -137,14 +137,11 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
-def _bpe_train_sql(n: int = _N_MERGES, where: str = "") -> str:
-    """The training replay as ONE CTE chain: w0 (padded unique words) →
-    [pair counts → argmax mk → replace wk] × n → merge table. Scalar
-    subqueries against each ``mk`` parametrize the replace — the SQL
-    mirror of the driver-side merge literal. ``where`` (a bare SQL
-    predicate) restricts the training corpus."""
+def _w0_cte(where: str = "") -> str:
+    """The shared chain head: ``w0`` = padded unique words + freq.
+    ``where`` (a bare SQL predicate) restricts the training corpus."""
     cond = f"WHERE {where}" if where else ""
-    sql = f"""
+    return f"""
     WITH w0 AS MATERIALIZED (
         SELECT ' ' || array_to_string(list_transform(range(length(w)),
                    i -> substring(w, CAST(i + 1 AS INT), 1)), '  ') || ' '
@@ -157,16 +154,33 @@ def _bpe_train_sql(n: int = _N_MERGES, where: str = "") -> str:
             ) WHERE length(w) > 0 GROUP BY w
         )
     )"""
-    for r in range(1, n + 1):
-        prev = f"w{r - 1}"
-        sql += f""",
+
+
+def _pairs_cte(r: int) -> str:
+    """Round ``r``'s exploded adjacent-pair CTE ``p{r}`` over the
+    previous round's word state."""
+    prev = f"w{r - 1}"
+    return f""",
     p{r} AS MATERIALIZED (
         SELECT t[CAST(i + 1 AS INT)] AS a, t[CAST(i + 2 AS INT)] AS b,
                freq
         FROM (
             SELECT string_split(trim(s), '  ') AS t, freq FROM {prev}
         ), unnest(range(len(t) - 1)) AS u(i)
-    ),
+    )"""
+
+
+def _bpe_train_sql(n: int = _N_MERGES, where: str = "") -> str:
+    """The training replay as ONE CTE chain: w0 (padded unique words) →
+    [pair counts → argmax mk → replace wk] × n → merge table. Scalar
+    subqueries against each ``mk`` parametrize the replace — the SQL
+    mirror of the driver-side merge literal. ``where`` (a bare SQL
+    predicate) restricts the training corpus."""
+    sql = _w0_cte(where)
+    for r in range(1, n + 1):
+        prev = f"w{r - 1}"
+        sql += _pairs_cte(r)
+        sql += f""",
     m{r} AS MATERIALIZED (
         SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
         FROM p{r} GROUP BY a, b
@@ -263,4 +277,369 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.join(vocab, "w")
         .groupBy("doc_id")
         .agg(F.sum("n_toks").cast("bigint").alias("n_bpe_tokens"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batched training (VERDICT r14 #2): kill the one-job-per-merge ceiling.
+# ---------------------------------------------------------------------------
+
+#: batched-training knobs for the registered query: ROUNDS × K merges
+#: (more total merges than the sequential arm in fewer driver rounds —
+#: the point), candidate POOL ranked per round before the greedy
+#: disjointness filter.
+_BATCH_ROUNDS = 3
+_BATCH_K = 3
+_BATCH_POOL = 8
+
+
+def _greedy_disjoint(cands: list, k: int) -> list[tuple[str, str, int]]:
+    """Greedy top-K non-interacting selection over rank-ordered pair
+    candidates: accept a pair iff it shares NO token with any
+    higher-ranked accepted pair. Token-disjoint merges commute under
+    the double-space replace (merging (a,b) can neither create nor
+    destroy an occurrence of (c,d) when {a,b}∩{c,d}=∅ — the fused
+    token ``ab`` differs from both c and d, and the replaced region
+    keeps its boundary spaces), so the whole batch applies in ONE
+    projection with the sequential result for those K pairs."""
+    accepted: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for row in cands:
+        if len(accepted) >= k:
+            break
+        if row["a"] in used or row["b"] in used:
+            continue
+        accepted.append((row["a"], row["b"], int(row["cnt"])))
+        used.update((row["a"], row["b"]))
+    return accepted
+
+
+def _batch_replace_expr(accepted: list[tuple[str, str, int]]) -> str:
+    """The round's K merges as one nested-replace SQL expression
+    (innermost = highest-ranked, the order the oracle nests too —
+    order is immaterial for disjoint pairs but pinned anyway)."""
+    expr = "s"
+    for a, b, _ in accepted:
+        expr = (
+            "replace({e}, ' ' || {a} || '  ' || {b} || ' ', "
+            "' ' || {a} || {b} || ' ')".format(
+                e=expr, a=_sql_str(a), b=_sql_str(b)
+            )
+        )
+    return expr
+
+
+def _train_batched(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = _BATCH_ROUNDS,
+    k: int = _BATCH_K,
+    pool: int = _BATCH_POOL,
+    where: str | None = None,
+) -> tuple[list[tuple], DataFrame]:
+    """Batched BPE training: per round, rank the candidate pairs once,
+    greedily take the top-K token-disjoint ones, and apply ALL K merges
+    in one projection — K merges per Spark job instead of one, so a
+    30k-merge production vocab needs ~30k/K driver rounds, not 30k
+    (VERDICT r14 #2). The per-round driver traffic stays bounded
+    metadata: ``pool`` collected candidate rows, not data."""
+    wf = _word_freqs(spark, sf_dir, where=where)
+    merges: list[tuple] = []
+    for rnd in range(1, rounds + 1):
+        cands = (
+            _pair_counts(wf)
+            .orderBy(
+                F.desc("cnt"),
+                F.asc(F.concat(F.col("a"), F.lit(" "), F.col("b"))),
+            )
+            .limit(pool)
+            .collect()
+        )
+        accepted = _greedy_disjoint(cands, k)
+        if not accepted:
+            break
+        wf = wf.select(
+            F.expr(_batch_replace_expr(accepted)).alias("s"), "freq"
+        )
+        wf = wf.localCheckpoint(eager=False)
+        for slot, (a, b, cnt) in enumerate(accepted, start=1):
+            merges.append((rnd, slot, a, b, a + b, cnt))
+    return merges, wf
+
+
+def _slot_ctes(r: int, k: int, pool: int) -> str:
+    """Round ``r``'s candidate ranking + greedy slots as CTEs. Slot j =
+    the lowest-ranked candidate token-disjoint from slots 1..j-1 —
+    successive minima, provably the same set greedy rank-order
+    acceptance produces (any candidate between slot j-1 and slot j
+    conflicts with an accepted slot by the minimality of slot j)."""
+    sql = f""",
+    c{r} AS MATERIALIZED (
+        SELECT * FROM (
+            SELECT a, b, cnt, row_number() OVER (
+                ORDER BY cnt DESC, a || ' ' || b ASC
+            ) AS rn
+            FROM (
+                SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+                FROM p{r} GROUP BY a, b
+            )
+        ) WHERE rn <= {pool}
+    )"""
+    for j in range(1, k + 1):
+        if j == 1:
+            cond = "TRUE"
+        else:
+            toks = "\n                UNION ".join(
+                f"SELECT a AS t FROM s{r}_{i} "
+                f"UNION SELECT b AS t FROM s{r}_{i}"
+                for i in range(1, j)
+            )
+            cond = (
+                f"a NOT IN ({toks})\n          AND b NOT IN ({toks})"
+            )
+        sql += f""",
+    s{r}_{j} AS MATERIALIZED (
+        SELECT a, b, cnt FROM c{r}
+        WHERE {cond}
+        ORDER BY rn LIMIT 1
+    )"""
+    return sql
+
+
+def _batch_round_replace(r: int, k: int) -> str:
+    """The nested replace applying round ``r``'s slots in slot order;
+    an EMPTY slot's scalar subqueries go NULL, which the coalesce turns
+    into a chr(1) pattern that occurs in no word state (a no-op replace
+    instead of a NULL-poisoned string)."""
+    expr = "s"
+    for j in range(1, k + 1):
+        pat = (
+            f"coalesce(' ' || (SELECT a FROM s{r}_{j}) || '  ' || "
+            f"(SELECT b FROM s{r}_{j}) || ' ', chr(1))"
+        )
+        rep = (
+            f"coalesce(' ' || (SELECT a FROM s{r}_{j}) || "
+            f"(SELECT b FROM s{r}_{j}) || ' ', chr(1))"
+        )
+        expr = f"replace({expr},\n                   {pat},\n                   {rep})"
+    return expr
+
+
+def _bpe_train_batched_sql(
+    rounds: int = _BATCH_ROUNDS,
+    k: int = _BATCH_K,
+    pool: int = _BATCH_POOL,
+    where: str = "",
+) -> str:
+    """Batched-training replay: per round, rank candidates, pick K
+    greedy-disjoint slots (successive-minima CTEs), apply all K merges
+    in one nested replace — the exact batched algorithm, so a wrong
+    disjointness decision or a drifted tie-break in ANY round
+    hash-fails."""
+    sql = _w0_cte(where)
+    for r in range(1, rounds + 1):
+        sql += _pairs_cte(r)
+        sql += _slot_ctes(r, k, pool)
+        sql += f""",
+    w{r} AS MATERIALIZED (
+        SELECT {_batch_round_replace(r, k)} AS s,
+               freq
+        FROM w{r - 1}
+    )"""
+    parts = [
+        f"SELECT {r} AS round, {j} AS slot, a AS pair_a, b AS pair_b,"
+        f" a || b AS merged, cnt FROM s{r}_{j}"
+        for r in range(1, rounds + 1)
+        for j in range(1, k + 1)
+    ]
+    return sql + "\n    " + "\n    UNION ALL ".join(parts)
+
+
+@register("text_bpe_train_batched", _bpe_train_batched_sql(), tags=("text",))
+def text_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED BPE training (VERDICT r14 #2): 3×3 merges in 3 driver
+    rounds — per round the top-K token-disjoint pairs (greedy over a
+    ranked pool of 8) merge in ONE projection.
+    Token-disjoint merges commute, so within a round the batch equals
+    the sequential result for those pairs; across rounds the batch
+    trades exact Sennrich order for K× fewer Spark jobs (the standard
+    scalable-BPE tradeoff — at vocab 30k this is the difference between
+    30k sequential jobs and ~30k/K). The DuckDB oracle replays the
+    batched algorithm itself — ranked pool, successive-minima slot
+    selection, nested replace — so both engines walk the identical
+    vocabulary trajectory. ``tests/test_text_bpe.py`` pins batched ≡
+    sequential on a disjoint-pairs corpus."""
+    merges, _ = _train_batched(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "round int, slot int, pair_a string, pair_b string, "
+        "merged string, cnt bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted tokenizer serving shape (VERDICT r14 #3) + BPE-aware packing
+# (VERDICT r14 #4).
+# ---------------------------------------------------------------------------
+
+#: train/serve corpus split for the external-encode arm: the tokenizer is
+#: trained on 3/4 of the documents and serves the HELD-OUT quarter — the
+#: production shape (encode NEW documents against a FROZEN tokenizer).
+_EXT_TRAIN_WHERE = "doc_id % 4 != 3"
+_EXT_HOLDOUT_WHERE = "doc_id % 4 = 3"
+
+
+def _encode_chain_sql(
+    n: int = _N_MERGES, train_where: str = "", encode_where: str = ""
+) -> str:
+    """Training chain to ``w{n}`` + RULE-APPLICATION encode: every word
+    of the ``encode_where`` slice gets the double-space representation,
+    then each learned merge ``m{r}`` applies in rank order as a literal
+    replace — the SQL mirror of the frozen-tokenizer encoder (NOT the
+    training-vocab join, which cannot see unseen words). Ends after
+    ``e{n}``; callers append their final select."""
+    train = _bpe_train_sql(n, where=train_where)
+    head = train[: train.rindex("SELECT 1 AS rank")].rstrip()
+    cond = f"WHERE {encode_where}" if encode_where else ""
+    sql = head + f""",
+    doc_words AS MATERIALIZED (
+        SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+            FROM documents {cond}
+        ) WHERE length(w) > 0
+    ),
+    e0 AS MATERIALIZED (
+        SELECT doc_id,
+               ' ' || array_to_string(list_transform(range(length(w)),
+                   i -> substring(w, CAST(i + 1 AS INT), 1)), '  ') || ' '
+               AS s
+        FROM doc_words
+    )"""
+    for r in range(1, n + 1):
+        sql += f""",
+    e{r} AS MATERIALIZED (
+        SELECT doc_id, replace(s,
+                   ' ' || (SELECT a FROM m{r}) || '  '
+                       || (SELECT b FROM m{r}) || ' ',
+                   ' ' || (SELECT a FROM m{r})
+                       || (SELECT b FROM m{r}) || ' ') AS s
+        FROM e{r - 1}
+    )"""
+    return sql
+
+
+def _bpe_encode_external_sql(n: int = _N_MERGES) -> str:
+    return (
+        _encode_chain_sql(
+            n, train_where=_EXT_TRAIN_WHERE, encode_where=_EXT_HOLDOUT_WHERE
+        )
+        + f"""
+    SELECT doc_id,
+           CAST(sum(len(string_split(trim(s), '  '))) AS BIGINT)
+               AS n_bpe_tokens
+    FROM e{n} GROUP BY doc_id
+    """
+    )
+
+
+@register("text_bpe_encode_external", _bpe_encode_external_sql(), tags=("text",))
+def text_bpe_encode_external(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer SERVING shape (VERDICT r14 #3): train on 3/4 of
+    the corpus, PERSIST the merge table
+    (``plans/bpe_tokenizer.py`` — the ANN-index build/store/load
+    lifecycle), then encode the HELD-OUT quarter by applying the frozen
+    merge RULES to every word — so a word the trainer never saw
+    tokenizes char-level plus whatever merges apply, instead of being
+    silently dropped by a training-vocab join (the r14 gap). The query
+    loads the merges from the STORED artifact (stored-path-equals-live
+    pin), and the oracle replays train + rule-application encode, so a
+    drifted stored rank order or a dropped unseen word hash-fails.
+    Encode is map-only until the final per-document sum."""
+    from ..plans.bpe_tokenizer import (
+        build_bpe_tokenizer,
+        encode_with_bpe_tokenizer,
+    )
+
+    table = "bpe_tokenizer_ext"
+    build_bpe_tokenizer(spark, sf_dir, table=table, where=_EXT_TRAIN_WHERE)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(_EXT_HOLDOUT_WHERE)
+        .select("doc_id", "text")
+    )
+    return encode_with_bpe_tokenizer(spark, docs, table=table)
+
+
+def _pack_bpe_sql(n: int = _N_MERGES) -> str:
+    from .curation import PACK_BUDGET, PACK_SHARDS
+
+    return (
+        _encode_chain_sql(n)
+        + f""",
+    tok AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(sum(len(string_split(trim(s), '  '))) AS BIGINT)
+                   AS n_tokens
+        FROM e{n} GROUP BY doc_id
+    ),
+    pc AS (
+        SELECT doc_id, doc_id % {PACK_SHARDS} AS shard, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY doc_id % {PACK_SHARDS} ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS prior
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor(prior / {PACK_BUDGET}) AS BIGINT) AS bin,
+           CAST(prior % {PACK_BUDGET} AS BIGINT) AS offset_in_bin
+    FROM pc
+    """
+    )
+
+
+@register("curation_pack_bpe", _pack_bpe_sql(), tags=("curation",))
+def curation_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing by REAL BPE counts (VERDICT r14 #4):
+    ``curation_pack_sequences`` bins by the whitespace-token estimator;
+    this arm trains the tokenizer, freezes it
+    (``plans/bpe_tokenizer.py``), re-counts every document with the
+    frozen merge rules, and packs by those counts — the composition a
+    training pipeline actually runs, since the model's context window
+    is measured in BPE tokens, not words. Same sharded running-sum
+    plan as the estimator arm (one window per shard, no global sort);
+    the oracle replays train → rule-application encode → pack, so a
+    drifted token count shifts every downstream (bin, offset) pair and
+    hash-fails. The pack-efficiency delta vs the estimator is recorded
+    in SCALE.md."""
+    from pyspark.sql import Window as W
+
+    from ..plans.bpe_tokenizer import (
+        build_bpe_tokenizer,
+        encode_with_bpe_tokenizer,
+    )
+    from .curation import PACK_BUDGET, PACK_SHARDS
+
+    table = "bpe_tokenizer_pack"
+    build_bpe_tokenizer(spark, sf_dir, table=table)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = encode_with_bpe_tokenizer(spark, docs, table=table).select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).alias("shard"),
+        F.col("n_bpe_tokens").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return tok.select(
+        "doc_id",
+        F.col("shard").cast("bigint").alias("shard"),
+        "n_tokens",
+        F.floor(prior / PACK_BUDGET).cast("bigint").alias("bin"),
+        (prior % PACK_BUDGET).cast("bigint").alias("offset_in_bin"),
     )
