@@ -244,6 +244,39 @@ def test_tokenizer_artifact_roundtrip_and_torn_build(spark, tmp_path):
         load_bpe_merges(spark, "bpe_tok_t1")
 
 
+def test_batched_tokenizer_build_encodes_like_sequential(spark, tmp_path):
+    """`build_bpe_tokenizer(batched=True)` flattens (round, slot) to a
+    global rank; on a disjoint-pairs corpus the stored artifact must
+    encode identically to the sequential build of the same merge
+    count (the property the flattening exists to preserve)."""
+    from wod_ascii_to_parquet_spark_spark.plans.bpe_tokenizer import (
+        build_bpe_tokenizer,
+        encode_with_bpe_tokenizer,
+        load_bpe_merges,
+    )
+
+    words = ["ab", "cd", "ef", "gh", "ij", "kl", "mn", "op", "qr"]
+    docs = [
+        " ".join(w for w, k in zip(words, range(len(words), 0, -1))
+                 for _ in range(10 * k))
+    ]
+    sf = _stage_docs(spark, tmp_path, docs)
+    build_bpe_tokenizer(spark, sf, table="bpe_tok_seq9", n_merges=9)
+    build_bpe_tokenizer(spark, sf, table="bpe_tok_bat9", batched=True)
+    assert load_bpe_merges(spark, "bpe_tok_seq9") == load_bpe_merges(
+        spark, "bpe_tok_bat9"
+    )
+    enc_docs = spark.createDataFrame(
+        [(0, "ab cd zz abcd")], "doc_id bigint, text string"
+    )
+    seq = {r.doc_id: r.n_bpe_tokens for r in encode_with_bpe_tokenizer(
+        spark, enc_docs, table="bpe_tok_seq9").collect()}
+    bat = {r.doc_id: r.n_bpe_tokens for r in encode_with_bpe_tokenizer(
+        spark, enc_docs, table="bpe_tok_bat9").collect()}
+    # ab->1, cd->1, zz->2 (unseen, no merges apply), abcd->2 (ab+cd)
+    assert seq == bat == {0: 6}
+
+
 def test_merges_compose_on_real_corpus(spark):
     """On the real sf0.001 corpus the learned merge table must be
     internally consistent: counts non-increasing with rank is NOT

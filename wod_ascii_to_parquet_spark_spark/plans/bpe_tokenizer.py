@@ -106,32 +106,49 @@ def load_bpe_merges(
     return [(r["pair_a"], r["pair_b"]) for r in rows]
 
 
+def doc_bpe_token_count(merges: list[tuple[str, str]]):
+    """Column: a document's total BPE token count under the frozen
+    ``merges``, computed ENTIRELY inside higher-order functions — per
+    word (``transform`` over the split text), the double-space char
+    representation, every merge applied in rank order as a literal
+    ``replace`` (rule application, not a vocab lookup — unseen words
+    tokenize char-level plus applicable merges), then one ``aggregate``
+    sum. Zero explodes, zero shuffles: the whole encode is a stateless
+    row-local map, which is what lets the SAME column serve the batch
+    arm AND a Structured Streaming frame in append mode."""
+
+    def per_word(w):
+        s = F.concat(
+            F.lit(" "), F.array_join(F.split(w, ""), "  "), F.lit(" ")
+        )
+        for a, b in merges:
+            s = F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+        return F.size(F.split(F.trim(s), "  ")).cast("bigint")
+
+    words = F.filter(
+        F.split(F.col("text"), "\\s+"), lambda w: F.length(w) > 0
+    )
+    return F.aggregate(
+        F.transform(words, per_word),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
 def encode_with_bpe_tokenizer(
     spark: SparkSession,
     docs: DataFrame,
     table: str = TOKENIZER_TABLE,
 ) -> DataFrame:
     """Tokenize ``docs`` (``doc_id``, ``text``) against the FROZEN
-    tokenizer in ``table``: per word, the double-space char
-    representation, then every stored merge applied in rank order as a
-    literal Catalyst ``replace`` (the rule application, not a vocab
-    lookup) — so unseen words tokenize char-level plus applicable
-    merges instead of being dropped. Returns ``(doc_id,
-    n_bpe_tokens)``. Map-only until the final per-document sum."""
+    tokenizer in ``table`` via :func:`doc_bpe_token_count` — a pure
+    row-local map (no explode, no join, no shuffle). Documents with no
+    words are dropped (matching the oracle's ``length(w) > 0`` word
+    filter + group-by semantics). Returns ``(doc_id, n_bpe_tokens)``."""
     merges = load_bpe_merges(spark, table)
-    words = docs.select(
-        "doc_id", F.explode(F.split("text", "\\s+")).alias("w")
-    ).filter(F.length("w") > 0)
-    s = F.concat(
-        F.lit(" "), F.array_join(F.split(F.col("w"), ""), "  "), F.lit(" ")
+    words = F.filter(
+        F.split(F.col("text"), "\\s+"), lambda w: F.length(w) > 0
     )
-    for a, b in merges:
-        s = F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
-    return (
-        words.select(
-            "doc_id",
-            F.size(F.split(F.trim(s), "  ")).alias("n_toks"),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("n_toks").cast("bigint").alias("n_bpe_tokens"))
+    return docs.filter(F.size(words) > 0).select(
+        "doc_id", doc_bpe_token_count(merges).alias("n_bpe_tokens")
     )

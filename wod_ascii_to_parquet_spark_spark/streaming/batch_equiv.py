@@ -831,3 +831,94 @@ def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
     spark.catalog.refreshTable(sink)
     return spark.table(sink).select("qid", "vec_id", "adc_dist")
+
+
+def _stream_bpe_encode_sql() -> str:
+    from ..operators.text_bpe import _bpe_encode_external_sql
+
+    return _bpe_encode_external_sql()
+
+
+@register(
+    "stream_bpe_encode_live", _stream_bpe_encode_sql(), tags=("streaming", "text")
+)
+def stream_bpe_encode_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frozen-tokenizer ENCODE STAGE under ``readStream`` — the
+    production token-metering path: documents arrive continuously and
+    each micro-batch is priced against a tokenizer FROZEN before the
+    stream started. The tokenizer is trained and persisted up front
+    (``plans/bpe_tokenizer.build_bpe_tokenizer`` on the 3/4 train
+    slice); the HELD-OUT quarter is staged as TWO files
+    (``maxFilesPerTrigger=1`` → two triggers) and encoded on the
+    streaming frame with ``doc_bpe_token_count`` — the merge-rule
+    replace chain inside ``transform``/``aggregate`` higher-order
+    functions, a STATELESS row-local map with zero shuffles, so
+    append-mode needs no watermark and the replay is trigger-split
+    invariant: this live run carries ``text_bpe_encode_external``'s
+    full DuckDB oracle (train replay + rule-application encode).
+    What it pins: the frozen-artifact load and the Catalyst encode
+    column compose with Structured Streaming unchanged — no
+    batch-only assumption (explode, join, aggregation state) hides in
+    the serving path."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.text_bpe import _EXT_HOLDOUT_WHERE, _EXT_TRAIN_WHERE
+    from ..plans.bpe_tokenizer import (
+        build_bpe_tokenizer,
+        doc_bpe_token_count,
+        load_bpe_merges,
+    )
+
+    table = "bpe_tokenizer_stream"
+    build_bpe_tokenizer(spark, sf_dir, table=table, where=_EXT_TRAIN_WHERE)
+    merges = load_bpe_merges(spark, table)
+    held = (
+        load(spark, sf_dir, "documents")
+        .filter(_EXT_HOLDOUT_WHERE)
+        .select("doc_id", "text")
+    )
+    mid = held.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    root = tempfile.mkdtemp(prefix="wg_stream_bpe_")
+    name = "stream_bpe_encode_sink"
+    try:
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        for i, part in enumerate(
+            (
+                held.filter(F.col("doc_id") <= mid),
+                held.filter(F.col("doc_id") > mid),
+            )
+        ):
+            stage = os.path.join(root, f"stage{i}")
+            part.coalesce(1).write.parquet(stage)
+            p = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"batch{i}.parquet")
+            shutil.copyfile(p, dst)
+            os.utime(dst, (i + 1, i + 1))
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        words = F.filter(
+            F.split(F.col("text"), "\\s+"), lambda w: F.length(w) > 0
+        )
+        encoded = stream.filter(F.size(words) > 0).select(
+            "doc_id", doc_bpe_token_count(merges).alias("n_bpe_tokens")
+        )
+        q = (
+            encoded.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
