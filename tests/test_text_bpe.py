@@ -277,6 +277,38 @@ def test_batched_tokenizer_build_encodes_like_sequential(spark, tmp_path):
     assert seq == bat == {0: 6}
 
 
+def test_external_encode_plan_is_exchange_free(spark):
+    """The map-only claim, pinned: the frozen-tokenizer encode column
+    (transform/aggregate higher-order functions, no explode, no join)
+    must produce a plan with ZERO Exchanges after the artifact build —
+    the property that lets the same column serve streaming append mode
+    and keeps 100 TB encode embarrassingly parallel."""
+    from wod_ascii_to_parquet_spark_spark.operators.text_bpe import (
+        _EXT_HOLDOUT_WHERE,
+        _EXT_TRAIN_WHERE,
+    )
+    from wod_ascii_to_parquet_spark_spark.plans.bpe_tokenizer import (
+        build_bpe_tokenizer,
+        encode_with_bpe_tokenizer,
+    )
+    from wod_ascii_to_parquet_spark_spark.registry import load
+
+    build_bpe_tokenizer(
+        spark, SF_DIR, table="bpe_tok_planpin", where=_EXT_TRAIN_WHERE
+    )
+    docs = (
+        load(spark, SF_DIR, "documents")
+        .filter(_EXT_HOLDOUT_WHERE)
+        .select("doc_id", "text")
+    )
+    df = encode_with_bpe_tokenizer(spark, docs, table="bpe_tok_planpin")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_merges_compose_on_real_corpus(spark):
     """On the real sf0.001 corpus the learned merge table must be
     internally consistent: counts non-increasing with rank is NOT
