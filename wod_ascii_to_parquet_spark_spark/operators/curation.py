@@ -626,7 +626,13 @@ def pipeline_flag_frame(d: DataFrame) -> DataFrame:
         .withColumn("hashes", shingle_hashes_md5(F.col("sh")))
         .withColumn("sig", minhash_signature(F.col("hashes")))
         .drop("hashes")
-        .repartition(F.col("doc_id"))  # shuffle barrier (see dedup.py)
+        # materialization barrier — persist(), NOT a repartition Exchange:
+        # per-branch column pruning splits a reused Exchange into
+        # per-consumer subtrees so the shingle transform runs ~2x; the
+        # InMemoryRelation serves band + verify consumers from one
+        # materialization (the _lsh_verified_pairs caller contract,
+        # measured ~25% in dedup.py — this caller predated that fix).
+        .persist()
     )
     near = (
         _lsh_verified_pairs(s)
