@@ -20,6 +20,9 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from exp_bpe_base_ckpt import jvm_cpu_seconds  # noqa: E402
 
 
 def _variant_df(spark, sf_dir, barrier: str):
@@ -85,24 +88,30 @@ def main() -> int:
     ).save()
 
     out: dict[str, list[float]] = {}
+    cpu: dict[str, list[float]] = {}
     probes = (_cpu_probe(), _cpu_probe_parallel())
     # interleave variants so host drift hits both equally
     for _ in range(n_runs):
         for barrier in ("repartition", "persist", "none"):
             spark.catalog.clearCache()
-            t0 = time.perf_counter()
+            t0, c0 = time.perf_counter(), jvm_cpu_seconds()
             _variant_df(spark, sf, barrier).write.format("noop").mode(
                 "overwrite"
             ).save()
             out.setdefault(barrier, []).append(
                 round(time.perf_counter() - t0, 3)
             )
+            cpu.setdefault(barrier, []).append(
+                round(jvm_cpu_seconds() - c0, 3)
+            )
     probes_after = (_cpu_probe(), _cpu_probe_parallel())
     print(
         json.dumps(
             {
                 "min": {k: min(v) for k, v in out.items()},
+                "cpu_min": {k: min(v) for k, v in cpu.items()},
                 "runs": out,
+                "cpu": cpu,
                 "probes": [probes, probes_after],
             }
         )
