@@ -73,23 +73,80 @@ HEADLINERS = [
 ]
 
 
-def _cpu_probe() -> float:
-    """Seconds for a fixed single-threaded numpy workload (min of 3) — a
+from contextlib import contextmanager
+
+
+@contextmanager
+def _blas_threads(n: int | None):
+    """Temporarily pin the loaded OpenBLAS to ``n`` threads (no-op when
+    ``n`` is None or the library can't be found). Round-15 measurement
+    fix: numpy's "single-threaded" matmul actually fans out to ALL cores
+    via OpenBLAS (32 threads here), so the legacy probes measured idle
+    multi-core capacity, not a fixed workload — the same matmul read
+    0.006 s on an idle host and 0.302 s under ambient load, a 50× swing
+    that made probe normalization meaningless. Scoped via ctypes to the
+    probe only (an env-var pin would leak into executor numpy kernels)."""
+    if n is None:
+        yield
+        return
+    import ctypes
+    import glob
+
+    import numpy as np
+
+    lib = None
+    try:
+        root = os.path.dirname(os.path.dirname(np.__file__))
+        for pat in ("numpy.libs/*openblas*", "numpy/.libs/*openblas*"):
+            hits = glob.glob(os.path.join(root, pat))
+            if hits:
+                lib = ctypes.CDLL(hits[0])
+                break
+    except OSError:
+        lib = None
+    setter = getter = None
+    if lib is not None:
+        for sym in ("openblas_set_num_threads64_", "openblas_set_num_threads"):
+            if hasattr(lib, sym):
+                setter = getattr(lib, sym)
+                getter = getattr(lib, sym.replace("set", "get"))
+                break
+    if setter is None:
+        yield
+        return
+    n0 = getter()
+    setter(n)
+    try:
+        yield
+    finally:
+        setter(n0)
+
+
+def _cpu_probe(pin: bool = False) -> float:
+    """Seconds for a fixed numpy matmul workload (min of 3) — a
     calibration anchor for cross-round comparisons: this host's available
-    CPU swings up to ~70% between runs, so a query-time ratio between
-    rounds only means something relative to the probe ratio."""
+    CPU swings between runs, so a query-time ratio between rounds only
+    means something relative to the probe ratio.
+
+    ``pin=True`` (round 15) pins BLAS to ONE thread so the probe is a
+    true single-core measure; the default (legacy) lets OpenBLAS fan out
+    and is kept as THIS round's primary so the ratio against r14's
+    recorded probes compares like with like — from r16 on, the pinned
+    series (present in both rounds' files) takes over (_previous_round
+    prefers it)."""
     import numpy as np
 
     a = np.random.default_rng(0).standard_normal((1200, 1200))
     runs = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        (a @ a).sum()
-        runs.append(time.perf_counter() - t0)
+    with _blas_threads(1 if pin else None):
+        for _ in range(3):
+            t0 = time.perf_counter()
+            (a @ a).sum()
+            runs.append(time.perf_counter() - t0)
     return round(min(runs), 3)
 
 
-def _cpu_probe_parallel(n_threads: int = 16) -> float:
+def _cpu_probe_parallel(n_threads: int = 16, pin: bool = False) -> float:
     """Seconds for the same workload run on ``n_threads`` CONCURRENT
     threads (numpy releases the GIL; min of 3 rounds). The single-thread
     probe cannot see MULTI-core contention — round 6's driver run showed
@@ -97,7 +154,11 @@ def _cpu_probe_parallel(n_threads: int = 16) -> float:
     which re-measurement on an idle host traced to other processes eating
     cores during the driver's run (32-thread query stages slow down, a
     1-core probe doesn't). The parallel/serial probe ratio exposes exactly
-    that: ~= serial on an idle host, inflated when cores are contended."""
+    that: ~= serial on an idle host, inflated when cores are contended.
+
+    ``pin=True``: BLAS pinned to 1 thread per call, so this is a clean
+    16-way concurrency measure instead of 16×32-thread oversubscription
+    (see _cpu_probe)."""
     from concurrent.futures import ThreadPoolExecutor
 
     import numpy as np
@@ -107,11 +168,12 @@ def _cpu_probe_parallel(n_threads: int = 16) -> float:
         for i in range(n_threads)
     ]
     runs = []
-    with ThreadPoolExecutor(max_workers=n_threads) as pool:
-        for _ in range(3):
-            t0 = time.perf_counter()
-            list(pool.map(lambda a: (a @ a).sum(), mats))
-            runs.append(time.perf_counter() - t0)
+    with _blas_threads(1 if pin else None):
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                list(pool.map(lambda a: (a @ a).sum(), mats))
+                runs.append(time.perf_counter() - t0)
     return round(min(runs), 3)
 
 
@@ -148,6 +210,7 @@ def main() -> None:
     # window; recording the WORSE of start/end probes makes the
     # normalization conservative instead of optimistic.
     probe_before, par_probe_before = _cpu_probe(), _cpu_probe_parallel()
+    pinned_before = (_cpu_probe(pin=True), _cpu_probe_parallel(pin=True))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINERS:
@@ -218,17 +281,45 @@ def main() -> None:
     # host's fixed CPU probes ran vs the prior round — immune to host
     # weather). A genuine regression moves value_probe_normalized; a
     # loaded host or a new headliner cannot.
-    prev, prev_probe, prev_par_probe = _previous_round()
+    prev, prev_probe, prev_par_probe, prev_pinned = _previous_round()
     probe_after, par_probe_after = _cpu_probe(), _cpu_probe_parallel()
+    pinned_after = (_cpu_probe(pin=True), _cpu_probe_parallel(pin=True))
     # worse of (start, end): the load that inflated the queries
     probe_now = max(probe_before, probe_after)
     par_probe_now = max(par_probe_before, par_probe_after)
+    pinned_now = (
+        max(pinned_before[0], pinned_after[0]),
+        max(pinned_before[1], pinned_after[1]),
+    )
     common = {n: t for n, t in timings.items() if prev and n in prev}
+    # Ratio vs the previous round, SAME probe semantics on both sides:
+    # when the previous round recorded BLAS-PINNED probes (r15+), use the
+    # pinned series (a true fixed workload — the legacy probes swing 50×
+    # with idle core count because OpenBLAS fans the matmul out); against
+    # pre-r15 rounds, fall back to the legacy free-threaded probes so the
+    # comparison stays like-for-like across the semantics boundary.
     probe_ratio = 1.0
-    if prev_probe and probe_now:
-        probe_ratio = probe_now / prev_probe
-    if prev_par_probe and par_probe_now:
-        probe_ratio = max(probe_ratio, par_probe_now / prev_par_probe)
+    if prev_pinned and all(prev_pinned) and all(pinned_now):
+        probe_ratio = pinned_now[0] / prev_pinned[0]
+        probe_ratio = max(probe_ratio, pinned_now[1] / prev_pinned[1])
+    else:
+        if prev_probe and probe_now:
+            probe_ratio = probe_now / prev_probe
+        if prev_par_probe and par_probe_now:
+            probe_ratio = max(probe_ratio, par_probe_now / prev_par_probe)
+        # Legacy-semantics ratios are CLAMPED at 1.0 from below: a
+        # free-threaded probe reading FASTER than the prior round proves
+        # only that more cores were idle at the probe instants (the same
+        # matmul spans 0.005-0.302 s with idle core count) — it cannot
+        # license scaling the whole history down (observed: an idle-host
+        # run where every query hit its best-ever raw value was flagged
+        # "above band" on all 43 because the probe read 5x faster). A
+        # SLOWER probe stays meaningful (ambient load slows BLAS and
+        # Spark alike), so ratios > 1 pass through — the r12 uniform-
+        # inflation case keeps its normalization. Pinned-series ratios
+        # (r15+ on both sides) are a real fixed workload and are never
+        # clamped.
+        probe_ratio = max(probe_ratio, 1.0)
     # The ONE printed line stays compact: the driver captures only the last
     # ~2,000 chars of stdout, and round 3's line (with cold_runs +
     # previous_round + regressions inlined) overflowed that and left
@@ -247,6 +338,13 @@ def main() -> None:
         "cpus": CPUS,
         "cpu_probe_sec": probe_now,
         "cpu_probe_par_sec": par_probe_now,
+        # BLAS-pinned probe series (r15+): a TRUE fixed workload — the
+        # legacy pair above lets OpenBLAS fan out to every idle core and
+        # so measures idle capacity, not a constant. Kept alongside
+        # (never replacing) the legacy keys; future rounds' ratios use
+        # this series once both sides have it.
+        "cpu_probe_pinned_sec": pinned_now[0],
+        "cpu_probe_par_pinned_sec": pinned_now[1],
     }
     detail = dict(
         out_doc,
@@ -267,8 +365,16 @@ def main() -> None:
         probe_semantics=(
             "max(start,end) since r13; end-only before — use "
             "cpu_probe_after_sec for cross-boundary comparisons vs "
-            "r12-and-earlier"
+            "r12-and-earlier. r15 adds the BLAS-PINNED pair "
+            "(cpu_probe_pinned_sec / cpu_probe_par_pinned_sec): the "
+            "legacy probes let OpenBLAS fan one matmul out to all idle "
+            "cores (measured 0.006-0.302 s for the SAME workload), so "
+            "they track idle capacity, not a fixed reference; ratios vs "
+            "r15+ rounds use the pinned series, ratios vs pre-r15 keep "
+            "the legacy series (same semantics on both sides)"
         ),
+        cpu_probe_pinned_before=pinned_before,
+        cpu_probe_pinned_after=pinned_after,
         session_startup_sec=round(session_sec, 3),
         # Root cause of the r5→r6 "+11% on unchanged queries" drift:
         # re-measured at r6 HEAD on an idle host, the common-27 sum was
@@ -358,7 +464,10 @@ def main() -> None:
         },
     )
     detail["jitter_bands"] = _jitter_bands(
-        timings, out_doc["cpu_probe_sec"], out_doc["cpu_probe_par_sec"]
+        timings,
+        out_doc["cpu_probe_sec"],
+        out_doc["cpu_probe_par_sec"],
+        pinned=pinned_now,
     )
     detail["jitter_summary"] = {
         v: sorted(
@@ -443,6 +552,10 @@ def _round_history() -> list[dict]:
                     "queries": parsed["queries"],
                     "probe": parsed.get("cpu_probe_sec"),
                     "par_probe": parsed.get("cpu_probe_par_sec"),
+                    "pinned": (
+                        parsed.get("cpu_probe_pinned_sec"),
+                        parsed.get("cpu_probe_par_pinned_sec"),
+                    ),
                 }
             )
     return out
@@ -453,6 +566,7 @@ def _jitter_bands(
     probe: float,
     par_probe: float,
     n_rounds: int = 4,
+    pinned: tuple[float, float] | None = None,
 ) -> dict[str, dict]:
     """Per-query self-classifying deltas (VERDICT r9 #6): every verdict
     round burned space re-adjudicating noise because the serial CPU probe
@@ -480,10 +594,21 @@ def _jitter_bands(
             if not then:
                 continue
             ratio = 1.0
-            if probe and h["probe"]:
-                ratio = probe / h["probe"]
-            if par_probe and h["par_probe"]:
-                ratio = max(ratio, par_probe / h["par_probe"])
+            # same-semantics rule (see probe_semantics): pinned-to-pinned
+            # when this history row has the r15+ pinned pair, else legacy
+            h_pinned = h.get("pinned") or (None, None)
+            if pinned and all(pinned) and all(h_pinned):
+                ratio = pinned[0] / h_pinned[0]
+                ratio = max(ratio, pinned[1] / h_pinned[1])
+            else:
+                if probe and h["probe"]:
+                    ratio = probe / h["probe"]
+                if par_probe and h["par_probe"]:
+                    ratio = max(ratio, par_probe / h["par_probe"])
+                # legacy-semantics clamp — same rationale as the
+                # probe_ratio clamp in main(): a faster free-threaded
+                # probe must not project the band downward
+                ratio = max(ratio, 1.0)
             series.append(
                 {"round": h["round"], "sec": then,
                  "projected": round(then * ratio, 3)}
@@ -511,15 +636,21 @@ def _jitter_bands(
     return bands
 
 
-def _previous_round() -> tuple[dict[str, float] | None, float | None, float | None]:
-    """(per-query timings, cpu_probe_sec, cpu_probe_par_sec) of the
-    latest parseable BENCH_r*.json — the last _round_history() entry, so
-    the two consumers can never desynchronize on file shape."""
+def _previous_round() -> tuple[
+    dict[str, float] | None,
+    float | None,
+    float | None,
+    tuple[float | None, float | None] | None,
+]:
+    """(per-query timings, cpu_probe_sec, cpu_probe_par_sec,
+    (pinned, par_pinned)) of the latest parseable BENCH_r*.json — the
+    last _round_history() entry, so the two consumers can never
+    desynchronize on file shape."""
     hist = _round_history()
     if not hist:
-        return None, None, None
+        return None, None, None, None
     last = hist[-1]
-    return last["queries"], last["probe"], last["par_probe"]
+    return last["queries"], last["probe"], last["par_probe"], last["pinned"]
 
 
 if __name__ == "__main__":
