@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import load, register, spread
+from ..registry import load, local_df, register, spread
 
 #: Knuth multiplicative hash constant (2654435761 = 2^32 / φ); doc_id values
 #: stay far below 2^20, so the product fits int64 exactly in both engines.
@@ -268,9 +268,11 @@ def _mix_counts(spark: SparkSession, d: DataFrame) -> DataFrame:
     0), so a configured domain absent from the corpus keeps its row with
     count 0 — making the mixture explicitly unsatisfiable (total = 0)
     instead of silently re-normalizing over the surviving domains."""
-    weights = spark.createDataFrame(
-        list(_MIX_PERMILLE), "domain string, wm int"
-    )
+    # single-slice (registry.local_df): the weights frame seeds the
+    # quota broadcast-build job, whose every stage otherwise schedules
+    # defaultParallelism near-empty tasks — measured −36% on
+    # curation_domain_mix at local[32] (OPTIMIZATION_r15.md).
+    weights = local_df(spark, list(_MIX_PERMILLE), "domain string, wm int")
     counts = d.groupBy("domain").agg(F.count("*").alias("c"))
     return weights.join(counts, "domain", "left").select(
         "domain", F.coalesce(F.col("c"), F.lit(0)).alias("c"), "wm"

@@ -48,7 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import load, register
+from ..registry import load, local_df, register
 
 #: merge rounds in the registered queries — enough to exercise multi-char
 #: merges merging with each other (rank-4/5 pairs routinely contain a
@@ -222,8 +222,13 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-fails. The merge decisions are the only driver-side rows
     (5 rows — the pagerank unroll pattern, not a data collect)."""
     merges, _ = _train(spark, sf_dir)
-    return spark.createDataFrame(
-        merges, "rank int, pair_a string, pair_b string, merged string, cnt bigint"
+    # single-slice (registry.local_df): the default createDataFrame
+    # slices 5 rows across defaultParallelism partitions and every sink
+    # over the result schedules that many near-empty tasks.
+    return local_df(
+        spark,
+        merges,
+        "rank int, pair_a string, pair_b string, merged string, cnt bigint",
     )
 
 
@@ -477,7 +482,9 @@ def text_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary trajectory. ``tests/test_text_bpe.py`` pins batched ≡
     sequential on a disjoint-pairs corpus."""
     merges, _ = _train_batched(spark, sf_dir)
-    return spark.createDataFrame(
+    # single-slice: see text_bpe_train's return-site note
+    return local_df(
+        spark,
         merges,
         "round int, slot int, pair_a string, pair_b string, "
         "merged string, cnt bigint",

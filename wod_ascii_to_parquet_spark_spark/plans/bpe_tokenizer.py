@@ -37,6 +37,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..registry import local_df
 from .minhash_index import _clear_table
 
 TOKENIZER_TABLE = "bpe_tokenizer"
@@ -72,11 +73,18 @@ def build_bpe_tokenizer(
         _clear_table(spark, t)
     # meta first (minhash_index rule): a crash mid-build leaves a meta
     # row whose build_id no merge row carries — caught at load time.
-    spark.createDataFrame(
+    # Both artifact writes are single-slice (registry.local_df): the
+    # default createDataFrame slicing made each ≤9-row saveAsTable a
+    # defaultParallelism-task write job — measured 0.43 s vs 0.21 s per
+    # write at local[32] (tools/exp_tiny_write_latency.py), ~0.45 s off
+    # text_bpe_encode_external's two stores.
+    local_df(
+        spark,
         [(build_id, len(merges), where or "")],
         "build_id string, n_merges int, train_where string",
     ).write.format("parquet").mode("overwrite").saveAsTable(f"{table}__meta")
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(r, a, b, m, c, build_id) for (r, a, b, m, c) in merges],
         "rank int, pair_a string, pair_b string, merged string, "
         "cnt bigint, build_id string",

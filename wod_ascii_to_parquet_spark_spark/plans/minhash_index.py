@@ -58,6 +58,7 @@ from ..operators.dedup import (
     shingle_hashes_md5,
     shingles,
 )
+from ..registry import local_df
 from .ann_index import _table_num_buckets
 
 INDEX_TABLE = "minhash_lsh_index"
@@ -194,7 +195,8 @@ def build_minhash_index(
         _clear_table(spark, t)
     # meta first: a crash mid-build leaves a meta row whose build_id no
     # data row carries — caught by the probe's torn-build check.
-    spark.createDataFrame([(family, build_id)], "family string, build_id string") \
+    # single-slice write (registry.local_df): one task, not one per core.
+    local_df(spark, [(family, build_id)], "family string, build_id string") \
         .write.format("parquet").mode("overwrite").saveAsTable(f"{table}__meta")
     (
         _band_keys(s)

@@ -208,6 +208,31 @@ def rev_c100() -> "F.Column":
     )
 
 
+def local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Single-slice DataFrame from a bounded local row list.
+
+    ``createDataFrame(list)`` slices the rows across
+    ``defaultParallelism`` partitions, so EVERY job over a
+    metadata-sized frame — an artifact-table ``saveAsTable``, the
+    broadcast-build job of a quota/weights join, the noop sink over a
+    returned merge table — schedules one near-empty task per core.
+    Measured (tools/exp_tiny_write_latency.py, local[32]): a 9-row
+    ``saveAsTable`` costs 0.43 s default vs 0.21 s single-slice, all of
+    it FileFormatWriter task overhead (catalog + DROP ≈ 0.03 s); a
+    ``repartition(1)`` cannot recover it because the 32-task parent
+    stage still runs. Interleaved query A/B (OPTIMIZATION_r15.md):
+    curation_domain_mix −36%, text_bpe_encode_external −20%,
+    text_bpe_train −7%, pairwise in every round.
+
+    Scale-safe by construction: callers hold bounded metadata (merge
+    tables, meta rows, mixture weights) that must fit one task anyway;
+    at any real size the single slice is still one small file / one
+    broadcast build input."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the session's default parallelism.
 
