@@ -23,6 +23,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .session import apply_runtime_confs
 
@@ -168,6 +169,21 @@ def _with_runtime_confs(fn: QueryFn) -> QueryFn:
     return wrapped
 
 
+#: (sf_dir, table) → inferred StructType. SCHEMA metadata only — never
+#: rows or results: every query still scans the parquet on every run.
+#: Rationale (round 15, guide §1.2 "don't compute things you throw
+#: away"): each ``spark.read.parquet`` call re-lists the path and
+#: re-reads a footer to infer the schema, ~80–120 ms of driver-side
+#: work per call at any data size (measured sf0.1, min-of-5), and the
+#: registered queries load 2–6 tables per build inside the timed
+#: region. On a real cluster this is exactly what a catalog/metastore
+#: provides; here the first read of each table infers and later reads
+#: pass the identical-by-construction schema back in. Keyed per
+#: directory so mixed-SF sessions (tests run sf0.001/sf0.01/sf0.1 in
+#: one process) can never cross-contaminate.
+_SCHEMA_CACHE: dict[tuple[str, str], "T.StructType"] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (columnar parquet scan; pushdown-friendly).
 
@@ -178,13 +194,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     would lose precision above 2^53 nanos). DuckDB truncates NANOS→micros
     the same way, so oracle parity holds.
     """
+    key = (sf_dir, name)
+    cached = _SCHEMA_CACHE.get(key)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if cached is not None:
+            df = spark.read.schema(cached).parquet(f"{sf_dir}/{name}.parquet")
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            _SCHEMA_CACHE[key] = df.schema
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if cached is not None:
+        return spark.read.schema(cached).parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _SCHEMA_CACHE[key] = df.schema
+    return df
 
 
 #: Exact revenue in 1e-4 dollars: price (exact cents) × (1 − discount)
