@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.geohash import geohash_col, geohash_sql_parts, geohash_udf
-from ..registry import load, register
+from ..registry import load, local_df, register
 from ..sources.wod_ascii import ok_casts, wod_scan
 
 WOD_FIXTURES = "/root/reference/src/test/resources/wod"
@@ -42,8 +42,11 @@ def source_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (t.dataset, t.level, t.input_path.rsplit("/", 1)[-1], t.out_name)
         for t in tasks
     ]
-    return spark.createDataFrame(
-        rows, "dataset string, level string, input_name string, out_name string"
+    # single-slice (registry.local_df): a handful of listing rows
+    return local_df(
+        spark,
+        rows,
+        "dataset string, level string, input_name string, out_name string",
     ).orderBy("dataset", "level", "input_name")
 
 
