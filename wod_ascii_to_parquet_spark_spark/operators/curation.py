@@ -985,52 +985,65 @@ def curation_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     omitted: this corpus is single-line by construction — they would be
     degenerate constants, not signals.
 
-    Plan shape — the scalable formulation, NOT per-row O(L²) HOFs: one
-    pass explodes each document's n-grams for all 9 n values (a single
-    generator expression over the token array), then two hash
-    aggregations keyed by (doc_id, n, gram) and (doc_id, n) — per-doc
-    statistics never shuffle across documents, AQE coalesces the
-    post-agg partitions, and the wide 9-column row assembles with one
-    conditional-aggregation pivot. Top-gram tie-break is (count DESC,
-    gram ASC) on both engines. Every score is a ratio of integer counts
-    and lengths — fully DuckDB-oracled."""
+    Plan shape — the scalable formulation, NOT per-row O(L²) HOFs: a
+    9-branch union (one per n, mirroring the oracle's UNION ALL), each
+    branch exploding the start indexes (``sequence``) and computing the
+    gram with one codegen'd ``slice`` + ``array_join`` per exploded row,
+    then two hash aggregations keyed by (doc_id, n, gram) and
+    (doc_id, n) — per-doc statistics never shuffle across documents,
+    AQE coalesces the post-agg partitions, and the wide 9-column row
+    assembles with one conditional-aggregation pivot. The union's 9
+    identical scan+spread subtrees dedupe at runtime (ReusedExchange).
+    Round 15: this REPLACED the original one-pass shape (per document,
+    9 ``transform`` arrays of (n, gram) structs flattened into one
+    ~9·L-element array, then a single explode) — higher-order functions
+    run INTERPRETED with a per-element struct allocation, measured
+    64–70 JVM-CPU-s for the explode stage vs 3.9–6.4 for this shape
+    (tools/exp_gopher_shape.py, identity-asserted; steady wall 2.6→0.4 s
+    for the explode, full query −45% wall in the fresh-session A/B).
+    Top-gram tie-break is (count DESC, gram ASC) on both engines. Every
+    score is a ratio of integer counts and lengths — fully
+    DuckDB-oracled."""
+    from functools import reduce
+
     from pyspark.sql import Window as W
 
     d = spread(load(spark, sf_dir, "documents")).select(
         "doc_id", "text", F.length("text").cast("double").alias("chars")
     )
-    toks = F.split(F.col("text"), " ")
-
-    def grams(n: int):
-        idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-        g = F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
-            ),
-        )
-        # sequence(a, b) DESCENDS when a > b: guard short docs to an
-        # empty gram list instead of a phantom descending index range
-        return F.when(F.size(toks) >= n, g).otherwise(
-            F.array().cast("array<string>")
-        )
-
-    def tagged(n: int):
-        # closure, NOT a defaulted lambda parameter: PySpark binds a
-        # TWO-parameter lambda as (element, index), so `lambda g, n=n`
-        # silently receives the array INDEX as n — every gram tagged by
-        # its position instead of its size (caught by the oracle)
-        return F.transform(
-            grams(n),
-            lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
-        )
-
-    pairs = F.flatten(
-        F.array(*[tagged(n) for n in _GOPHER_TOP_NS + _GOPHER_DUP_NS])
+    dt = d.select(
+        "doc_id", "chars", F.split(F.col("text"), " ").alias("toks")
     )
-    ex = d.select(
-        "doc_id", "chars", F.explode(pairs).alias("p")
-    ).select("doc_id", "chars", F.col("p.n").alias("n"), F.col("p.gram").alias("gram"))
+
+    def gram_rows(n: int) -> DataFrame:
+        # the size filter guards sequence(a, b) DESCENDING when a > b:
+        # short docs contribute no grams for this n instead of a
+        # phantom descending index range
+        return (
+            dt.filter(F.size("toks") >= n)
+            .select(
+                "doc_id",
+                "chars",
+                F.lit(n).alias("n"),
+                "toks",
+                F.explode(
+                    F.sequence(F.lit(1), F.size("toks") - (n - 1))
+                ).alias("i"),
+            )
+            .select(
+                "doc_id",
+                "chars",
+                "n",
+                F.array_join(
+                    F.slice("toks", F.col("i"), n), " "
+                ).alias("gram"),
+            )
+        )
+
+    ex = reduce(
+        DataFrame.unionAll,
+        [gram_rows(n) for n in _GOPHER_TOP_NS + _GOPHER_DUP_NS],
+    )
     counts = ex.groupBy("doc_id", "chars", "n", "gram").agg(
         F.count(F.lit(1)).alias("c")
     )

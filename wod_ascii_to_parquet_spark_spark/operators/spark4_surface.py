@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import load, register
+from ..registry import load, register, spread
 
 #: schema_of_variant over _VARIANT_JSON's shape — constant across rows, so
 #: the oracle can select it as a literal (pinned here, asserted per-row by
@@ -213,7 +213,13 @@ def xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.cast("string"),
         F.lit("</c></o>"),
     )
-    x = o.select("o_orderkey", xml.alias("xml"))
+    # spread() below the scan (round 15): the per-row work here is 4 XML
+    # parses (3 XPath DOM parses + from_xml), and orders at bench SF is a
+    # single ~2.6 MB input split — one scan task serialized the whole
+    # parse onto one core. Round-robin to defaultParallelism shuffles
+    # only (key, ~60 B xml) rows; measured 20.1 s → 1.9 s steady
+    # (tools/exp_xml_spread.py, interleaved, results asserted identical).
+    x = spread(o.select("o_orderkey", xml.alias("xml")))
     parsed = F.from_xml(F.col("xml"), "st STRING, pri STRING, c BIGINT")
     return x.select(
         "o_orderkey",
