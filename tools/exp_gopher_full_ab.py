@@ -1,7 +1,7 @@
 """Interleaved A/B of curation_gopher_repetition's two full-query shapes
 (round 15): OLD = one-pass nested-HOF explode (9 transform arrays of
 structs, flatten, one explode); NEW = 9-branch union with
-posexplode(sequence) + slice/array_join (the shape now registered).
+explode(sequence) + slice/array_join (the shape now registered).
 Results asserted identical; wall + JVM CPU per run, variants interleaved
 pairwise in every round.
 """
@@ -123,23 +123,7 @@ def full(ex):
     )
 
 
-def jvm_cpu() -> float:
-    me = os.getpid()
-    tck = os.sysconf("SC_CLK_TCK")
-    for pid in os.listdir("/proc"):
-        if not pid.isdigit():
-            continue
-        try:
-            with open(f"/proc/{pid}/stat") as fh:
-                s = fh.read()
-            comm = s[s.index("(") + 1 : s.rindex(")")]
-            rest = s[s.rindex(")") + 2 :].split()
-            if "java" not in comm or int(rest[1]) != me:
-                continue
-            return (int(rest[11]) + int(rest[12])) / tck
-        except (OSError, ValueError, IndexError):
-            continue
-    return 0.0
+from _bench_util import jvm_cpu  # noqa: E402
 
 
 a = full(ex_old()).orderBy("doc_id").collect()

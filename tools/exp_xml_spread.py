@@ -48,25 +48,7 @@ def build(with_spread: bool):
     )
 
 
-def jvm_cpu() -> float:
-    """utime+stime of this process's java child (local[*]: ALL executor
-    work happens there)."""
-    me = os.getpid()
-    tck = os.sysconf("SC_CLK_TCK")
-    for pid in os.listdir("/proc"):
-        if not pid.isdigit():
-            continue
-        try:
-            with open(f"/proc/{pid}/stat") as fh:
-                s = fh.read()
-            comm = s[s.index("(") + 1 : s.rindex(")")]
-            rest = s[s.rindex(")") + 2 :].split()
-            if "java" not in comm or int(rest[1]) != me:
-                continue
-            return (int(rest[11]) + int(rest[12])) / tck
-        except (OSError, ValueError, IndexError):
-            continue
-    return 0.0
+from _bench_util import jvm_cpu  # noqa: E402
 
 
 # warmup + identity check

@@ -29,9 +29,11 @@ def main() -> int:
         app_name="time-all", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
     qs = load_all_operators()
-    qs["flagship_regional_revenue"].fn(spark, sf).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # Warm up the session with the first non-skipped query (don't
+    # hardcode a name: it must honor the skip set and survive renames).
+    warm = next((n for n in sorted(qs) if n not in skip), None)
+    if warm is not None:
+        qs[warm].fn(spark, sf).write.format("noop").mode("overwrite").save()
 
     out: dict[str, list[float]] = {}
     errors: dict[str, str] = {}

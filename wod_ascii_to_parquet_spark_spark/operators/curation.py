@@ -992,8 +992,12 @@ def curation_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     then two hash aggregations keyed by (doc_id, n, gram) and
     (doc_id, n) — per-doc statistics never shuffle across documents,
     AQE coalesces the post-agg partitions, and the wide 9-column row
-    assembles with one conditional-aggregation pivot. The union's 9
-    identical scan+spread subtrees dedupe at runtime (ReusedExchange).
+    assembles with one conditional-aggregation pivot. Note the union's 9
+    scan+spread subtrees do NOT runtime-dedupe: the per-n size filter is
+    pushed below each branch's spread() repartition, so the subtrees
+    differ per n and each executes its own scan+exchange (only the
+    duplicated counts-aggregate exchange reuses); the single-pass
+    exploded-n shape was A/B'd in tools/exp_gopher_full_ab.py.
     Round 15: this REPLACED the original one-pass shape (per document,
     9 ``transform`` arrays of (n, gram) structs flattened into one
     ~9·L-element array, then a single explode) — higher-order functions
