@@ -162,14 +162,11 @@ def curation_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     idx = F.sequence(F.lit(1), F.size(toks) - 2)
+    # one slice+array_join per gram: HOF lambdas run interpreted, so
+    # fewer expression nodes per element is the lever (r16, −36% CPU on
+    # the same idiom in shingles(); tools/exp_decon_gram_shape.py)
     grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-        ),
+        idx, lambda i: F.array_join(F.slice(toks, i, 3), " ")
     )
     total = (F.size(toks) - 2).cast("bigint")
     n_distinct = F.size(F.array_distinct(grams))
@@ -601,12 +598,9 @@ def pipeline_flag_frame(d: DataFrame) -> DataFrame:
         F.size(toks) >= 3,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
+            # slice+array_join: 2 interpreted nodes/gram vs 4 (r16,
+            # tools/exp_decon_gram_shape.py — HOF lambdas don't codegen)
+            lambda i: F.array_join(F.slice(toks, i, 3), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
     base = d.select(
@@ -615,7 +609,11 @@ def pipeline_flag_frame(d: DataFrame) -> DataFrame:
         "lang",
         "source",
         F.size(toks).alias("ntok"),
-        F.size(grams3).alias("n3"),
+        # n3 == |grams3| == ntok-2 (guarded): computing it arithmetically
+        # skips a SECOND full gram-array build (size(transform(...))
+        # evaluates the transform; the oracle's greatest(len-2, 0) is the
+        # same quantity)
+        F.greatest(F.size(toks) - 2, F.lit(0)).alias("n3"),
         F.size(F.array_distinct(grams3)).alias("d3"),
     )
     qf = (F.col("ntok") < QUAL_MIN_TOK) | (
