@@ -1,8 +1,8 @@
-"""Dump ``explain("formatted")`` for headline queries to plans/r15/.
+"""Dump ``explain("formatted")`` for headline queries to plans/<round>/.
 
 Usage: python tools/dump_plans.py <suffix> [name ...]
 
-Writes ``plans/r15/<query>_<suffix>.txt`` for each requested query (default:
+Writes ``plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<suffix>.txt`` (default r16) for each requested query (default:
 every bench headliner). Building a query's DataFrame runs any driver-side
 plan-construction jobs the operator owns (BPE training argmax rows, index
 builds) but never executes the returned frame itself.
@@ -31,7 +31,7 @@ def main() -> int:
         app_name="dump-plans", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
     qs = load_all_operators()
-    outdir = os.path.join(REPO, "plans", "r15")
+    outdir = os.path.join(REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16"))
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         spark.catalog.clearCache()

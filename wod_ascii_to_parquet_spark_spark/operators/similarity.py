@@ -340,6 +340,28 @@ def _l2_sql(a: str, b: str) -> str:
     return f"{_dot_sql(a, a)} - 2 * {_dot_sql(a, b)} + {_dot_sql(b, b)}"
 
 
+def _emb_base(spark: SparkSession, sf_dir: str, persist: bool = False) -> DataFrame:
+    """The canonical ``(vec_id, emb double[])`` corpus frame.
+
+    ``persist=True`` is the IVF/PQ/ADC chain's materialization barrier
+    (round 16): one chain query references this frame from MANY subtrees
+    — quantizer seed fold, PQ codebook fold, corpus assign side, query
+    side, refine lookups — and each reference re-runs the parquet scan +
+    array cast (9 scans in the refined query's final plan alone, plus
+    the build jobs). CacheManager matches by canonical plan, so a single
+    ``persist()`` here serves every reference (and every chain query in
+    the session) from one InMemoryRelation. Session-scoped like the
+    LSH/pagerank barriers: bench.py clears the cache between measured
+    runs, so steady-state timings still execute the full pipeline from
+    parquet; at 100 TB the analogue is the materialized vectors table a
+    serving stack reads anyway (``plans/ann_index.py`` stores exactly
+    this frame)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    return e.persist() if persist else e
+
+
 def _seed_array(seeds: DataFrame) -> DataFrame:
     """Fold the quantizer (all seed cells) into ONE broadcastable row: an
     array of ``struct(cell, cemb, cnorm)`` sorted by cell ascending, with
@@ -487,9 +509,11 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only)."""
     from pyspark.sql import Window as W
 
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
+    # NOT persisted (round 16): only 3 references; the A/B read neutral
+    # and the cache breaks the pinned quantizer-fold ReusedExchange
+    # (test_plans.py) — the chain queries with 5+ references persist via
+    # _emb_base(persist=True), see that helper's docstring.
+    e = _emb_base(spark, sf_dir)
     seeds = e.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
     )
@@ -599,9 +623,7 @@ def similarity_ann_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     a large table (e.g. dedup of a new crawl against the corpus).
     Deterministic medoid seeds keep it fully DuckDB-oracled; recall vs the
     exact k-NN join is asserted in tests/test_consistency.py."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
+    e = _emb_base(spark, sf_dir, persist=True)
     seeds = e.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
     )
@@ -1283,9 +1305,7 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     what streams, not the vectors. Top-10 via TakeOrdered (no corpus
     shuffle). Oracle mirrors the lookup sum in the same fixed subspace
     order (fp addition order matters)."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
+    e = _emb_base(spark, sf_dir, persist=True)
     cb = _pq_codebook(e)
     q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qemb"))
 
@@ -1498,9 +1518,7 @@ def similarity_ann_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     and parsed JVM-side in one call (``_dot_sql`` rationale), which cut
     the build constant ~4× vs composing them through the py4j Column
     API; what remains amortizes to zero at any real corpus size."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
+    e = _emb_base(spark, sf_dir, persist=True)
     seeds = e.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
     )
@@ -1646,9 +1664,7 @@ def similarity_ann_ivf_adc_refined(spark: SparkSession, sf_dir: str) -> DataFram
     read touches only the shortlist's row groups via the vec_id
     equi-join, and a production layout would make it a point-lookup
     table (the persisted-index twin below serves from stored tables)."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
+    e = _emb_base(spark, sf_dir, persist=True)
     seeds = e.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
     )
