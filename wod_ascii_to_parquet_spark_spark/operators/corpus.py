@@ -39,7 +39,11 @@ def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     above the explode gets map-side partial aggregation, so the shuffle
     carries (ngram, partial_count), not the exploded token stream."""
     d = spread(load(spark, sf_dir, "documents"))
-    toks = F.split(F.col("text"), " ")
+    # toks bound as a projected column so the bigram lambda captures an
+    # attribute, not the split() subtree (re-split per gram otherwise —
+    # see dedup.shingles_toks, r16).
+    b = d.select(F.split("text", " ").alias("__toks"))
+    toks = F.col("__toks")
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -50,7 +54,7 @@ def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     counts = (
-        d.select(F.explode(bigrams).alias("ngram"))
+        b.select(F.explode(bigrams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -670,7 +674,10 @@ def corpus_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-shuffle LM-scoring shape whose state is the model table (corpus
     bigram vocabulary), not the corpus."""
     d = spread(load(spark, sf_dir, "documents"))
-    toks = F.split("text", " ")
+    # bound-toks form (attribute capture, not a per-element re-split —
+    # see dedup.shingles_toks, r16)
+    b = d.select("doc_id", F.split("text", " ").alias("__toks"))
+    toks = F.col("__toks")
     pairs = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -681,7 +688,7 @@ def corpus_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    bg = d.select("doc_id", F.explode(pairs).alias("p")).select(
+    bg = b.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))

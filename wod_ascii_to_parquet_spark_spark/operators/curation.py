@@ -160,18 +160,22 @@ def curation_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row array expressions (map-only); documents with fewer than 3
     tokens are excluded (no 3-grams to measure)."""
     d = spread(load(spark, sf_dir, "documents"))
-    toks = F.split("text", " ")
+    # toks bound as its own projection: an HOF lambda re-evaluates every
+    # captured non-attribute subtree per element, so capturing the raw
+    # split() re-splits the text once per gram (dedup.shingles_toks has
+    # the measured numbers); the lambda body itself is one
+    # slice+array_join per gram — fewest interpreted nodes
+    # (tools/exp_decon_gram_shape.py, tools/exp_shingles_bind_toks.py).
+    b = d.select("doc_id", F.split("text", " ").alias("__toks"))
+    toks = F.col("__toks")
     idx = F.sequence(F.lit(1), F.size(toks) - 2)
-    # one slice+array_join per gram: HOF lambdas run interpreted, so
-    # fewer expression nodes per element is the lever (r16, −36% CPU on
-    # the same idiom in shingles(); tools/exp_decon_gram_shape.py)
     grams = F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i, 3), " ")
     )
     total = (F.size(toks) - 2).cast("bigint")
     n_distinct = F.size(F.array_distinct(grams))
     return (
-        d.filter(F.size(toks) >= 3)
+        b.filter(F.size(toks) >= 3)
         .select(
             "doc_id",
             total.alias("n_grams"),
@@ -397,12 +401,16 @@ def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine: grams are joined on md5 of the joined token window, so
     both engines agree bit-exactly."""
     d = spread(load(spark, sf_dir, "documents"))
-    toks = F.split(F.col("text"), " ")
+    # toks bound as a projected column so the 13-gram lambda captures an
+    # attribute, not the split() subtree (re-split per gram otherwise —
+    # see dedup.shingles_toks, r16).
+    b = d.select("doc_id", F.split("text", " ").alias("__toks"))
+    toks = F.col("__toks")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (DECON_N - 1)),
         lambda i: F.md5(F.array_join(F.slice(toks, i, DECON_N), " ")),
     )
-    g = d.filter(F.size(toks) >= DECON_N).select(
+    g = b.filter(F.size(toks) >= DECON_N).select(
         "doc_id", F.explode(grams).alias("g")
     )
     ev = g.filter(F.col("doc_id") < EVAL_DOCS).select("g").distinct()
@@ -586,10 +594,17 @@ def pipeline_flag_frame(d: DataFrame) -> DataFrame:
         _lsh_verified_pairs,
         minhash_signature,
         shingle_hashes_md5,
-        shingles,
+        with_sh,
     )
 
-    toks = F.split(F.col("text"), " ")
+    # toks bound as a projected column: the 3-gram lambda then captures
+    # an attribute instead of re-splitting the text per gram (see
+    # dedup.shingles_toks, r16).
+    bt = d.select(
+        "doc_id", "text", "lang", "source",
+        F.split("text", " ").alias("__toks"),
+    )
+    toks = F.col("__toks")
     # TRUE (non-distinct) 3-gram list — `shingles()` applies array_distinct
     # for Jaccard, which would make (n3 - d3) identically zero here; the
     # repetition signal needs the multiset (same formulation as
@@ -603,7 +618,7 @@ def pipeline_flag_frame(d: DataFrame) -> DataFrame:
             lambda i: F.array_join(F.slice(toks, i, 3), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = d.select(
+    base = bt.select(
         "doc_id",
         "text",
         "lang",
@@ -622,7 +637,7 @@ def pipeline_flag_frame(d: DataFrame) -> DataFrame:
     w_exact = W.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
 
     s = (
-        d.select("doc_id", shingles(F.col("text")).alias("sh"))
+        with_sh(d, "doc_id")
         .withColumn("hashes", shingle_hashes_md5(F.col("sh")))
         .withColumn("sig", minhash_signature(F.col("hashes")))
         .drop("hashes")
@@ -640,12 +655,14 @@ def pipeline_flag_frame(d: DataFrame) -> DataFrame:
         .distinct()
     )
 
-    t = F.split(F.col("text"), " ")
+    # bound-toks form, same rationale as the grams3 block above
+    bd = d.select("doc_id", F.split("text", " ").alias("__dtoks"))
+    t = F.col("__dtoks")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(t) - (DECON_N - 1)),
         lambda i: F.md5(F.array_join(F.slice(t, i, DECON_N), " ")),
     )
-    g = d.filter(F.size(t) >= DECON_N).select(
+    g = bd.filter(F.size(t) >= DECON_N).select(
         "doc_id", F.explode(grams).alias("g")
     )
     ev = g.filter(F.col("doc_id") < EVAL_DOCS).select("g").distinct()

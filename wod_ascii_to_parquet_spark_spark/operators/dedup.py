@@ -42,21 +42,53 @@ _NPERM = 32
 _BAND_ROWS = 4
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-token shingles of a whitespace-tokenized text column.
+def shingles_toks(toks: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles from an ALREADY-PROJECTED token-array
+    column.
 
-    Lambda body is ONE ``array_join(slice(...))`` rather than
-    ``concat_ws`` of ``k`` ``element_at`` calls: HOF lambdas evaluate
-    INTERPRETED per element (CodegenFallback), so the per-gram cost is
-    the expression-node count — 2 nodes vs k+1 measured −36% JVM CPU on
-    the signature chain (tools/exp_decon_gram_shape.py, r16; identical
-    output asserted)."""
-    toks = F.split(text, " ")
+    Two interpreted-HOF cost rules, both measured (r16):
+
+    - Lambda body is ONE ``array_join(slice(...))`` rather than
+      ``concat_ws`` of ``k`` ``element_at`` calls: HOF lambdas evaluate
+      INTERPRETED per element (CodegenFallback), so the per-gram cost is
+      the expression-node count — 2 nodes vs k+1 measured −36% JVM CPU
+      on the signature chain (tools/exp_decon_gram_shape.py; identical
+      output asserted).
+    - ``toks`` must be an AttributeReference, not the raw ``split()``
+      subtree: a non-lambda expression captured in a lambda body is
+      re-evaluated ON EVERY ELEMENT in interpreted mode, i.e. the whole
+      text is re-split once per gram. Callers project
+      ``split(text, ' ')`` as its own column first (see ``with_sh``) —
+      CollapseProject keeps the projection because the column is
+      referenced more than once and split() is not cheap. Measured
+      −28% JVM CPU / −16% wall on the full signature chain
+      (tools/exp_shingles_bind_toks.py, pairwise in every round)."""
     idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
     # Guard short texts: sequence()/slice() are strict under ANSI mode.
     return F.when(F.size(toks) >= k, F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
     )).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles of a whitespace-tokenized text column.
+
+    Prefer the two-step ``with_sh``/``shingles_toks`` form in query
+    bodies — passing the raw ``split()`` tree here costs one full
+    re-split per gram in the interpreted lambda (see
+    :func:`shingles_toks`). Kept for callers that already hold a text
+    Column and for the property tests."""
+    return shingles_toks(F.split(text, " "), k)
+
+
+def with_sh(d: DataFrame, *keep: str, k: int = 3) -> DataFrame:
+    """``(*keep, sh)`` with the token array bound as its own projection
+    below the shingle HOF — the cheap-capture form of
+    ``d.select(*keep, shingles(F.col("text")).alias("sh"))`` (see
+    :func:`shingles_toks` for why the two projections matter)."""
+    return d.select(*keep, F.split("text", " ").alias("__toks")).select(
+        *keep, shingles_toks(F.col("__toks"), k).alias("sh")
+    )
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -129,11 +161,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = 0.5
     d = spread(load(spark, sf_dir, "documents"))
-    s = d.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.array_sort(shingles(F.col("text"))).alias("sh"),
+    s = with_sh(d, "doc_id", "lang", "source").select(
+        "doc_id", "lang", "source", F.array_sort("sh").alias("sh")
     ).persist()  # 3 consumers: prefix side a, prefix side b, verify
     prefix_len = prefix_length(F.size("sh"), 1, 2)  # exact ⌊(1−t)n⌋+1, t=1/2
     p = s.select(
@@ -207,11 +236,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     N²/k) becomes Σ_g df_prefix(g)·df(g). Oracle UNCHANGED."""
     t = 0.8
     d = spread(load(spark, sf_dir, "documents"))
-    s = d.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.array_sort(shingles(F.col("text"))).alias("sh"),
+    s = with_sh(d, "doc_id", "lang", "source").select(
+        "doc_id", "lang", "source", F.array_sort("sh").alias("sh")
     ).persist()  # 4 consumers: prefix, full, verify a, verify b
     # Exact n − ⌈0.8n⌉ + 1: the float ⌊n·(1.0−0.8)⌋+1 loses one prefix
     # element whenever n is a multiple of 5 (1.0−0.8 < 0.2 in doubles),
@@ -311,7 +337,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (asserted in tests)."""
     d = spread(load(spark, sf_dir, "documents"))
     s = (
-        d.select("doc_id", shingles(F.col("text")).alias("sh"))
+        with_sh(d, "doc_id")
         .withColumn("hashes", shingle_hashes(F.col("sh")))
         .withColumn("sig", minhash_signature(F.col("hashes")))
         .drop("hashes")
@@ -558,7 +584,7 @@ def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-side default."""
     d = spread(load(spark, sf_dir, "documents"))
     s = (
-        d.select("doc_id", shingles(F.col("text")).alias("sh"))
+        with_sh(d, "doc_id")
         .withColumn("hashes", shingle_hashes_md5(F.col("sh")))
         .withColumn("sig", minhash_signature(F.col("hashes")))
         .drop("hashes")
@@ -1868,7 +1894,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Error scales as ~1/√32 per pair; widen the signature to tighten."""
     d = spread(load(spark, sf_dir, "documents"))
     s = (
-        d.select("doc_id", shingles(F.col("text")).alias("sh"))
+        with_sh(d, "doc_id")
         # Short docs (empty shingle set) OUT before anything else: the
         # signature fold would give them all the sentinel-init signature
         # (pairing every short doc with every other) and exact Jaccard on

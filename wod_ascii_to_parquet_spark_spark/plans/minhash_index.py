@@ -56,7 +56,7 @@ from ..operators.dedup import (
     minhash_signature,
     shingle_hashes,
     shingle_hashes_md5,
-    shingles,
+    with_sh,
 )
 from ..registry import local_df
 from .ann_index import _table_num_buckets
@@ -117,7 +117,7 @@ def _sig_frame(docs: DataFrame, family: str) -> DataFrame:
     (shared helpers, so index and live query cannot drift)."""
     hash_fn = _FAMILIES[family]
     return (
-        docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+        with_sh(docs, "doc_id")
         .withColumn("hashes", hash_fn(F.col("sh")))
         .withColumn("sig", minhash_signature(F.col("hashes")))
         .drop("hashes")
