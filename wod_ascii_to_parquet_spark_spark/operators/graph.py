@@ -131,7 +131,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # between moving the graph k times and moving it once. MEMORY_AND_DISK
     # default storage spills gracefully when the graph outgrows memory.
     ew = edges.join(deg, "src").repartition("src").persist()
-    nodes = ew.select(F.col("src").alias("id")).distinct()
+    # nodes cached too (r16): its distinct aggregate over the cached edge
+    # list is consumed by TWO JOBS — the N count action below and the
+    # ranks-init subtree of the returned plan — and cross-job dedupe can
+    # only come from a cache (stage reuse never spans jobs). |nodes| rows,
+    # trivial memory; measured −8% JVM CPU on the full query (pairwise
+    # 3/4 rounds, tools/exp_pagerank_nodes_from_deg.py).
+    nodes = ew.select(F.col("src").alias("id")).distinct().persist()
     # N is a single scalar — one driver action on the checkpointed graph
     # (same budget as dedup_cluster_assign's convergence probe). floor of
     # a double division, matching the oracle's floor(1e12 / n) exactly.
