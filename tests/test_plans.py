@@ -142,6 +142,12 @@ def test_ivf_query_plan_reuses_quantizer_and_no_double_argmax(spark):
     """
     from wod_ascii_to_parquet_spark_spark.registry import load_all_operators
 
+    # Cold catalog: the r16 ADC-chain queries persist the embeddings base
+    # frame session-wide; if one of them ran earlier in this session the
+    # quantizer folds here would read that cache (no ReusedExchange to
+    # pin). The invariant is about the COLD path — the one bench.py and
+    # the driver measure (both clear the cache between runs).
+    spark.catalog.clearCache()
     q = load_all_operators()["similarity_ann_ivf"]
     df = q.fn(spark, SF_DIR)
     df.collect()  # AQE only materializes ReusedExchange in the FINAL plan

@@ -131,13 +131,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # between moving the graph k times and moving it once. MEMORY_AND_DISK
     # default storage spills gracefully when the graph outgrows memory.
     ew = edges.join(deg, "src").repartition("src").persist()
-    # nodes cached too (r16): its distinct aggregate over the cached edge
-    # list is consumed by TWO JOBS — the N count action below and the
-    # ranks-init subtree of the returned plan — and cross-job dedupe can
-    # only come from a cache (stage reuse never spans jobs). |nodes| rows,
-    # trivial memory; measured −8% JVM CPU on the full query (pairwise
-    # 3/4 rounds, tools/exp_pagerank_nodes_from_deg.py).
-    nodes = ew.select(F.col("src").alias("id")).distinct().persist()
+    # NOT persisted (r16, measured and rejected): caching this distinct
+    # frame too would dedupe it across the count action and the
+    # ranks-init subtree, but the measured win was marginal (−8% JVM CPU
+    # min, pairwise only 3/4 — tools/exp_pagerank_nodes_from_deg.py) and
+    # a SECOND InMemoryRelation breaks the executed-plan inspection the
+    # edge-partitioning pin relies on (test_plans.py): AQE prints the
+    # extra cache's own build plan with de-dented "Final Plan" sections
+    # that read as live exchanges. Not worth it for noise-scale CPU.
+    nodes = ew.select(F.col("src").alias("id")).distinct()
     # N is a single scalar — one driver action on the checkpointed graph
     # (same budget as dedup_cluster_assign's convergence probe). floor of
     # a double division, matching the oracle's floor(1e12 / n) exactly.
